@@ -1,38 +1,509 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship chained-transform query;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2, each with a DuckDB-equivalent ANSI SQL string.
+
+Panel derivation (FIXTURES.md §6): time_id = epoch day of events.ts,
+unit_id = user_id, value = sum(value) — summed through DECIMAL(18,2) so the
+aggregate is exact and order-independent on both engines (event values are
+2-decimal), densified to the complete time × unit grid with 0.0.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from views_transformation_library_spark import panel as P
+from views_transformation_library_spark.operators import missing, scalar, temporal
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _r6(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Round double feature columns to 6 decimals.
+
+    Transcendental functions (log/pow) may differ from DuckDB in the last
+    ulp; the driver hash-compares raw values, so both sides round to 6dp.
+    """
+    cols = cols or P.feature_cols(df)
+    out = df
+    for c, t in df.dtypes:
+        if c in cols and t == "double":
+            out = out.withColumn(c, F.round(F.col(c), 6))
+    return out
+
+
+def _panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.panel_from_events(spark, sf_dir)
+
+
+def _panel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature panel for multi_column ops: a = sum(value), b = sum(value)
+    over 'click' events only."""
+    a = P.panel_from_events(spark, sf_dir).withColumnRenamed("value", "a")
+    b = (
+        P.panel_from_events(spark, sf_dir, event_type="click")
+        .withColumnRenamed("value", "b")
+    )
+    # left join onto the full grid; click-panel cells absent from its own
+    # grid default to 0.0
+    return a.join(
+        b, [P.TIME, P.UNIT], "left"
+    ).na.fill(0.0, subset=["b"])
+
+
+PANEL2_SQL = """
+WITH
+ev_a AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS time_id,
+         user_id AS unit_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS a
+  FROM events GROUP BY 1, 2
+),
+ev_b AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS time_id,
+         user_id AS unit_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS b
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.time_id, u.unit_id
+  FROM (SELECT DISTINCT time_id FROM ev_a) t
+  CROSS JOIN (SELECT DISTINCT unit_id FROM ev_a) u
+),
+panel2 AS (
+  SELECT g.time_id, g.unit_id,
+         coalesce(ea.a, 0.0) AS a,
+         coalesce(eb.b, 0.0) AS b
+  FROM grid g
+  LEFT JOIN ev_a ea USING (time_id, unit_id)
+  LEFT JOIN ev_b eb USING (time_id, unit_id)
+)
+"""
+
+# DuckDB CTE prefix producing the canonical single-feature panel
+PSQL = "WITH " + P.panel_sql().lstrip()
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the canonical ViEWS feature chain
+    decay(halflife=12) ∘ time_since(value=0) over the event panel —
+    'time since last event, exponentially decayed'
+    (reference views_2.py:244-293). One Window shuffle end-to-end."""
+    pn = _panel(spark, SF0001)
+    ts = temporal.time_since(pn, value=0)
+    return _r6(scalar.decay(ts, halflife=12.0))
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- scalar (§2.1)
+    q["identity"] = lambda s, d: scalar.identity(_panel(s, d))
+    q["ln"] = lambda s, d: _r6(scalar.ln(_panel(s, d)))
+    q["decay"] = lambda s, d: _r6(scalar.decay(_panel(s, d), 24.0))
+    q["greater_or_equal"] = lambda s, d: scalar.greater_or_equal(_panel(s, d), 100.0)
+    q["smaller_or_equal"] = lambda s, d: scalar.smaller_or_equal(_panel(s, d), 100.0)
+    q["in_range"] = lambda s, d: scalar.in_range(_panel(s, d), 50.0, 500.0)
+    q["add_column"] = lambda s, d: _r6(scalar.add_column(_panel2(s, d)))
+    q["subtract_column"] = lambda s, d: _r6(scalar.subtract_column(_panel2(s, d)))
+    q["multiply_column"] = lambda s, d: _r6(scalar.multiply_column(_panel2(s, d)))
+    q["divide_column"] = lambda s, d: _r6(scalar.divide_column(_panel2(s, d)))
+
+    # --- temporal (§2.2)
+    q["tlag"] = lambda s, d: temporal.tlag(_panel(s, d), 3)
+    q["tlead"] = lambda s, d: temporal.tlead(_panel(s, d), 2)
+    q["delta"] = lambda s, d: _r6(temporal.delta(_panel(s, d), 1))
+    q["moving_average"] = lambda s, d: _r6(temporal.moving_average(_panel(s, d), 7))
+    q["moving_sum"] = lambda s, d: _r6(temporal.moving_sum(_panel(s, d), 7))
+    q["rollmax"] = lambda s, d: temporal.rollmax(_panel(s, d), 5)
+    q["mean"] = lambda s, d: _r6(temporal.mean(_panel(s, d)))
+    q["demean"] = lambda s, d: _r6(temporal.demean(_panel(s, d)))
+    q["cweq"] = lambda s, d: temporal.cweq(
+        scalar.greater_or_equal(_panel(s, d), 100.0), 0
+    )
+    q["cweq_seed"] = lambda s, d: temporal.cweq(
+        scalar.greater_or_equal(_panel(s, d), 100.0), 0, seed=10
+    )
+    q["time_since"] = lambda s, d: temporal.time_since(
+        scalar.greater_or_equal(_panel(s, d), 100.0), value=0
+    )
+    q["onset_possible"] = lambda s, d: temporal.onset_possible(
+        scalar.greater_or_equal(_panel(s, d), 100.0), 5
+    )
+    q["onset"] = lambda s, d: temporal.onset(
+        scalar.greater_or_equal(_panel(s, d), 100.0), 5
+    )
+    q["tick_time_since"] = lambda s, d: _tick_query(s, d)
+    q["tlags3d"] = lambda s, d: temporal.tlags3d(_panel2(s, d), lags=[1, 3])
+    q["temporal_entropy"] = lambda s, d: _r6(
+        temporal.temporal_entropy(_panel(s, d), 7, offset=1.0)
+    )
+
+    # --- missing-data (§2.3) — null panel: raw aggregation without densify-fill
+    q["replace_na"] = lambda s, d: missing.replace_na(_null_panel(s, d), -1.0)
+    q["fill_forward"] = lambda s, d: missing.fill(_null_panel(s, d), "forward", None)
+    q["fill_backward"] = lambda s, d: missing.fill(_null_panel(s, d), "backward", None)
+    q["fill_inside"] = lambda s, d: missing.fill(_null_panel(s, d), "forward", "inside")
+    q["fill_outside"] = lambda s, d: missing.fill(_null_panel(s, d), "both", "outside")
+    q["extrapolate"] = lambda s, d: _r6(missing.extrapolate(_null_panel(s, d), "both", None))
+    q["fill_with_group_and_global_means"] = lambda s, d: _r6(
+        missing.fill_with_group_and_global_means(_null_panel(s, d))
+    )
+    q["fill_groups_with_time_means"] = lambda s, d: _r6(
+        missing.fill_groups_with_time_means(_sparse_null_panel(s, d))
+    )
+
+    # --- flagship composition
+    q["flagship_decay_time_since"] = lambda s, d: _r6(
+        scalar.decay(temporal.time_since(_panel(s, d), value=0), halflife=12.0)
+    )
+    return q
+
+
+def _tick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event = (panel value >= 100), ts = time_since(event==0); tick-update."""
+    pn = _panel(spark, sf_dir)
+    ev = scalar.greater_or_equal(pn, 100.0, out="event")
+    ts = temporal.time_since(
+        ev.select(P.TIME, P.UNIT, "event"), value=0, col="event", out="ts"
+    ).select(P.TIME, P.UNIT, "ts")
+    both = ev.select(P.TIME, P.UNIT, "event").join(ts, [P.TIME, P.UNIT])
+    res = temporal.tick_time_since(both, "event", "ts", out="tick")
+    return res.select(P.TIME, P.UNIT, "tick")
+
+
+def _null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel densified with NULL holes (not 0.0) — exercises fills."""
+    ev = P.read_events(spark, sf_dir)
+    agg = ev.groupBy(
+        P.epoch_day(ev).alias(P.TIME),
+        F.col("user_id").alias(P.UNIT),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value"))
+    return P.densify(agg, fill=None)
+
+
+def _sparse_null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null panel where even-numbered units are fully nulled — exercises
+    fill_groups_with_time_means' all-missing-unit path."""
+    d = _null_panel(spark, sf_dir)
+    return d.withColumn(
+        "value", F.when(F.col(P.UNIT) % 2 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+NULL_PANEL_SQL = """
+WITH
+panel_agg AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS time_id,
+         user_id AS unit_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+panel AS (
+  SELECT g.time_id, g.unit_id, a.value
+  FROM (SELECT t.time_id, u.unit_id
+        FROM (SELECT DISTINCT time_id FROM panel_agg) t
+        CROSS JOIN (SELECT DISTINCT unit_id FROM panel_agg) u) g
+  LEFT JOIN panel_agg a USING (time_id, unit_id)
+)
+"""
+
+SPARSE_SQL = NULL_PANEL_SQL + """,
+sparse AS (
+  SELECT time_id, unit_id,
+         CASE WHEN unit_id % 2 = 0 THEN NULL ELSE value END AS value
+  FROM panel
+)
+"""
+
+# windows used repeatedly
+W_UNIT = "PARTITION BY unit_id ORDER BY time_id"
+W_TRAIL = lambda n: f"PARTITION BY unit_id ORDER BY time_id ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"  # noqa: E731
+
+CWEQ_SQL = """
+mask AS (
+  SELECT time_id, unit_id,
+         CASE WHEN (CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS m
+  FROM panel
+),
+blocked AS (
+  SELECT time_id, unit_id, m,
+         sum(1 - m) OVER (PARTITION BY unit_id ORDER BY time_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+  FROM mask
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["identity"] = PSQL + "SELECT time_id, unit_id, value FROM panel"
+    o["ln"] = PSQL + "SELECT time_id, unit_id, round(ln(1 + value), 6) AS value FROM panel"
+    o["decay"] = PSQL + "SELECT time_id, unit_id, round(pow(2.0, -value / 24.0), 6) AS value FROM panel"
+    o["greater_or_equal"] = PSQL + "SELECT time_id, unit_id, CASE WHEN value >= 100.0 THEN 1 ELSE 0 END::INT AS value FROM panel"
+    o["smaller_or_equal"] = PSQL + "SELECT time_id, unit_id, CASE WHEN value <= 100.0 THEN 1 ELSE 0 END::INT AS value FROM panel"
+    o["in_range"] = PSQL + "SELECT time_id, unit_id, CASE WHEN value BETWEEN 50.0 AND 500.0 THEN 1 ELSE 0 END::INT AS value FROM panel"
+    o["add_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a + b, 6) AS a FROM panel2"
+    o["subtract_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a - b, 6) AS a FROM panel2"
+    o["multiply_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a * b, 6) AS a FROM panel2"
+    o["divide_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a / nullif(b, 0.0), 6) AS a FROM panel2"
+
+    o["tlag"] = PSQL + f"SELECT time_id, unit_id, lag(value, 3) OVER ({W_UNIT}) AS value FROM panel"
+    o["tlead"] = PSQL + f"SELECT time_id, unit_id, lead(value, 2) OVER ({W_UNIT}) AS value FROM panel"
+    o["delta"] = PSQL + f"SELECT time_id, unit_id, round(value - lag(value, 1) OVER ({W_UNIT}), 6) AS value FROM panel"
+    o["moving_average"] = PSQL + f"SELECT time_id, unit_id, round(avg(value) OVER ({W_TRAIL(7)}), 6) AS value FROM panel"
+    o["moving_sum"] = PSQL + f"SELECT time_id, unit_id, round(sum(value) OVER ({W_TRAIL(7)}), 6) AS value FROM panel"
+    o["rollmax"] = PSQL + f"SELECT time_id, unit_id, max(value) OVER ({W_TRAIL(5)}) AS value FROM panel"
+    o["mean"] = PSQL + "SELECT time_id, unit_id, round(avg(value) OVER (PARTITION BY unit_id), 6) AS value FROM panel"
+    o["demean"] = PSQL + "SELECT time_id, unit_id, round(value - avg(value) OVER (PARTITION BY unit_id), 6) AS value FROM panel"
+
+    o["cweq"] = PSQL + "," + CWEQ_SQL + """
+SELECT time_id, unit_id,
+       CAST(sum(m) OVER (PARTITION BY unit_id, blk ORDER BY time_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS value
+FROM blocked
+"""
+    o["cweq_seed"] = PSQL + "," + CWEQ_SQL + """,
+seeded AS (
+  SELECT time_id, unit_id, blk,
+         CASE WHEN time_id = (SELECT min(time_id) FROM panel) AND m = 1 THEN 10 ELSE m END AS cnt
+  FROM blocked
+)
+SELECT time_id, unit_id,
+       CAST(sum(cnt) OVER (PARTITION BY unit_id, blk ORDER BY time_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS value
+FROM seeded
+"""
+    o["time_since"] = PSQL + """,
+lagged AS (
+  SELECT time_id, unit_id,
+         lag(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) OVER (PARTITION BY unit_id ORDER BY time_id) AS lv
+  FROM panel
+),
+nn AS (SELECT * FROM lagged WHERE lv IS NOT NULL),
+mask AS (SELECT time_id, unit_id, CASE WHEN lv = 0 THEN 1 ELSE 0 END AS m FROM nn),
+blocked AS (
+  SELECT time_id, unit_id, m,
+         sum(1 - m) OVER (PARTITION BY unit_id ORDER BY time_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+  FROM mask
+)
+SELECT time_id, unit_id,
+       CAST(sum(m) OVER (PARTITION BY unit_id, blk ORDER BY time_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS value
+FROM blocked
+"""
+    o["onset_possible"] = PSQL + """,
+flag AS (
+  SELECT time_id, unit_id, CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS v FROM panel
+),
+lagged AS (
+  SELECT time_id, unit_id,
+         coalesce(lag(v) OVER (PARTITION BY unit_id ORDER BY time_id), 0) AS lv
+  FROM flag
+)
+SELECT time_id, unit_id,
+       CASE WHEN max(lv) OVER (PARTITION BY unit_id ORDER BY time_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 0
+            THEN 1 ELSE 0 END::INT AS value
+FROM lagged
+"""
+    o["onset"] = PSQL + """,
+flag AS (
+  SELECT time_id, unit_id, CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS v FROM panel
+),
+lagged AS (
+  SELECT time_id, unit_id, v,
+         coalesce(lag(v) OVER (PARTITION BY unit_id ORDER BY time_id), 0) AS lv
+  FROM flag
+)
+SELECT time_id, unit_id,
+       CASE WHEN max(lv) OVER (PARTITION BY unit_id ORDER BY time_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 0
+                 AND v <> 0
+            THEN 1 ELSE 0 END::INT AS value
+FROM lagged
+"""
+    o["tick_time_since"] = PSQL + """,
+flag AS (
+  SELECT time_id, unit_id, CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS event FROM panel
+),
+lagged AS (
+  SELECT time_id, unit_id,
+         lag(CASE WHEN event = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY unit_id ORDER BY time_id) AS lv
+  FROM flag
+),
+nn AS (SELECT * FROM lagged WHERE lv IS NOT NULL),
+blocked AS (
+  SELECT time_id, unit_id, lv AS m,
+         sum(1 - lv) OVER (PARTITION BY unit_id ORDER BY time_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+  FROM nn
+),
+ts AS (
+  SELECT time_id, unit_id,
+         CAST(sum(m) OVER (PARTITION BY unit_id, blk ORDER BY time_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS ts
+  FROM blocked
+),
+joined AS (
+  SELECT f.time_id, f.unit_id, f.event, t.ts
+  FROM flag f JOIN ts t USING (time_id, unit_id)
+),
+ticked AS (
+  SELECT time_id, unit_id,
+         lag(event) OVER (PARTITION BY unit_id ORDER BY time_id) AS ev_lag,
+         lag(ts) OVER (PARTITION BY unit_id ORDER BY time_id) AS ts_lag
+  FROM joined
+)
+SELECT time_id, unit_id,
+       CASE WHEN ev_lag <> 0 THEN 0.0 ELSE ts_lag + 1 END AS tick
+FROM ticked
+WHERE ev_lag IS NOT NULL AND ts_lag IS NOT NULL
+"""
+    o["tlags3d"] = PANEL2_SQL + f"""
+SELECT time_id, unit_id,
+       coalesce(lag(a, 1) OVER ({W_UNIT}), 0.0) AS a_tlag_1,
+       coalesce(lag(a, 3) OVER ({W_UNIT}), 0.0) AS a_tlag_3,
+       coalesce(lag(b, 1) OVER ({W_UNIT}), 0.0) AS b_tlag_1,
+       coalesce(lag(b, 3) OVER ({W_UNIT}), 0.0) AS b_tlag_3
+FROM panel2
+"""
+    o["temporal_entropy"] = PSQL + f""",
+offs AS (
+  SELECT time_id, unit_id, coalesce(value, 0.0) + 1.0 AS x FROM panel
+),
+sums AS (
+  SELECT time_id, unit_id, x,
+         sum(x) OVER ({W_TRAIL(7)}) AS bigx,
+         sum(CASE WHEN x > 0 THEN x * log2(x) ELSE 0.0 END) OVER ({W_TRAIL(7)}) AS s
+  FROM offs
+)
+SELECT time_id, unit_id,
+       round(CASE WHEN bigx > 0 THEN log2(bigx) - s / bigx ELSE 0.0 END, 6) AS value
+FROM sums
+"""
+
+    # --- missing-data family
+    o["replace_na"] = NULL_PANEL_SQL + "SELECT time_id, unit_id, coalesce(value, -1.0) AS value FROM panel"
+    o["fill_forward"] = NULL_PANEL_SQL + f"""
+SELECT time_id, unit_id,
+       coalesce(value, last_value(value IGNORE NULLS) OVER ({W_UNIT}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value
+FROM panel
+"""
+    o["fill_backward"] = NULL_PANEL_SQL + f"""
+SELECT time_id, unit_id,
+       coalesce(value, first_value(value IGNORE NULLS) OVER ({W_UNIT}
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value
+FROM panel
+"""
+    o["fill_inside"] = NULL_PANEL_SQL + f"""
+SELECT time_id, unit_id,
+       CASE WHEN value IS NULL
+                 AND time_id >= min(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id)
+                 AND time_id <= max(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id)
+            THEN last_value(value IGNORE NULLS) OVER ({W_UNIT}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ELSE value END AS value
+FROM panel
+"""
+    o["fill_outside"] = NULL_PANEL_SQL + f"""
+SELECT time_id, unit_id,
+       CASE WHEN value IS NULL
+                 AND time_id < min(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id)
+            THEN first_value(value IGNORE NULLS) OVER ({W_UNIT}
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            WHEN value IS NULL
+                 AND time_id > max(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id)
+            THEN last_value(value IGNORE NULLS) OVER ({W_UNIT}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ELSE value END AS value
+FROM panel
+"""
+    o["extrapolate"] = NULL_PANEL_SQL + f""",
+aug AS (
+  SELECT time_id, unit_id, value,
+         min(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id) AS first_t,
+         max(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id) AS last_t,
+         last_value(value IGNORE NULLS) OVER ({W_UNIT}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(value IGNORE NULLS) OVER ({W_UNIT}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         max(CASE WHEN value IS NOT NULL THEN time_id END) OVER ({W_UNIT}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         min(CASE WHEN value IS NOT NULL THEN time_id END) OVER ({W_UNIT}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM panel
+)
+SELECT time_id, unit_id,
+       round(CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN time_id > first_t AND time_id < last_t
+              THEN pv + (nv - pv) * (time_id - pt) / (nt - pt)
+         WHEN time_id < first_t THEN nv
+         WHEN time_id > last_t THEN pv
+         ELSE value END, 6) AS value
+FROM aug
+"""
+    o["fill_with_group_and_global_means"] = NULL_PANEL_SQL + """
+SELECT time_id, unit_id,
+       round(coalesce(value,
+                      avg(value) OVER (PARTITION BY unit_id),
+                      avg(value) OVER ()), 6) AS value
+FROM panel
+"""
+    o["fill_groups_with_time_means"] = SPARSE_SQL + """
+SELECT time_id, unit_id,
+       round(CASE WHEN count(value) OVER (PARTITION BY unit_id) = 0
+                  THEN avg(value) OVER (PARTITION BY time_id)
+                  ELSE value END, 6) AS value
+FROM sparse
+"""
+
+    # flagship
+    o["flagship_decay_time_since"] = PSQL + """,
+lagged AS (
+  SELECT time_id, unit_id, lag(value) OVER (PARTITION BY unit_id ORDER BY time_id) AS lv
+  FROM panel
+),
+nn AS (SELECT * FROM lagged WHERE lv IS NOT NULL),
+mask AS (SELECT time_id, unit_id, CASE WHEN lv = 0 THEN 1 ELSE 0 END AS m FROM nn),
+blocked AS (
+  SELECT time_id, unit_id, m,
+         sum(1 - m) OVER (PARTITION BY unit_id ORDER BY time_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+  FROM mask
+),
+ts AS (
+  SELECT time_id, unit_id,
+         sum(m) OVER (PARTITION BY unit_id, blk ORDER BY time_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM blocked
+)
+SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
+"""
+    return o

@@ -1,0 +1,132 @@
+import math
+
+import pytest
+
+from conftest import collect_panel, make_panel
+from views_transformation_library_spark.operators import temporal
+
+
+def vals(df):
+    return [v for (_, _, v) in collect_panel(df)]
+
+
+@pytest.fixture()
+def two_units(spark):
+    # unit 10: 1,2,3,4 ; unit 11: 10,20,30,40 over times 1..4
+    rows = [(t, 10, float(t)) for t in range(1, 5)] + [
+        (t, 11, 10.0 * t) for t in range(1, 5)
+    ]
+    return make_panel(spark, rows)
+
+
+def test_tlag_tlead_delta(two_units):
+    assert vals(temporal.tlag(two_units, 1)) == [None, 1.0, 2.0, 3.0, None, 10.0, 20.0, 30.0]
+    assert vals(temporal.tlead(two_units, 2)) == [3.0, 4.0, None, None, 30.0, 40.0, None, None]
+    assert vals(temporal.delta(two_units, 1)) == [None, 1.0, 1.0, 1.0, None, 10.0, 10.0, 10.0]
+    with pytest.raises(ValueError):
+        temporal.tlag(two_units, 0)
+
+
+def test_moving_windows(two_units):
+    # min_periods=0 semantics: window shrinks at start, no nulls introduced
+    assert vals(temporal.moving_average(two_units, 2)) == [1.0, 1.5, 2.5, 3.5, 10.0, 15.0, 25.0, 35.0]
+    assert vals(temporal.moving_sum(two_units, 3)) == [1.0, 3.0, 6.0, 9.0, 10.0, 30.0, 60.0, 90.0]
+    assert vals(temporal.rollmax(two_units, 2)) == [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0]
+    # moving_sum(1) == identity (property from SURVEY §5)
+    assert vals(temporal.moving_sum(two_units, 1)) == vals(two_units)
+
+
+def test_mean_demean(two_units):
+    assert vals(temporal.mean(two_units)) == [2.5] * 4 + [25.0] * 4
+    assert vals(temporal.demean(two_units)) == [-1.5, -0.5, 0.5, 1.5, -15.0, -5.0, 5.0, 15.0]
+
+
+def test_cweq_reference_docstring_example(spark):
+    # reference views_2.py:255-258: event 0,0,1,1,0,0 -> cweq(value=0): 1,2,0,0,1,2
+    rows = [(t, 1, v) for t, v in zip(range(1, 7), [0.0, 0.0, 1.0, 1.0, 0.0, 0.0])]
+    df = make_panel(spark, rows)
+    assert vals(temporal.cweq(df, 0)) == [1, 2, 0, 0, 1, 2]
+
+
+def test_time_since_reference_docstring_example(spark):
+    # reference views_2.py:255-258: tisiev: ., 1, 2, 0, 0, 1 (first time dropped)
+    rows = [(t, 1, v) for t, v in zip(range(1, 7), [0.0, 0.0, 1.0, 1.0, 0.0, 0.0])]
+    df = make_panel(spark, rows)
+    out = collect_panel(temporal.time_since(df, 0))
+    assert [t for (_, t, _) in out] == [2, 3, 4, 5, 6]
+    assert [v for (_, _, v) in out] == [1, 2, 0, 0, 1]
+
+
+def test_cweq_seed(spark):
+    # seed preloads the count at the first timestep when condition holds there
+    rows = [(t, 1, v) for t, v in zip(range(1, 5), [0.0, 0.0, 1.0, 0.0])]
+    df = make_panel(spark, rows)
+    assert vals(temporal.cweq(df, 0, seed=100)) == [100, 101, 0, 1]
+    # seed NOT applied when condition fails at first timestep
+    rows2 = [(t, 1, v) for t, v in zip(range(1, 5), [5.0, 0.0, 0.0, 0.0])]
+    df2 = make_panel(spark, rows2)
+    assert vals(temporal.cweq(df2, 0, seed=100)) == [0, 1, 2, 3]
+
+
+def test_cweq_multi_unit_and_nulls(spark):
+    rows = [
+        (1, 1, 0.0), (2, 1, None), (3, 1, 0.0), (4, 1, 2.0),
+        (1, 2, 0.0), (2, 2, 0.0), (3, 2, 0.0), (4, 2, 0.0),
+    ]
+    df = make_panel(spark, rows)
+    out = collect_panel(temporal.cweq(df, 0))
+    # null row dropped (reference dropna views_2.py:211); count continues across it
+    assert out == [(1, 1, 1), (1, 3, 2), (1, 4, 0), (2, 1, 1), (2, 2, 2), (2, 3, 3), (2, 4, 4)]
+
+
+def test_onset(spark):
+    # values: 0,0,0,5,0,0,7 ; window=2
+    rows = [(t, 1, v) for t, v in zip(range(1, 8), [0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 7.0])]
+    df = make_panel(spark, rows)
+    assert vals(temporal.onset_possible(df, 2)) == [1, 1, 1, 1, 0, 0, 1]
+    assert vals(temporal.onset(df, 2)) == [0, 0, 0, 1, 0, 0, 1]
+    # window=3: onset at t=7 no longer possible (5.0 at t=4 within 3 lagged rows)
+    assert vals(temporal.onset(df, 3)) == [0, 0, 0, 1, 0, 0, 0]
+
+
+def test_tick_time_since(spark):
+    rows = [
+        (t, 1, ev, ts)
+        for t, ev, ts in [
+            (1, 0.0, 1.0), (2, 0.0, 2.0), (3, 1.0, 0.0), (4, 0.0, 1.0)
+        ]
+    ]
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "event", "ts"))
+    out = collect_panel(
+        temporal.tick_time_since(df, "event", "ts"), value_cols=["tick_time_since"]
+    )
+    # t=2: no event at t=1 -> ts(1)+1 = 2 ; t=4: event at t=3 -> 0
+    assert out == [(1, 2, 2.0), (1, 3, 3.0), (1, 4, 0.0)]
+
+
+def test_tlags3d(spark):
+    rows = [(t, 1, float(t), 100.0 + t) for t in range(1, 4)]
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
+    out = temporal.tlags3d(df, lags=[1, 2])
+    assert set(out.columns) == {"time_id", "unit_id", "a_tlag_1", "a_tlag_2", "b_tlag_1", "b_tlag_2"}
+    got = collect_panel(out, value_cols=["a_tlag_1", "a_tlag_2", "b_tlag_1", "b_tlag_2"])
+    # out-of-range lags are 0.0, not NULL (reference tensor zeros tlag3d.py:72-75)
+    assert got[0] == (1, 1, 0.0, 0.0, 0.0, 0.0)
+    assert got[1] == (1, 2, 1.0, 0.0, 101.0, 0.0)
+    assert got[2] == (1, 3, 2.0, 1.0, 102.0, 101.0)
+
+
+def test_temporal_entropy(spark):
+    # window fully uniform -> entropy = log2(window)
+    rows = [(t, 1, 1.0) for t in range(1, 5)]
+    df = make_panel(spark, rows)
+    out = vals(temporal.temporal_entropy(df, 3))
+    assert out[0] == pytest.approx(0.0)  # single-element window
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(math.log2(3))
+    assert out[3] == pytest.approx(math.log2(3))
+    # distribution (1,3): H = -(1/4 log2 1/4 + 3/4 log2 3/4)
+    rows2 = [(1, 1, 1.0), (2, 1, 3.0)]
+    df2 = make_panel(spark, rows2)
+    expected = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))
+    assert vals(temporal.temporal_entropy(df2, 2))[1] == pytest.approx(expected)

@@ -1,0 +1,120 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at the given sf dir, then compares row count, schema (column names sorted),
+and an order-insensitive value comparison (sorted rows, NaN==NaN, doubles
+to 1e-9 relative). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from views_transformation_library_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_key(row):
+    return tuple((x is None, str(type(x).__name__), str(x)) for x in row)
+
+
+def compare_rows(spark_rows, duck_rows, rel=1e-9):
+    if len(spark_rows) != len(duck_rows):
+        return f"row count {len(spark_rows)} vs {len(duck_rows)}"
+    a = sorted((tuple(norm_cell(c) for c in r) for r in spark_rows), key=rows_key)
+    b = sorted((tuple(norm_cell(c) for c in r) for r in duck_rows), key=rows_key)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for ca, cb in zip(ra, rb):
+            if ca is None and cb is None:
+                continue
+            if ca is None or cb is None:
+                return f"row {i}: {ra} vs {rb}"
+            if isinstance(ca, float) and isinstance(cb, float):
+                if not math.isclose(ca, cb, rel_tol=rel, abs_tol=1e-9):
+                    return f"row {i}: {ra} vs {rb}"
+            elif ca != cb:
+                return f"row {i}: {ra} vs {rb}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = [[r[c] for c in s_cols] for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle (rows-only: {len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            d_cols_raw = [d[0] for d in cur.description]
+            d_rows_raw = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        d_order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
+        d_cols = [d_cols_raw[i] for i in d_order]
+        d_rows = [[r[i] for i in d_order] for r in d_rows_raw]
+        if s_cols != d_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: schema {s_cols} vs {d_cols}")
+            continue
+        err = compare_rows(s_rows, d_rows)
+        if err:
+            failures.append(name)
+            print(f"FAIL  {name}: {err}")
+        else:
+            print(f"ok    {name}  ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match the DuckDB oracle")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Missing-data operators (SURVEY.md §2.3, #26-#32).
+
+ffill/bfill/interpolation are window arithmetic (`last(..., ignorenulls)` /
+`first(..., ignorenulls)`) — no UDFs, one unit-partitioned shuffle shared by
+the whole family. MICE is the one genuinely model-based op and runs inside
+`applyInPandas` (sklearn optional, gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..panel import KEYS, TIME, UNIT, feature_cols
+
+
+def _w_unit() -> Window:
+    return Window.partitionBy(UNIT).orderBy(TIME)
+
+
+def _w_cum() -> Window:
+    return _w_unit().rowsBetween(Window.unboundedPreceding, 0)
+
+
+def _w_fut() -> Window:
+    return _w_unit().rowsBetween(0, Window.unboundedFollowing)
+
+
+def replace_na(df: DataFrame, replacement: float = 0, cols: list[str] | None = None) -> DataFrame:
+    """Replace NULL with a constant (reference `missing.py:18-28`)."""
+    return df.na.fill(float(replacement), subset=cols or feature_cols(df))
+
+
+def list_totally_missing(df: DataFrame) -> list[str]:
+    """Names of all-null feature columns (reference `missing.py:30-38`).
+
+    One aggregate job: count(col)==0 per column (partial+final hash agg)."""
+    feats = feature_cols(df)
+    if not feats:
+        return []
+    row = df.agg(*[F.count(c).alias(c) for c in feats]).collect()[0]
+    return [c for c in feats if row[c] == 0]
+
+
+def fill_groups_with_time_means(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """For units where *every* feature value is missing, fill each (time, col)
+    cell with the cross-unit mean at that time (reference `missing.py:41-55`).
+
+    Two window passes, no join: per-unit total-miss flag (count over unit
+    partition) + per-time means (avg over time partition)."""
+    cols = cols or feature_cols(df)
+    w_unit_all = Window.partitionBy(UNIT)
+    # unit is "completely missing" iff every value of every feature is null
+    n_present = None
+    for c in cols:
+        cnt = F.count(c).over(w_unit_all)
+        n_present = cnt if n_present is None else n_present + cnt
+    out = df.withColumn("__all_missing", n_present == 0)
+    w_time = Window.partitionBy(TIME)
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(F.col("__all_missing"), F.avg(c).over(w_time)).otherwise(F.col(c))
+        )
+    return out.drop("__all_missing")
+
+
+def fill_with_group_and_global_means(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """NULL -> per-unit mean -> global column mean (reference `missing.py:58-69`).
+
+    coalesce over two window averages; the global mean is a whole-frame
+    window (Catalyst plans it as a single-partition agg broadcast — fine,
+    it is one value per column)."""
+    cols = cols or feature_cols(df)
+    w_unit_all = Window.partitionBy(UNIT)
+    w_global = Window.partitionBy()
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.avg(c).over(w_unit_all), F.avg(c).over(w_global))
+        )
+    return out
+
+
+def _ffill(c: str):
+    return F.last(c, ignorenulls=True).over(_w_cum())
+
+
+def _bfill(c: str):
+    return F.first(c, ignorenulls=True).over(_w_fut())
+
+
+def fill(
+    df: DataFrame,
+    limit_direction: str = "both",
+    limit_area: str | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-unit step fill (ffill/bfill) with direction + area limits
+    (reference `missing.py:100-161`).
+
+    Area masks come from the first/last valid time per unit
+    (min/max of time over non-null rows, window over the unit partition):
+      inside  = first_valid <= t <= last_valid
+      outside = t < first_valid or t > last_valid
+    Reference quirk preserved: limit_area='inside' uses ffill unless
+    direction == 'backward' (`missing.py:110-115`); 'outside' bfills the
+    leading edge and ffills the trailing edge regardless of direction
+    (`missing.py:116-121`).
+    """
+    cols = cols or feature_cols(df)
+    out = df
+    w_unit_all = Window.partitionBy(UNIT)
+    for c in cols:
+        valid_t = F.when(F.col(c).isNotNull(), F.col(TIME))
+        first_valid = F.min(valid_t).over(w_unit_all)
+        last_valid = F.max(valid_t).over(w_unit_all)
+        t = F.col(TIME)
+        if limit_area == "inside":
+            filled = _bfill(c) if limit_direction == "backward" else _ffill(c)
+            expr = F.when(
+                F.col(c).isNull() & (t >= first_valid) & (t <= last_valid), filled
+            ).otherwise(F.col(c))
+        elif limit_area == "outside":
+            expr = (
+                F.when(F.col(c).isNull() & (t < first_valid), _bfill(c))
+                .when(F.col(c).isNull() & (t > last_valid), _ffill(c))
+                .otherwise(F.col(c))
+            )
+        elif limit_direction == "forward":
+            expr = F.coalesce(F.col(c), _ffill(c))
+        elif limit_direction == "backward":
+            expr = F.coalesce(F.col(c), _bfill(c))
+        else:  # both: ffill then bfill
+            expr = F.coalesce(F.col(c), _ffill(c), _bfill(c))
+        out = out.withColumn(c, expr)
+    return out
+
+
+def extrapolate(
+    df: DataFrame,
+    limit_direction: str = "both",
+    limit_area: str | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-unit linear interpolation/extrapolation over NULL runs
+    (reference `missing.py:72-98`, pandas ``DataFrame.interpolate``).
+
+    Pure window arithmetic (no applyInPandas): previous/next valid value and
+    time via ignorenulls window first/last, then a linear blend by time
+    distance. pandas `method='linear'` endpoint behavior: out-of-range NaNs
+    take the nearest valid value (no slope extrapolation); direction/area
+    limits restrict which NaNs may be filled.
+    """
+    cols = cols or feature_cols(df)
+    out = df
+    w_unit_all = Window.partitionBy(UNIT)
+    for c in cols:
+        valid_t = F.when(F.col(c).isNotNull(), F.col(TIME))
+        first_valid = F.min(valid_t).over(w_unit_all)
+        last_valid = F.max(valid_t).over(w_unit_all)
+        t = F.col(TIME)
+        prev_v = F.last(c, ignorenulls=True).over(_w_cum())
+        next_v = F.first(c, ignorenulls=True).over(_w_fut())
+        prev_t = F.max(valid_t).over(_w_cum())
+        next_t = F.min(valid_t).over(_w_fut())
+        interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        inside = (t > first_valid) & (t < last_valid)
+        leading = t < first_valid
+        trailing = t > last_valid
+        # which null regions are fillable under direction/area
+        if limit_area == "inside":
+            fillable_lead, fillable_trail, fillable_in = F.lit(False), F.lit(False), F.lit(True)
+        elif limit_area == "outside":
+            fillable_lead, fillable_trail, fillable_in = F.lit(True), F.lit(True), F.lit(False)
+        else:
+            fillable_lead, fillable_trail, fillable_in = F.lit(True), F.lit(True), F.lit(True)
+        if limit_direction == "forward":
+            fillable_lead = F.lit(False)
+        elif limit_direction == "backward":
+            fillable_trail = F.lit(False)
+        expr = (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(inside & fillable_in, interp)
+            .when(leading & fillable_lead, next_v)
+            .when(trailing & fillable_trail, prev_v)
+            .otherwise(F.col(c))
+        )
+        out = out.withColumn(c, expr)
+    return out
+
+
+def impute_mice(
+    df: DataFrame,
+    n_imputations: int = 5,
+    seed: int = 1,
+    max_iter: int = 10,
+    shard_col: str = UNIT,
+    n_shards: int = 32,
+) -> list[DataFrame]:
+    """MICE multiple imputation (reference `missing.py:165-230`):
+    N IterativeImputer draws, imputed values clipped to the observed
+    column min/max (`missing.py:192-207`).
+
+    Spark mapping: the reference fans out draws over multiprocessing.Pool;
+    here each draw is one job and *within* a draw the imputer runs per shard
+    inside `applyInPandas` (shards = hash buckets of unit_id so each pandas
+    chunk is bounded regardless of total scale). sklearn is optional — gated
+    import, NotImplementedError when absent.
+
+    Returns a list of N imputed DataFrames (the reference yields a
+    generator of N frames, `missing.py:212-230`).
+    """
+    try:
+        from sklearn.experimental import enable_iterative_imputer  # noqa: F401
+        from sklearn.impute import IterativeImputer
+        from sklearn.linear_model import BayesianRidge
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "impute_mice needs scikit-learn, which is not in this environment"
+        ) from exc
+
+    import pandas as pd  # noqa: F401
+
+    feats = feature_cols(df)
+    # observed per-column bounds for clipping (one small agg, broadcast into tasks)
+    bounds = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in feats],
+        *[F.max(c).alias(f"__max_{c}") for c in feats],
+    ).collect()[0]
+    lo = {c: bounds[f"__min_{c}"] for c in feats}
+    hi = {c: bounds[f"__max_{c}"] for c in feats}
+    schema = df.schema
+
+    def make_fn(draw_seed: int):
+        def impute_shard(pdf):
+            imp = IterativeImputer(
+                estimator=BayesianRidge(),
+                random_state=draw_seed,
+                max_iter=max_iter,
+                sample_posterior=True,
+            )
+            vals = imp.fit_transform(pdf[feats])
+            res = pdf.copy()
+            res[feats] = vals
+            for c in feats:
+                if lo[c] is not None:
+                    res[c] = res[c].clip(lower=lo[c], upper=hi[c])
+            return res
+
+        return impute_shard
+
+    sharded = df.withColumn("__shard", F.pmod(F.hash(shard_col), F.lit(n_shards)))
+    out = []
+    for i in range(n_imputations):
+        fn = make_fn(seed + i)
+        imputed = (
+            sharded.groupBy("__shard")
+            .applyInPandas(lambda pdf, fn=fn: fn(pdf.drop(columns="__shard")), schema=schema)
+        )
+        out.append(imputed)
+    return out

@@ -1,0 +1,240 @@
+"""Window / time-series operators (SURVEY.md §2.2, #11-#25).
+
+Every operator here is expressed with `pyspark.sql.Window` over
+``partitionBy(unit_id).orderBy(time_id)`` — a single hash-shuffle on
+`unit_id` that Catalyst reuses across chained window ops with the same
+partitioning (one exchange for a whole tlag→cweq→decay chain).
+
+Positional-shift parity (pandas groupby.shift, reference `views_2.py:97`)
+holds on dense panels; use ``panel.densify`` first (the reference hard-asserts
+completeness at `utilities.py:26-27`).
+
+NULL contract: reference drops NaN before counting in `cweq`
+(`views_2.py:211`); here null rows are excluded from the count windows via
+filtering semantics documented per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..panel import KEYS, TIME, UNIT, one_feature
+
+
+def _w_unit() -> Window:
+    return Window.partitionBy(UNIT).orderBy(TIME)
+
+
+def _trailing(n: int) -> Window:
+    return _w_unit().rowsBetween(-(n - 1), 0)
+
+
+def tlag(df: DataFrame, time: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Shift back `time` steps within unit (reference `views_2.py:82-97`).
+
+    Raises on time < 1 like the reference (`views_2.py:92-95`)."""
+    if time < 1:
+        raise ValueError(f"tlag needs time >= 1, got {time}")
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.lag(col, time).over(_w_unit()))
+
+
+def tlead(df: DataFrame, time: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Shift forward `time` steps (reference `views_2.py:100-115`)."""
+    if time < 1:
+        raise ValueError(f"tlead needs time >= 1, got {time}")
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.lead(col, time).over(_w_unit()))
+
+
+def delta(df: DataFrame, time: int = 1, col: str | None = None, out: str | None = None) -> DataFrame:
+    """s(t) - s(t-time) (reference `views_2.py:12-24`)."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.col(col) - F.lag(col, time).over(_w_unit()))
+
+
+def moving_average(df: DataFrame, time: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Trailing mean over `time` rows per unit (reference `views_2.py:117-142`).
+
+    pandas min_periods=0: window shrinks at the series start — Spark row
+    frames do exactly that at partition boundaries."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.avg(col).over(_trailing(time)))
+
+
+def moving_sum(df: DataFrame, time: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Trailing sum over `time` rows (reference `views_2.py:144-169`)."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.sum(col).over(_trailing(time)))
+
+
+def rollmax(df: DataFrame, window: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Trailing max over `window` rows (reference `views_2.py:337-352`)."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.max(col).over(_trailing(window)))
+
+
+def mean(df: DataFrame, col: str | None = None, out: str | None = None) -> DataFrame:
+    """Per-unit all-time mean broadcast to every row (reference `views_2.py:295-306`)."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.avg(col).over(Window.partitionBy(UNIT)))
+
+
+def demean(df: DataFrame, col: str | None = None, out: str | None = None) -> DataFrame:
+    """s - per-unit mean (reference `views_2.py:321-335`)."""
+    col = col or one_feature(df)
+    return df.withColumn(out or col, F.col(col) - F.avg(col).over(Window.partitionBy(UNIT)))
+
+
+def cweq(
+    df: DataFrame,
+    value: float,
+    seed: int | None = None,
+    col: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands consecutive-equality counter (reference `views_2.py:172-242`).
+
+    Running count of consecutive timesteps where s == value within each unit,
+    reset to 0 on break. `seed` pre-loads the count at the panel's first
+    timestep if the condition holds there (`views_2.py:186-208`: first time =
+    global min of the time index).
+
+    Null handling: reference drops NaN rows before counting (`views_2.py:211`)
+    — here null rows are excluded from the output (positional parity).
+
+    Plan shape: filter → two stacked window aggs over the same unit_id
+    partitioning (block id = cumsum of breaks, then cumsum of the count
+    within (unit, block)) → one shuffle total.
+    """
+    col = col or one_feature(df)
+    base = df.filter(F.col(col).isNotNull())
+    mask = (F.col(col) == F.lit(value)).cast("int")
+    w_cum = _w_unit().rowsBetween(Window.unboundedPreceding, 0)
+    blocked = base.withColumn("__block", F.sum(F.lit(1) - mask).over(w_cum))
+    # Global (not per-unit) first timestep, per reference set_seed; computed
+    # as a 1-row broadcast-joined aggregate to keep the plan lazy.
+    if seed:
+        min_t = base.agg(F.min(TIME).alias("__min_t"))
+        blocked = blocked.crossJoin(F.broadcast(min_t))
+        count_col = F.when((F.col(TIME) == F.col("__min_t")) & (mask == 1), F.lit(int(seed))).otherwise(mask)
+    else:
+        count_col = mask
+    w_blk = (
+        Window.partitionBy(UNIT, "__block")
+        .orderBy(TIME)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    res = blocked.withColumn(out or col, F.sum(count_col).over(w_blk).cast("int"))
+    return res.drop("__block", "__min_t") if seed else res.drop("__block")
+
+
+def time_since(
+    df: DataFrame,
+    value: float = 0,
+    seed: int | None = None,
+    col: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """cweq(tlag(s,1), value, seed) (reference `views_2.py:244-277`).
+
+    The lag makes the first timestep null, which cweq's NaN-drop removes — so
+    the output has no rows at the panel's first timestep, matching the
+    reference exactly."""
+    col = col or one_feature(df)
+    lagged = tlag(df, 1, col=col)
+    return cweq(lagged, value=value, seed=seed, col=col, out=out)
+
+
+def onset_possible(df: DataFrame, window: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """1 if no nonzero value in the `window` rows ending at t-1
+    (reference `views_2.py:354-367`): ~rollmax(tlag(s,1).fillna(0), window)."""
+    col = col or one_feature(df)
+    lagged = F.coalesce(F.lag(col, 1).over(_w_unit()), F.lit(0.0))
+    mx = F.max(lagged).over(_trailing(window))
+    return df.withColumn(out or col, (~(mx.cast("boolean"))).cast("int"))
+
+
+def onset(df: DataFrame, window: int, col: str | None = None, out: str | None = None) -> DataFrame:
+    """1 where onset possible AND s != 0 (reference `views_2.py:369-383`)."""
+    col = col or one_feature(df)
+    tmp = onset_possible(df, window, col=col, out="__op")
+    res = tmp.withColumn(
+        out or col,
+        (F.col("__op").cast("boolean") & F.col(col).cast("boolean")).cast("int"),
+    )
+    return res.drop("__op")
+
+
+def tick_time_since(
+    df: DataFrame,
+    event_col: str,
+    ts_col: str,
+    out: str = "tick_time_since",
+) -> DataFrame:
+    """Batch form of the incremental time_since update (reference
+    `views_2.py:385-418`): 0 if event(t-1) else ts(t-1)+1.
+
+    Rows with no t-1 (first timestep per unit) are excluded, mirroring the
+    reference's dropna on both lags. Streaming form:
+    `streaming.tick.tick_time_since_stream` (keyed state per unit)."""
+    ev_lag = F.lag(event_col, 1).over(_w_unit())
+    ts_lag = F.lag(ts_col, 1).over(_w_unit())
+    return (
+        df.withColumn("__ev_lag", ev_lag)
+        .withColumn("__ts_lag", ts_lag)
+        .filter(F.col("__ev_lag").isNotNull() & F.col("__ts_lag").isNotNull())
+        .withColumn(out, F.when(F.col("__ev_lag").cast("boolean"), F.lit(0.0)).otherwise(F.col("__ts_lag") + 1))
+        .drop("__ev_lag", "__ts_lag")
+    )
+
+
+def tlags3d(df: DataFrame, lags: list[int] | None = None) -> DataFrame:
+    """Multi-lag of every feature column at once (reference `tlag3d.py:6-54`).
+
+    One Window shuffle, len(cols) * len(lags) lag expressions evaluated in a
+    single pass. Output columns are suffixed `<col>_tlag_<L>` — the intended
+    semantics; the reference's repack is buggy (undefined `df` at
+    `tlag3d.py:130`, reused names at `tlag3d.py:98`), per SURVEY.md §7 we
+    implement the documented behavior, not the bug.
+
+    Out-of-range lags yield 0.0 (reference leaves tensor zeros,
+    `tlag3d.py:72-75`), not NULL.
+    """
+    lags = lags or [1]
+    feats = [c for c in df.columns if c not in KEYS]
+    w = _w_unit()
+    exprs = [
+        F.coalesce(F.lag(c, int(L)).over(w), F.lit(0.0)).alias(f"{c}_tlag_{int(L)}")
+        for c in feats
+        for L in lags
+    ]
+    return df.select(*KEYS, *exprs)
+
+
+def temporal_entropy(
+    df: DataFrame,
+    window: int,
+    offset: float = 0.0,
+    col: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Shannon entropy over a trailing window (reference `temporal_entropy.py:7-72`).
+
+    H(t) = -Σ_i (x_i/X) log2(x_i/X) over the window, X = window sum, with
+    `offset` added to every value (guards 0/0, `temporal_entropy.py:26-33`).
+
+    Algebraic refactor keeps it pure-Catalyst (no collect_list, no UDF):
+        H = log2(X) - S/X,  S = Σ x_i·log2(x_i)  (x_i := x_i + offset)
+    i.e. two trailing-window sums over per-row expressions — identical math,
+    one shuffle, whole-stage codegen. 0·log2(0) is taken as 0 (the limit).
+    """
+    col = col or one_feature(df)
+    # reference fills NaN with 0 before adding the offset (temporal_entropy.py:40)
+    x = F.coalesce(F.col(col), F.lit(0.0)) + F.lit(float(offset))
+    xlog = F.when(x > 0, x * F.log2(x)).otherwise(F.lit(0.0))
+    w = _trailing(window)
+    X = F.sum(x).over(w)
+    S = F.sum(xlog).over(w)
+    h = F.when(X > 0, F.log2(X) - S / X).otherwise(F.lit(0.0))
+    return df.withColumn(out or col, h)

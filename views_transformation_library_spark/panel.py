@@ -1,0 +1,141 @@
+"""Panel contract: key columns, validation, densification, builders.
+
+The reference's canonical layout is a pandas MultiIndex ``(timevar, groupvar)``
+(`views_2.py:1-7`); tensor ops hard-require a *complete* grid
+(`utilities.py:26-27`). Here the contract is two BIGINT key columns plus
+DOUBLE features, and completeness is an explicit, cheap-to-apply
+densification (cross join of distinct keys) instead of an assertion.
+
+Scale note: ``densify`` produces |T| x |U| rows via a broadcast cross join of
+two *small* key dimensions (each is a distinct-projection of one column — KBs
+even when the fact table is 100 TB), then one shuffle-join back to the data.
+Positional window ops (lag/shift) are only correct on a dense panel, same as
+the reference (SURVEY.md §7 "positional vs value-based lags").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TIME = "time_id"
+UNIT = "unit_id"
+KEYS = [TIME, UNIT]
+
+
+def feature_cols(df: DataFrame) -> list[str]:
+    """Feature columns = all non-key columns (schema discovery mirrors
+    `utilities.py:107-118` which reads features off df.columns)."""
+    return [c for c in df.columns if c not in KEYS]
+
+
+def one_feature(df: DataFrame) -> str:
+    feats = feature_cols(df)
+    if len(feats) != 1:
+        raise ValueError(f"expected exactly one feature column, got {feats}")
+    return feats[0]
+
+
+def validate(df: DataFrame) -> DataFrame:
+    missing = [k for k in KEYS if k not in df.columns]
+    if missing:
+        raise ValueError(f"panel missing key columns {missing}; has {df.columns}")
+    return df
+
+
+def is_complete(df: DataFrame) -> bool:
+    """Completeness check mirroring the reference's tensorisability assertion
+    (`utilities.py:26-27`): row count == n_times * n_units. Triggers a job —
+    use in tests/debug, not in hot paths."""
+    n, nt, nu = (
+        df.count(),
+        df.select(TIME).distinct().count(),
+        df.select(UNIT).distinct().count(),
+    )
+    return n == nt * nu
+
+
+def densify(df: DataFrame, fill: float | None = 0.0) -> DataFrame:
+    """Complete the (time, unit) grid; absent cells get ``fill`` (None -> NULL).
+
+    Distinct-key dimensions are tiny -> broadcast cross join, then a single
+    left join back to the data (one shuffle on the join keys, which Catalyst
+    reuses for any subsequent window partitioned the same way).
+    """
+    validate(df)
+    times = df.select(TIME).distinct()
+    units = df.select(UNIT).distinct()
+    grid = F.broadcast(times).crossJoin(F.broadcast(units))
+    out = grid.join(df, KEYS, "left")
+    if fill is not None:
+        out = out.na.fill(fill, subset=feature_cols(df))
+    return out
+
+
+def panel_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "value",
+    event_type: str | None = None,
+) -> DataFrame:
+    """Build the canonical panel from the driver's ``events`` table.
+
+    time_id = epoch day of ts, unit_id = user_id, value = sum(value).
+    The sum goes through DECIMAL(18,2) so it is exact and independent of
+    partition/accumulation order (event values are 2-decimal; float summation
+    order would otherwise make the DuckDB-oracle hash flaky).
+    """
+    ev = read_events(spark, sf_dir)
+    if event_type is not None:
+        ev = ev.filter(F.col("event_type") == event_type)
+    agg = ev.groupBy(
+        epoch_day(ev).alias(TIME),
+        F.col("user_id").alias(UNIT),
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("value")
+    )
+    return densify(agg, fill=0.0)
+
+
+NANOS_PER_DAY = 86_400_000_000_000
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; flip the legacy nanosAsLong conf (ts -> BIGINT nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def epoch_day(ev: DataFrame, ts_col: str = "ts"):
+    """Epoch-day key from ts, exact for both physical types.
+
+    Integer `DIV` (not float division: nanos exceed double's 53-bit mantissa)
+    when ts is nanos-long; datediff when it is a real timestamp."""
+    dtype = dict(ev.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{ts_col} DIV {NANOS_PER_DAY}").cast("long")
+    return F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long")
+
+
+# DuckDB-side mirror of panel_from_events, used as a CTE prefix by oracle_sql().
+PANEL_SQL = """
+panel_agg AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS time_id,
+         user_id AS unit_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM events {where}
+  GROUP BY 1, 2
+),
+panel AS (
+  SELECT g.time_id, g.unit_id, coalesce(a.value, 0.0) AS value
+  FROM (SELECT t.time_id, u.unit_id
+        FROM (SELECT DISTINCT time_id FROM panel_agg) t
+        CROSS JOIN (SELECT DISTINCT unit_id FROM panel_agg) u) g
+  LEFT JOIN panel_agg a USING (time_id, unit_id)
+)
+"""
+
+
+def panel_sql(event_type: str | None = None) -> str:
+    where = f"WHERE event_type = '{event_type}'" if event_type else ""
+    return PANEL_SQL.format(where=where)

@@ -1,0 +1,72 @@
+"""Name -> callable registry and spec-driven composition (SURVEY.md §2.7).
+
+The reference's only "query language" is an ordered JSON list of
+``{"type": <name>, "args": [...]}`` steps applied to a panel variable
+(`README.md:27-29` of the reference). ``transform`` folds such a spec over a
+DataFrame left-to-right; the whole chain stays one lazy Catalyst plan, so a
+`tlag -> cweq -> decay` spec compiles into a single stage pipeline with one
+unit_id shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from .operators import missing, scalar, temporal
+
+REGISTRY: dict[str, Callable[..., DataFrame]] = {
+    # scalar (§2.1)
+    "identity": scalar.identity,
+    "ln": scalar.ln,
+    "decay": scalar.decay,
+    "greater_or_equal": scalar.greater_or_equal,
+    "smaller_or_equal": scalar.smaller_or_equal,
+    "in_range": scalar.in_range,
+    "add_column": scalar.add_column,
+    "subtract_column": scalar.subtract_column,
+    "multiply_column": scalar.multiply_column,
+    "divide_column": scalar.divide_column,
+    # temporal (§2.2)
+    "tlag": temporal.tlag,
+    "tlead": temporal.tlead,
+    "delta": temporal.delta,
+    "moving_average": temporal.moving_average,
+    "moving_sum": temporal.moving_sum,
+    "rollmax": temporal.rollmax,
+    "mean": temporal.mean,
+    "demean": temporal.demean,
+    "cweq": temporal.cweq,
+    "time_since": temporal.time_since,
+    "onset_possible": temporal.onset_possible,
+    "onset": temporal.onset,
+    "tlags3d": temporal.tlags3d,
+    "temporal_entropy": temporal.temporal_entropy,
+    # missing (§2.3)
+    "replace_na": missing.replace_na,
+    "fill": missing.fill,
+    "extrapolate": missing.extrapolate,
+    "fill_with_group_and_global_means": missing.fill_with_group_and_global_means,
+    "fill_groups_with_time_means": missing.fill_groups_with_time_means,
+}
+
+
+def register(name: str, fn: Callable[..., DataFrame]) -> None:
+    REGISTRY[name] = fn
+
+
+def transform(df: DataFrame, spec: list[dict]) -> DataFrame:
+    """Apply an ordered list of ``{"type": name, "args": [...]}`` steps.
+
+    Optional per-step ``"kwargs"`` dict passes named arguments (e.g. a
+    feature column). Unknown names raise with the available inventory.
+    """
+    out = df
+    for step in spec:
+        name = step["type"]
+        fn = REGISTRY.get(name)
+        if fn is None:
+            raise KeyError(f"unknown transform {name!r}; available: {sorted(REGISTRY)}")
+        out = fn(out, *step.get("args", []), **step.get("kwargs", {}))
+    return out

@@ -1,0 +1,5 @@
+"""Source readers. The reference reads nothing from disk (data arrives from
+the viewser/ingester services, SURVEY.md §1.4); this engine's canonical
+source is Parquet with pushdown-friendly declarative reads."""
+
+from .tables import read_table, read_tables  # noqa: F401
