@@ -21,7 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from views_transformation_library_spark import panel as P
-from views_transformation_library_spark.operators import missing, scalar, temporal
+from views_transformation_library_spark.operators import (
+    fourier,
+    missing,
+    scalar,
+    spacetime,
+    spatial_graph,
+    spatial_grid,
+    temporal,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -172,11 +180,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         missing.fill_groups_with_time_means(_sparse_null_panel(s, d))
     )
 
+    # --- spatial (§2.4) — unit grid with stride 16 (lon = user % 16)
+    q["splag4d"] = lambda s, d: _r6(
+        spatial_grid.splag4d(_panel(s, d), 1, 1, 0, 0, stride=GRID_STRIDE)
+    )
+    q["splag4d_weighted"] = lambda s, d: _r6(
+        spatial_grid.splag4d(_panel(s, d), 1, 2, 2, 1, stride=GRID_STRIDE)
+    )
+    q["splag_country"] = lambda s, d: _splag_country_query(s, d, 1, 1, 0)
+    q["splag_country_ring2"] = lambda s, d: _splag_country_query(s, d, 1, 2, 0)
+    q["splag_country_weighted"] = lambda s, d: _splag_country_query(s, d, 1, 2, 1)
+    q["spacetime_distances"] = lambda s, d: _r6(
+        spacetime.spacetime_distances(_event_panel(s, d), "distances", k=2, nu=1.0, stride=GRID_STRIDE)
+    )
+    q["spacetime_weights"] = lambda s, d: _r6(
+        spacetime.spacetime_distances(_event_panel(s, d), "weights", k=2, nu=1.0, power=1.0, stride=GRID_STRIDE)
+    )
+    q["fourier_lag"] = lambda s, d: _r6(
+        fourier.fourier_lag(_panel(s, d), stride=GRID_STRIDE)
+    )
+
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
         scalar.decay(temporal.time_since(_panel(s, d), value=0), halflife=12.0)
     )
     return q
+
+
+GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
+EVENT_THRESHOLD = 500.0  # ~p99 of panel values -> sparse event set
+
+
+def _event_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel with sub-threshold values zeroed: sparse 'event' feature for
+    spacetime distances (reference events are sparse conflict cells)."""
+    pn = _panel(spark, sf_dir)
+    return pn.withColumn(
+        "value",
+        F.when(F.col("value") >= EVENT_THRESHOLD, F.col("value")).otherwise(F.lit(0.0)),
+    )
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic time-varying adjacency over the panel's units: a ~ b iff
+    |a-b| == 1 (chain graph), present for every panel month. Stands in for
+    the reference's country_country_month_expanded table (symmetric, no
+    self-edges, utilities.py:305-307)."""
+    pn = _panel(spark, sf_dir)
+    units = pn.select(F.col(P.UNIT).alias("a_id")).distinct()
+    months = pn.select(F.col(P.TIME).alias("month_id")).distinct()
+    fwd = units.select("a_id", (F.col("a_id") + 1).alias("b_id"))
+    bwd = units.select("a_id", (F.col("a_id") - 1).alias("b_id"))
+    ok = units.select(F.col("a_id").alias("b_id"))
+    edges = fwd.union(bwd).join(ok, "b_id")
+    return months.crossJoin(edges).select("month_id", "a_id", "b_id")
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic centroids on a line: country_id -> (lat=id, lon=0), so
+    centroid distance == |a - b|."""
+    pn = _panel(spark, sf_dir)
+    return pn.select(F.col(P.UNIT).alias("country_id")).distinct().select(
+        "country_id",
+        F.col("country_id").cast("double").alias("lat"),
+        F.lit(0.0).alias("lon"),
+    )
+
+
+def _splag_country_query(
+    spark: SparkSession, sf_dir: str, inner: int, width: int, power: int
+) -> DataFrame:
+    pn = _panel(spark, sf_dir)
+    edges = _chain_edges(spark, sf_dir)
+    cent = _centroids(spark, sf_dir) if power else None
+    return _r6(
+        spatial_graph.splag_country(
+            pn, edges, cent, kernel_inner=inner, kernel_width=width, kernel_power=power
+        )
+    )
 
 
 def _tick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +318,13 @@ sparse AS (
   FROM panel
 )
 """
+
+def _kernel_values(inner: int, width: int, power: float, norm: int) -> str:
+    """Kernel offsets as a SQL VALUES list (full-precision float repr)."""
+    from views_transformation_library_spark.operators.spatial_grid import kernel_offsets
+
+    return ", ".join(f"({dx}, {dy}, {w!r})" for dx, dy, w in kernel_offsets(inner, width, power, norm))
+
 
 # windows used repeatedly
 W_UNIT = "PARTITION BY unit_id ORDER BY time_id"
@@ -482,6 +570,90 @@ SELECT time_id, unit_id,
                   THEN avg(value) OVER (PARTITION BY time_id)
                   ELSE value END, 6) AS value
 FROM sparse
+"""
+
+    # --- spatial family
+    o["splag4d"] = PSQL + f""",
+cells AS (
+  SELECT time_id, unit_id, unit_id % {GRID_STRIDE} AS lon, unit_id // {GRID_STRIDE} AS lat, value
+  FROM panel
+),
+kernel(dx, dy, w) AS (VALUES {_kernel_values(1, 1, 0, 0)}),
+contrib AS (
+  SELECT c.time_id AS ct, c.lon - k.dx AS tlon, c.lat - k.dy AS tlat,
+         sum(c.value * k.w) AS s
+  FROM cells c CROSS JOIN kernel k GROUP BY 1, 2, 3
+)
+SELECT t.time_id, t.unit_id, round(coalesce(co.s, 0.0), 6) AS value
+FROM cells t LEFT JOIN contrib co
+  ON t.time_id = co.ct AND t.lon = co.tlon AND t.lat = co.tlat
+"""
+    o["splag4d_weighted"] = PSQL + f""",
+cells AS (
+  SELECT time_id, unit_id, unit_id % {GRID_STRIDE} AS lon, unit_id // {GRID_STRIDE} AS lat, value
+  FROM panel
+),
+kernel(dx, dy, w) AS (VALUES {_kernel_values(1, 2, 2, 1)}),
+contrib AS (
+  SELECT c.time_id AS ct, c.lon - k.dx AS tlon, c.lat - k.dy AS tlat,
+         sum(c.value * k.w) AS s
+  FROM cells c CROSS JOIN kernel k GROUP BY 1, 2, 3
+)
+SELECT t.time_id, t.unit_id, round(coalesce(co.s, 0.0), 6) AS value
+FROM cells t LEFT JOIN contrib co
+  ON t.time_id = co.ct AND t.lon = co.tlon AND t.lat = co.tlat
+"""
+    o["splag_country"] = PSQL + """
+SELECT p.time_id, p.unit_id, round(coalesce(sum(v.value), 0.0), 6) AS value
+FROM panel p
+LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) = 1
+GROUP BY 1, 2
+"""
+    o["splag_country_ring2"] = PSQL + """
+SELECT p.time_id, p.unit_id, round(coalesce(sum(v.value), 0.0), 6) AS value
+FROM panel p
+LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) IN (1, 2)
+GROUP BY 1, 2
+"""
+    o["splag_country_weighted"] = PSQL + """
+SELECT p.time_id, p.unit_id,
+       round(coalesce(sum(v.value * abs(v.unit_id - p.unit_id)), 0.0), 6) AS value
+FROM panel p
+LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) IN (1, 2)
+GROUP BY 1, 2
+"""
+    st_cells = f""",
+cells AS (
+  SELECT time_id, unit_id, unit_id % {GRID_STRIDE} AS lon, unit_id // {GRID_STRIDE} AS lat,
+         CASE WHEN value >= {EVENT_THRESHOLD} THEN value ELSE 0.0 END AS v
+  FROM panel
+),
+ev AS (
+  SELECT time_id AS te, unit_id AS ue, lon AS elon, lat AS elat, v AS sz
+  FROM cells WHERE v > 0
+),
+ranked AS (
+  SELECT c.time_id, c.unit_id, e.sz,
+         sqrt(pow((c.lon - e.elon) * 0.5, 2) + pow((c.lat - e.elat) * 0.5, 2)
+              + pow(1.0 * (c.time_id - e.te), 2)) AS dist,
+         row_number() OVER (
+           PARTITION BY c.time_id, c.unit_id
+           ORDER BY sqrt(pow((c.lon - e.elon) * 0.5, 2) + pow((c.lat - e.elat) * 0.5, 2)
+                         + pow(1.0 * (c.time_id - e.te), 2)) ASC NULLS LAST,
+                    e.te, e.ue) AS rn
+  FROM cells c LEFT JOIN ev e ON e.te <= c.time_id
+)
+"""
+    o["spacetime_distances"] = PSQL + st_cells + """
+SELECT time_id, unit_id, round(coalesce(avg(dist), 999.0), 6) AS value
+FROM ranked WHERE rn <= 2 OR dist IS NULL
+GROUP BY 1, 2
+"""
+    o["spacetime_weights"] = PSQL + st_cells + """
+SELECT time_id, unit_id,
+       round(coalesce(avg(CASE WHEN dist = 0.0 THEN sz ELSE sz / dist END), 999.0), 6) AS value
+FROM ranked WHERE rn <= 2 OR dist IS NULL
+GROUP BY 1, 2
 """
 
     # flagship

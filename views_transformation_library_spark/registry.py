@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .operators import missing, scalar, temporal
+from .operators import fourier, missing, scalar, spacetime, spatial_graph, spatial_grid, temporal
 
 REGISTRY: dict[str, Callable[..., DataFrame]] = {
     # scalar (§2.1)
@@ -43,6 +43,11 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "onset": temporal.onset,
     "tlags3d": temporal.tlags3d,
     "temporal_entropy": temporal.temporal_entropy,
+    # spatial (§2.4)
+    "splag4d": spatial_grid.splag4d,
+    "splag_country": spatial_graph.splag_country,
+    "spacetime_distances": spacetime.spacetime_distances,
+    "fourier_lag": fourier.fourier_lag,
     # missing (§2.3)
     "replace_na": missing.replace_na,
     "fill": missing.fill,
