@@ -29,6 +29,7 @@ from views_transformation_library_spark.operators import (
     spatial_graph,
     spatial_grid,
     temporal,
+    trees,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -199,6 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fourier_lag"] = lambda s, d: _r6(
         fourier.fourier_lag(_panel(s, d), stride=GRID_STRIDE)
     )
+    q["temporal_tree_lag"] = lambda s, d: _r6(
+        trees.temporal_tree_lag(_panel(s, d), 0.7, "oneovert")
+    )
+    q["temporal_tree_expon"] = lambda s, d: _r6(
+        trees.temporal_tree_lag(_panel(s, d), 0.7, "expon", sigma=8.0)
+    )
+    q["spatial_tree_lag"] = lambda s, d: _r6(
+        trees.spatial_tree_lag(_panel(s, d), 0.9, 0, stride=GRID_STRIDE)
+    )
+    q["grid_lag"] = lambda s, d: _r6(
+        trees.grid_lag(_panel(s, d), GRID_LAG_THRESHOLD, 0, stride=GRID_STRIDE)
+    )
 
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
@@ -318,6 +331,160 @@ sparse AS (
   FROM panel
 )
 """
+
+GRID_LAG_THRESHOLD = 5000.0
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's documented oracle SF
+
+
+def _oracle_keys() -> tuple[list[int], list[int]]:
+    """Distinct (times, units) of the oracle SF's panel, via DuckDB.
+
+    Tree-lag interaction tables depend only on the key axes; the oracle SQL
+    inlines them as VALUES, so oracle generation needs the sf0.01 key sets."""
+    import duckdb
+
+    con = duckdb.connect()
+    times = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT "
+            f"FROM read_parquet('{_ORACLE_SF_DIR}/events.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    units = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT user_id FROM read_parquet('{_ORACLE_SF_DIR}/events.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    return times, units
+
+
+def _temporal_tree_oracle(thetacrit: float, fn: str, sigma: float) -> str:
+    times, _ = _oracle_keys()
+    geo = trees.TemporalTreeGeometry(times)
+    inter = geo.interactions(thetacrit, [fn], sigma)
+    vals = ", ".join(f"({t}, {s}, {e}, {w!r})" for (t, s, e, _, w) in inter)
+    return PSQL + f""",
+cum AS (
+  SELECT time_id, unit_id,
+         sum(value) OVER (PARTITION BY unit_id ORDER BY time_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+  FROM panel
+),
+inter(tnow, s, e, w) AS (VALUES {vals}),
+node_sums AS (
+  SELECT u.unit_id, n.s, n.e,
+         coalesce(ce.cumv, 0.0) - coalesce(cs.cumv, 0.0) AS nval
+  FROM (SELECT DISTINCT s, e FROM inter) n
+  CROSS JOIN (SELECT DISTINCT unit_id FROM panel) u
+  LEFT JOIN cum ce ON ce.unit_id = u.unit_id AND ce.time_id = n.e - 1
+  LEFT JOIN cum cs ON cs.unit_id = u.unit_id AND cs.time_id = n.s - 1
+),
+agg AS (
+  SELECT i.tnow AS time_id, ns.unit_id, sum(ns.nval * i.w) AS v
+  FROM inter i JOIN node_sums ns ON ns.s = i.s AND ns.e = i.e
+  GROUP BY 1, 2
+)
+SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
+FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
+"""
+
+
+def _spatial_tree_oracle(thetacrit: float, dopt: int) -> str:
+    _, units = _oracle_keys()
+    geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
+    inter = geo.interactions(thetacrit, dopt)
+    vals = ", ".join(f"({p}, {lvl}, {bx}, {by}, {w!r})" for (p, lvl, bx, by, w) in inter)
+    return PSQL + f""",
+cells AS (
+  SELECT time_id, unit_id,
+         unit_id % {GRID_STRIDE} + {geo.lon_shift} AS ex,
+         unit_id // {GRID_STRIDE} + {geo.lat_shift} AS ey,
+         value
+  FROM panel
+),
+inter(pgid, lvl, bx, by, w) AS (VALUES {vals}),
+agg AS (
+  SELECT c.time_id, i.pgid AS unit_id, sum(c.value * i.w) AS v
+  FROM inter i
+  JOIN cells c ON (c.ex >> ({geo.power} - i.lvl)) = i.bx
+              AND (c.ey >> ({geo.power} - i.lvl)) = i.by
+  GROUP BY 1, 2
+)
+SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
+FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
+"""
+
+
+def _grid_lag_oracle(threshold: float, dopt: int) -> str:
+    _, units = _oracle_keys()
+    geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
+    p = geo.power
+    dfun = {
+        0: "1.0 / ln(1.0 + {d})",
+        1: "1.0 / {d}",
+        2: "1.0 / ({d} * {d})",
+    }[dopt]
+    ctes = [
+        f"""
+cells AS (
+  SELECT time_id, unit_id,
+         unit_id % {GRID_STRIDE} + {geo.lon_shift} AS ex,
+         unit_id // {GRID_STRIDE} + {geo.lat_shift} AS ey,
+         value
+  FROM panel
+)"""
+    ]
+    for lvl in range(p + 1):
+        ctes.append(
+            f"""
+lvl{lvl} AS (
+  SELECT time_id, ex >> {p - lvl} AS bx, ey >> {p - lvl} AS by, sum(value) AS val
+  FROM cells GROUP BY 1, 2, 3
+)"""
+        )
+    ctes.append("ok0 AS (SELECT time_id, bx, by FROM lvl0)")
+    mesh_selects = []
+    for lvl in range(p + 1):
+        leaf = "TRUE" if lvl == p else f"val <= {threshold!r}"
+        mesh_selects.append(
+            f"SELECT time_id, {lvl} AS lvl, bx, by, val FROM lvl{lvl} "
+            f"JOIN ok{lvl} USING (time_id, bx, by) WHERE {leaf}"
+        )
+        if lvl < p:
+            ctes.append(
+                f"""
+ok{lvl + 1} AS (
+  SELECT l.time_id, l.bx, l.by FROM lvl{lvl + 1} l
+  JOIN (SELECT time_id, bx, by FROM lvl{lvl} JOIN ok{lvl} USING (time_id, bx, by)
+        WHERE val > {threshold!r}) o
+    ON o.time_id = l.time_id AND (l.bx >> 1) = o.bx AND (l.by >> 1) = o.by
+)"""
+            )
+    ctes.append("mesh AS (" + " UNION ALL ".join(mesh_selects) + ")")
+    ctes.append(
+        f"""
+meshc AS (
+  SELECT time_id AS mt, lvl, bx, by, val,
+         bx * ({geo.ncells} >> lvl) + ({geo.ncells} >> lvl) / 2.0 AS cx,
+         by * ({geo.ncells} >> lvl) + ({geo.ncells} >> lvl) / 2.0 AS cy
+  FROM mesh
+)"""
+    )
+    d = "sqrt(pow(t.ex + 0.5 - m.cx, 2) + pow(t.ey + 0.5 - m.cy, 2))"
+    w = dfun.format(d=d)
+    return PSQL + "," + ",".join(ctes) + f""",
+agg AS (
+  SELECT t.time_id, t.unit_id, sum(m.val * {w}) AS v
+  FROM cells t JOIN meshc m ON m.mt = t.time_id
+  WHERE NOT (m.lvl = {p} AND m.bx = t.ex AND m.by = t.ey)
+  GROUP BY 1, 2
+)
+SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
+FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
+"""
+
 
 def _kernel_values(inner: int, width: int, power: float, norm: int) -> str:
     """Kernel offsets as a SQL VALUES list (full-precision float repr)."""
@@ -655,6 +822,12 @@ SELECT time_id, unit_id,
 FROM ranked WHERE rn <= 2 OR dist IS NULL
 GROUP BY 1, 2
 """
+
+    # --- tree lags (interaction tables inlined as VALUES)
+    o["temporal_tree_lag"] = _temporal_tree_oracle(0.7, "oneovert", 1.0)
+    o["temporal_tree_expon"] = _temporal_tree_oracle(0.7, "expon", 8.0)
+    o["spatial_tree_lag"] = _spatial_tree_oracle(0.9, 0)
+    o["grid_lag"] = _grid_lag_oracle(GRID_LAG_THRESHOLD, 0)
 
     # flagship
     o["flagship_decay_time_since"] = PSQL + """,

@@ -1,0 +1,58 @@
+"""Streaming tick_time_since: drive a real Structured Streaming query
+(parquet source -> stateful op -> memory sink) and check counter semantics
+across micro-batches (state persistence)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from views_transformation_library_spark.streaming.tick import tick_time_since_stream
+
+
+def test_tick_stream_counts_and_resets(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: unit 1 events at t=1..3 (event at t=2); unit 2 all quiet
+    pd.DataFrame(
+        {"time_id": [1, 2, 3, 1, 2, 3], "unit_id": [1, 1, 1, 2, 2, 2],
+         "event": [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]}
+    ).to_parquet(src + "/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("time_id long, unit_id long, event double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = tick_time_since_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tick_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives later: counter must continue from batch-1 state
+        pd.DataFrame(
+            {"time_id": [4, 5], "unit_id": [1, 1], "event": [0.0, 0.0]}
+        ).to_parquet(src + "/b2.parquet")
+        q.processAllAvailable()
+        rows = {
+            (r["unit_id"], r["time_id"]): r["time_since"]
+            for r in spark.sql("SELECT * FROM tick_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # unit 1: t1 start 0; t2: prev 0 -> 1; t3: prev event -> 0;
+    # t4 (new batch, state carried): prev 0-event -> 1; t5 -> 2
+    assert rows[(1, 1)] == 0
+    assert rows[(1, 2)] == 1
+    assert rows[(1, 3)] == 0
+    assert rows[(1, 4)] == 1
+    assert rows[(1, 5)] == 2
+    # unit 2: never an event -> monotone counter
+    assert rows[(2, 1)] == 0 and rows[(2, 2)] == 1 and rows[(2, 3)] == 2

@@ -19,31 +19,15 @@ smallest 2^p square covering the pgid extent.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..panel import TIME, UNIT, feature_cols
-from .spatial_grid import PG_STRIDE
+from .spatial_grid import PG_STRIDE, embed_coords as _embedding
 
 SMALL = 1e-3  # zero-frequency clamp, fourier_lag.py:93-96
-
-
-def _embedding(lons: np.ndarray, lats: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-    """Centre cells in the smallest 2^p square (utilities.py:145-216)."""
-    lon0, lat0 = lons.min(), lats.min()
-    lons = lons - lon0
-    lats = lats - lat0
-    longrange, latrange = lons.max(), lats.max()
-    maxsize = max(longrange, latrange, 1)
-    power = 1 + int(math.log2(maxsize))
-    ncells = 2**power
-    nudge_lon = int((ncells - lons.max()) / 2)
-    nudge_lat = int((ncells - lats.max()) / 2)
-    return lons + nudge_lon, lats + nudge_lat, ncells
 
 
 def _solve_slice(grid: np.ndarray) -> np.ndarray:

@@ -24,6 +24,25 @@ from ..panel import KEYS, TIME, UNIT, feature_cols
 PG_STRIDE = 720  # global 0.5-degree grid stride (reference utilities.py:158)
 
 
+def embed_coords(lons, lats):
+    """Centre (lon, lat) cells in the smallest 2^p square covering their
+    extent — the reference's canonical grid embedding (`utilities.py:145-216`):
+    shift to zero, find ncells = 2^(1+floor(log2(max_range))), nudge to centre.
+    Returns (embedded_lons, embedded_lats, ncells). numpy arrays in/out."""
+    import numpy as np
+
+    lons = np.asarray(lons)
+    lats = np.asarray(lats)
+    lons = lons - lons.min()
+    lats = lats - lats.min()
+    maxsize = max(int(lons.max()), int(lats.max()), 1)
+    power = 1 + int(math.log2(maxsize))
+    ncells = 2**power
+    nudge_lon = int((ncells - lons.max()) / 2)
+    nudge_lat = int((ncells - lats.max()) / 2)
+    return lons + nudge_lon, lats + nudge_lat, ncells
+
+
 def with_grid_coords(df: DataFrame, stride: int = PG_STRIDE) -> DataFrame:
     """Derive lon/lat from the unit key: lon = pgid % stride, lat = pgid //
     stride (reference `utilities.py:167-168`). Pure column arithmetic."""

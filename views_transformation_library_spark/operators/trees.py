@@ -1,0 +1,522 @@
+"""Hierarchical tree lags (SURVEY.md §2.4 #35, #36, #39; reference
+temporal_tree.py / spatial_tree.py).
+
+Design (SURVEY.md §4): the reference's tree walks depend only on *geometry*
+(the time axis for the temporal tree, the pgid set for the spatial tree) —
+never on feature values — so the interaction lists collapse to tiny static
+(target, node, weight) tables computed once in driver Python. The heavy data
+path stays set-based:
+
+  * temporal tree: node values are interval sums over time, obtained from a
+    single per-unit cumulative-sum window via cum(end-1) - cum(start-1) —
+    one shuffle, no range join.
+  * spatial tree: node values are per-level box aggregates —
+    groupBy(time, x >> shift, y >> shift) per tree level (≤ p ≈ 10 levels).
+  * grid lag (adaptive mesh): per-time mesh selection is a top-down
+    level-by-level join over the same box aggregates; the weighted sum is a
+    time-equi-join of cells × mesh (the mesh is what aggregation made small).
+
+Driver-side collections are limited to the distinct time axis and the
+distinct unit/pgid set — both bounded (times: thousands; pgids: ≤ 259,200 on
+the reference's global 0.5° grid) regardless of fact-table size.
+
+The tree-build/walk/weight routines are fresh implementations of the
+documented algorithms (Barnes-Hut opening criterion theta = size/distance
+vs thetacrit; binary time tree with past/future splits), with reference
+behaviors cited inline. Reference bugs NOT replicated (SURVEY.md §7):
+`type(x) != 'list'` always-true check (temporal_tree.py:33) and colliding
+output column names when multiple weight functions are requested.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..panel import KEYS, TIME, UNIT, feature_cols
+from .spatial_grid import PG_STRIDE, embed_coords
+
+# ---------------------------------------------------------------------------
+# temporal tree geometry (reference temporal_tree.py:110-352)
+
+
+@dataclass
+class _TNode:
+    nodeid: int
+    level: int
+    start: int
+    end: int
+    parent: int
+    sibling: int | None
+    predecessor: int | None
+    ispast: bool
+    isleaf: bool
+    children: list[int] = field(default_factory=list)
+
+
+class TemporalTreeGeometry:
+    """Binary past/future time tree over a dense integer time axis.
+
+    Mirrors the reference build (`temporal_tree.py:110-216`): times padded
+    at the *front* to the next power of two; nodes split at the midpoint
+    into a past child [start, mid) and future child [mid, end); predecessors
+    found by climbing to the first future-child ancestor and descending its
+    past sibling's future spine. A node with start <= tstart gets
+    predecessor -1 (reference `temporal_tree.py:202`, including its quirk of
+    cutting traversal at tstart rather than the padded origin).
+    """
+
+    def __init__(self, times: list[int]):
+        times = sorted(times)
+        self.times = times
+        tstart, tend = times[0], times[-1]
+        nseq_initial = tend - tstart
+        if nseq_initial < 1:
+            raise ValueError("temporal tree needs at least two timesteps")
+        nseq = int(2 ** (1 + int(math.log2(nseq_initial))))
+        self.npad = nseq - nseq_initial
+        self.tstart, self.tend = tstart, tend
+        self.nodes: list[_TNode] = []
+        root = _TNode(0, 0, tstart - self.npad, tend, -1, -1, -1, False, False)
+        self.nodes.append(root)
+        todo = [root]
+        while todo:
+            sp = todo.pop()
+            if sp.end - sp.start <= 1:
+                continue
+            # midpoint convention from temporal_tree.py:156-160
+            mid = (sp.start + sp.end + 1) // 2 if sp.start >= 0 else (sp.start + sp.end) // 2
+            isleaf = not (mid - sp.start > 1)
+            past = _TNode(len(self.nodes), sp.level + 1, sp.start, mid, sp.nodeid, None, None, True, isleaf)
+            self.nodes.append(past)
+            todo.append(past)
+            fut = _TNode(len(self.nodes), sp.level + 1, mid, sp.end, sp.nodeid, None, None, False, isleaf)
+            self.nodes.append(fut)
+            todo.append(fut)
+            past.sibling = fut.nodeid
+            fut.sibling = past.nodeid
+            fut.predecessor = past.nodeid
+            sp.children = [past.nodeid, fut.nodeid]
+        # predecessor assignment (temporal_tree.py:199-216)
+        for node in self.nodes:
+            while node.predecessor is None:
+                if node.start <= tstart:
+                    node.predecessor = -1
+                else:
+                    climb = self.nodes[node.parent]
+                    while climb.ispast:
+                        climb = self.nodes[climb.parent]
+                    descend = self.nodes[climb.sibling]
+                    while descend.level != node.level:
+                        descend = self.nodes[descend.children[1]]
+                    node.predecessor = descend.nodeid
+        self._leaf_by_start = {n.start: n for n in self.nodes if n.isleaf}
+
+    def _split_node(self, node: _TNode, out: list[int], tnow: int, thetacrit: float) -> None:
+        """Barnes-Hut acceptance (temporal_tree.py:327-352): open while
+        theta = width/age >= thetacrit, accept leaves unconditionally."""
+        check = [node]
+        while check:
+            n = check.pop(0)
+            mid = (n.start + n.end) / 2.0
+            age = tnow - mid
+            theta = (n.end - n.start) / age
+            if theta < thetacrit:
+                out.append(n.nodeid)
+            elif n.children:
+                check.append(self.nodes[n.children[0]])
+                check.append(self.nodes[n.children[1]])
+            else:
+                out.append(n.nodeid)
+
+    def walk(self, tnow: int, thetacrit: float) -> list[int]:
+        """Interaction list for tnow (temporal_tree.py:273-325). The last
+        timestep has no leaf (the reference tree spans [tstart-npad, tend)),
+        so its list is empty — the reference emits zeros there."""
+        leaf = self._leaf_by_start.get(tnow)
+        if leaf is None:
+            return []
+        out = [leaf.nodeid]
+        if leaf.predecessor == -1:
+            return out
+        node = leaf
+        while True:
+            if node.ispast:
+                if node.predecessor == -1:
+                    break
+                pred = self.nodes[node.predecessor]
+                node = self.nodes[pred.parent]
+                self._split_node(node, out, tnow, thetacrit)
+            else:
+                sib = self.nodes[node.sibling]
+                self._split_node(sib, out, tnow, thetacrit)
+                node = self.nodes[node.parent]
+                if node.predecessor == -1:
+                    break
+                if node.sibling != node.predecessor:
+                    node = self.nodes[node.predecessor]
+                    self._split_node(node, out, tnow, thetacrit)
+        return out
+
+    # weight functions (temporal_tree.py:361-408); note which "mid" each uses
+    def weight(self, fn: str, nodeid: int, tnow: int, sigma: float) -> float:
+        n = self.nodes[nodeid]
+        mid = (n.start + n.end) / 2.0
+        if fn == "uniform":
+            return 1.0
+        if fn == "oneovert":
+            return 1.0 / (tnow - mid + 1.5)
+        if fn == "sigmoid":  # uses node.start as "mid" (temporal_tree.py:380)
+            s5 = sigma / 5.0
+            lag = (n.start - tnow + 5.0 * s5) / s5
+            return 1.0 / (1.0 + math.exp(-lag))
+        if fn == "expon":  # 8w1+6w-w2 blend (temporal_tree.py:384-398)
+            w = math.exp(-(tnow - mid) / sigma)
+            w1 = math.exp(-(tnow - n.start) / sigma)
+            w2 = math.exp(-(tnow - n.end) / sigma)
+            return (8.0 * w1 + 6.0 * w - w2) / 13.0
+        if fn == "ramp":
+            lag = tnow - mid + 0.5
+            return max(1.0 - lag / sigma, 0.0)
+        raise KeyError(f"unknown weight function {fn!r}")
+
+    def interactions(
+        self, thetacrit: float, weight_functions: list[str], sigma: float
+    ) -> list[tuple[int, int, int, str, float]]:
+        """(tnow, node_start, node_end, weight_fn, weight) rows for every
+        timestep — the complete static interaction table, O(T log T) rows."""
+        rows = []
+        for tnow in self.times:
+            for nodeid in self.walk(tnow, thetacrit):
+                n = self.nodes[nodeid]
+                for fn in weight_functions:
+                    rows.append((tnow, n.start, n.end, fn, self.weight(fn, nodeid, tnow, sigma)))
+        return rows
+
+
+def temporal_tree_lag(
+    df: DataFrame,
+    thetacrit: float,
+    weight_functions: str | list[str] = "uniform",
+    sigma: float = 1.0,
+) -> DataFrame:
+    """Temporal tree lag (reference `get_tree_lag`, temporal_tree.py:6-44).
+
+    NaN -> 0 first (temporal_tree.py:30). Output columns: `<feat>` for a
+    single weight function, `<feat>_<fn>` for several (the reference reuses
+    input names for a wider matrix — a collision bug we do not replicate).
+
+    Plan: one cumulative-sum window per unit; node interval sums via
+    cum(end-1) - cum(start-1) against a broadcast node table; weighted
+    roll-up via the broadcast interaction table. Two broadcast joins + two
+    hash aggregates; the only wide exchange is the unit_id window shuffle.
+    """
+    if isinstance(weight_functions, str):
+        weight_functions = [weight_functions]
+    feats = feature_cols(df)
+    spark = df.sparkSession
+    times = [r[0] for r in df.select(TIME).distinct().collect()]
+    geo = TemporalTreeGeometry(times)
+    inter = geo.interactions(thetacrit, weight_functions, sigma)
+    inter_df = spark.createDataFrame(
+        inter, schema="tnow long, s long, e long, fn string, w double"
+    )
+    nodes = sorted({(s, e) for (_, s, e, _, _) in inter})
+    nodes_df = spark.createDataFrame(nodes, schema="s long, e long")
+
+    filled = df.na.fill(0.0, subset=feats)
+    w_cum = Window.partitionBy(UNIT).orderBy(TIME).rowsBetween(Window.unboundedPreceding, 0)
+    cum = filled.select(
+        TIME, UNIT, *[F.sum(c).over(w_cum).alias(f"__cum_{c}") for c in feats]
+    )
+    # node interval sums: cum(e-1) - cum(s-1); boundaries before the data
+    # start resolve to 0 via the left joins
+    units = df.select(UNIT).distinct()
+    base = units.crossJoin(F.broadcast(nodes_df))
+    cum_e = cum.select(
+        F.col(UNIT).alias("__u"), (F.col(TIME) + 1).alias("__e"),
+        *[F.col(f"__cum_{c}").alias(f"__ce_{c}") for c in feats],
+    )
+    cum_s = cum.select(
+        F.col(UNIT).alias("__u2"), (F.col(TIME) + 1).alias("__s"),
+        *[F.col(f"__cum_{c}").alias(f"__cs_{c}") for c in feats],
+    )
+    node_sums = (
+        base.join(cum_e, (F.col(UNIT) == F.col("__u")) & (F.col("e") == F.col("__e")), "left")
+        .join(cum_s, (F.col(UNIT) == F.col("__u2")) & (F.col("s") == F.col("__s")), "left")
+        .select(
+            UNIT, "s", "e",
+            *[
+                (F.coalesce(F.col(f"__ce_{c}"), F.lit(0.0)) - F.coalesce(F.col(f"__cs_{c}"), F.lit(0.0))).alias(c)
+                for c in feats
+            ],
+        )
+    )
+    joined = node_sums.join(F.broadcast(inter_df), ["s", "e"])
+    aggs = []
+    out_names = []
+    for c in feats:
+        for fn in weight_functions:
+            name = c if len(weight_functions) == 1 else f"{c}_{fn}"
+            out_names.append(name)
+            aggs.append(
+                F.sum(F.when(F.col("fn") == fn, F.col(c) * F.col("w")).otherwise(0.0)).alias(name)
+            )
+    res = joined.groupBy(F.col("tnow").alias(TIME), F.col(UNIT)).agg(*aggs)
+    # complete grid: the last timestep (and any empty walk) yields zeros
+    grid = df.select(TIME, UNIT)
+    out = grid.join(res, [TIME, UNIT], "left").na.fill(0.0, subset=out_names)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# spatial tree geometry (reference spatial_tree.py:160-476)
+
+
+def _dfunction(option: int):
+    """Distance weightings (reference `get_dfunctions`, spatial_tree.py:48-79)."""
+    if option == 0:
+        return lambda d: 1.0 / math.log(1.0 + d)
+    if option == 1:
+        return lambda d: 1.0 / d
+    if option == 2:
+        return lambda d: 1.0 / (d * d)
+    raise ValueError(f"unknown dfunction option {option}; allowed 0, 1, 2")
+
+
+class SpatialTreeGeometry:
+    """Quadtree over the embedded pgid grid; only boxes containing data
+    pgids exist (reference build_tree, spatial_tree.py:183-294). A node at
+    level l is the aligned box of side ncells/2^l holding its pgids."""
+
+    def __init__(self, pgids: list[int], stride: int = PG_STRIDE):
+        import numpy as np
+
+        pgids = sorted(pgids)
+        self.pgids = pgids
+        arr = np.array(pgids)
+        elon, elat, ncells = embed_coords(arr % stride, arr // stride)
+        self.ncells = ncells
+        self.power = int(math.log2(ncells))
+        self.elon = {p: int(x) for p, x in zip(pgids, elon)}
+        self.elat = {p: int(y) for p, y in zip(pgids, elat)}
+        # embedding offsets for deriving embedded coords in column arithmetic
+        lons, lats = arr % stride, arr // stride
+        self.lon_shift = int(elon[0] - lons[0])
+        self.lat_shift = int(elat[0] - lats[0])
+        # nodes keyed (level, bx, by); leaves at level == power
+        self.boxes: dict[tuple[int, int, int], int] = {}  # -> nleaf
+        for p in pgids:
+            x, y = self.elon[p], self.elat[p]
+            for lvl in range(self.power, -1, -1):
+                shift = self.power - lvl
+                key = (lvl, x >> shift, y >> shift)
+                self.boxes[key] = self.boxes.get(key, 0) + 1
+
+    def _centre(self, key: tuple[int, int, int]) -> tuple[float, float]:
+        lvl, bx, by = key
+        size = self.ncells >> lvl  # ncells / 2^level
+        return (bx * size + size / 2.0, by * size + size / 2.0)
+
+    def _children(self, key: tuple[int, int, int]) -> list[tuple[int, int, int]]:
+        lvl, bx, by = key
+        out = []
+        for cx in (2 * bx, 2 * bx + 1):
+            for cy in (2 * by, 2 * by + 1):
+                k = (lvl + 1, cx, cy)
+                if k in self.boxes:
+                    out.append(k)
+        return out
+
+    def interactions(
+        self, thetacrit: float, dfunction_option: int
+    ) -> list[tuple[int, int, int, int, float]]:
+        """(pgid, level, bx, by, weight) rows — the Barnes-Hut interaction
+        table (reference walk, spatial_tree.py:296-372): open a node while
+        theta = size/d > thetacrit; d uses the reference's componentwise
+        +0.01 nudge before the norm (spatial_tree.py:327-328); the target's
+        own leaf is excluded."""
+        dfun = _dfunction(dfunction_option)
+        rows = []
+        for p in self.pgids:
+            tx, ty = self.elon[p] + 0.5, self.elat[p] + 0.5
+            target_key = (self.power, self.elon[p], self.elat[p])
+            todo = [(0, 0, 0)]
+            while todo:
+                key = todo.pop(0)
+                cx, cy = self._centre(key)
+                dx, dy = tx - cx + 0.01, ty - cy + 0.01
+                d = math.sqrt(dx * dx + dy * dy)
+                h = self.ncells >> key[0]
+                if h / d > thetacrit:
+                    if key[0] == self.power:  # leaf: cannot split
+                        if key != target_key:
+                            rows.append((p, *key, dfun(d)))
+                    else:
+                        todo.extend(self._children(key))
+                else:
+                    rows.append((p, *key, dfun(d)))
+        return rows
+
+
+def _level_aggregates(
+    cells: DataFrame, feats: list[str], levels: list[int], power: int
+) -> DataFrame:
+    """Union of per-level box aggregates: level l value = sum over pgids in
+    the aligned box (== the reference's stocked node sums,
+    spatial_tree.py:374-419). One groupBy per level, level count <= power+1."""
+    parts = []
+    for lvl in sorted(levels):
+        shift = power - lvl
+        parts.append(
+            cells.groupBy(
+                TIME,
+                F.lit(lvl).alias("__lvl"),
+                F.shiftright("__ex", shift).alias("__bx"),
+                F.shiftright("__ey", shift).alias("__by"),
+            ).agg(*[F.sum(c).alias(c) for c in feats])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _embedded_cells(df: DataFrame, geo: SpatialTreeGeometry, stride: int, feats: list[str]) -> DataFrame:
+    return df.na.fill(0.0, subset=feats).select(
+        TIME,
+        UNIT,
+        (F.col(UNIT) % stride + geo.lon_shift).cast("long").alias("__ex"),
+        (F.floor(F.col(UNIT) / stride) + geo.lat_shift).cast("long").alias("__ey"),
+        *feats,
+    )
+
+
+def spatial_tree_lag(
+    df: DataFrame,
+    thetacrit: float,
+    dfunction_option: int = 0,
+    stride: int = PG_STRIDE,
+) -> DataFrame:
+    """Barnes-Hut spatial tree lag (reference `get_tree_lag`,
+    spatial_tree.py:6-45). NaN -> 0 first.
+
+    Plan: static interaction table (geometry only, reusable across all
+    times/features) broadcast-joined to per-level box aggregates; one final
+    hash aggregate per (time, pgid). No per-time Python, no quadtree on the
+    data path."""
+    feats = feature_cols(df)
+    spark = df.sparkSession
+    pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
+    geo = SpatialTreeGeometry(pgids, stride)
+    inter = geo.interactions(thetacrit, dfunction_option)
+    inter_df = spark.createDataFrame(
+        inter, schema="pgid long, lvl int, bx long, by long, w double"
+    )
+    levels = sorted({lvl for (_, lvl, _, _, _) in inter})
+    cells = _embedded_cells(df, geo, stride, feats)
+    nodevals = _level_aggregates(cells, feats, levels, geo.power)
+    joined = nodevals.join(
+        F.broadcast(inter_df),
+        (F.col("__lvl") == F.col("lvl")) & (F.col("__bx") == F.col("bx")) & (F.col("__by") == F.col("by")),
+    )
+    res = joined.groupBy(TIME, F.col("pgid").alias(UNIT)).agg(
+        *[F.sum(F.col(c) * F.col("w")).alias(c) for c in feats]
+    )
+    grid = df.select(TIME, UNIT)
+    return grid.join(res, KEYS, "left").na.fill(0.0, subset=feats)
+
+
+def grid_lag(
+    df: DataFrame,
+    threshold: float,
+    dfunction_option: int = 0,
+    split_criterion: str = "min",
+    stride: int = PG_STRIDE,
+) -> DataFrame:
+    """Adaptive-mesh lag (reference `get_grid_lag`, spatial_tree.py:82-115,
+    478-591), single-feature panels.
+
+    Mesh per timestep: starting at the root, nodes with value > threshold
+    split recursively; a node is in the mesh iff every strict ancestor
+    exceeded the threshold and it does not (or it is a leaf). Expressed as a
+    top-down chain of joins over the per-level box aggregates (<= power
+    iterations building one lazy plan). The weighted sum is then a
+    time-equi-join of cells x mesh (d WITHOUT the +0.01 nudge — the
+    reference uses the plain distance here, spatial_tree.py:565) excluding
+    the target's own leaf, one hash aggregate.
+    """
+    if split_criterion != "min":
+        raise ValueError(f"unknown split criterion {split_criterion!r}; allowed: 'min'")
+    feats = feature_cols(df)
+    if len(feats) != 1:
+        raise ValueError("grid_lag implemented for single-feature panels")
+    c = feats[0]
+    dfun_sql = {
+        0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
+        1: lambda d: 1.0 / d,
+        2: lambda d: 1.0 / (d * d),
+    }[dfunction_option]
+    spark = df.sparkSession
+    pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
+    geo = SpatialTreeGeometry(pgids, stride)
+    cells = _embedded_cells(df, geo, stride, feats)
+    all_levels = list(range(geo.power + 1))
+    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).cache()
+
+    # top-down mesh selection: ok(l) = all strict ancestors had val > threshold
+    mesh_parts = []
+    level_tbl = {
+        lvl: nodevals.filter(F.col("__lvl") == lvl).select(
+            TIME, "__bx", "__by", F.col(c).alias("__val")
+        )
+        for lvl in all_levels
+    }
+    ok = level_tbl[0].select(TIME, "__bx", "__by")  # root: no ancestors
+    for lvl in all_levels:
+        tbl = level_tbl[lvl].join(ok, [TIME, "__bx", "__by"])
+        is_leaf_level = lvl == geo.power
+        accept = tbl.filter((F.col("__val") <= threshold) | F.lit(is_leaf_level))
+        mesh_parts.append(accept.select(TIME, F.lit(lvl).alias("__lvl"), "__bx", "__by", "__val"))
+        if not is_leaf_level:
+            over = tbl.filter(F.col("__val") > threshold).select(
+                F.col(TIME).alias("__ot"),
+                F.col("__bx").alias("__px"),
+                F.col("__by").alias("__py"),
+            )
+            ok = level_tbl[lvl + 1].select(TIME, "__bx", "__by").join(
+                over,
+                (F.col(TIME) == F.col("__ot"))
+                & (F.shiftright("__bx", 1) == F.col("__px"))
+                & (F.shiftright("__by", 1) == F.col("__py")),
+                "left_semi",
+            )
+    mesh = mesh_parts[0]
+    for p in mesh_parts[1:]:
+        mesh = mesh.unionByName(p)
+    size = F.expr(f"cast(shiftright({geo.ncells}, __lvl) as double)")
+    mesh = mesh.select(
+        F.col(TIME).alias("__mt"),
+        "__lvl",
+        "__bx",
+        "__by",
+        "__val",
+        (F.col("__bx") * size + size / 2).alias("__cx"),
+        (F.col("__by") * size + size / 2).alias("__cy"),
+    )
+    targets = cells.select(TIME, UNIT, "__ex", "__ey")
+    pairs = targets.join(mesh, F.col(TIME) == F.col("__mt")).filter(
+        ~(
+            (F.col("__lvl") == geo.power)
+            & (F.col("__bx") == F.col("__ex"))
+            & (F.col("__by") == F.col("__ey"))
+        )
+    )
+    d = F.sqrt(
+        (F.col("__ex") + 0.5 - F.col("__cx")) ** 2 + (F.col("__ey") + 0.5 - F.col("__cy")) ** 2
+    )
+    res = pairs.groupBy(TIME, UNIT).agg(F.sum(F.col("__val") * dfun_sql(d)).alias(c))
+    grid = df.select(TIME, UNIT)
+    return grid.join(res, KEYS, "left").na.fill(0.0, subset=[c])

@@ -14,7 +14,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .operators import fourier, missing, scalar, spacetime, spatial_graph, spatial_grid, temporal
+from .operators import (
+    fourier,
+    missing,
+    scalar,
+    spacetime,
+    spatial_graph,
+    spatial_grid,
+    temporal,
+    trees,
+)
 
 REGISTRY: dict[str, Callable[..., DataFrame]] = {
     # scalar (§2.1)
@@ -48,6 +57,9 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "splag_country": spatial_graph.splag_country,
     "spacetime_distances": spacetime.spacetime_distances,
     "fourier_lag": fourier.fourier_lag,
+    "temporal_tree_lag": trees.temporal_tree_lag,
+    "spatial_tree_lag": trees.spatial_tree_lag,
+    "grid_lag": trees.grid_lag,
     # missing (§2.3)
     "replace_na": missing.replace_na,
     "fill": missing.fill,
