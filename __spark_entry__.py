@@ -22,13 +22,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from views_transformation_library_spark import panel as P
 from views_transformation_library_spark.operators import (
+    dedup,
     fourier,
     missing,
+    multimodal,
     scalar,
+    similarity,
     spacetime,
     spatial_graph,
     spatial_grid,
     temporal,
+    text,
     trees,
 )
 
@@ -213,11 +217,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         trees.grid_lag(_panel(s, d), GRID_LAG_THRESHOLD, 0, stride=GRID_STRIDE)
     )
 
+    # --- beyond-reference: text analysis (documents table)
+    q["token_count"] = lambda s, d: text.token_count(_docs(s, d)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d)).select("doc_id", "lang_pred")
+    q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d)).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d)).select("doc_id", "fingerprint")
+
+    # --- beyond-reference: dedup (documents table)
+    q["exact_dedup"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), n=2, threshold=0.5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs(s, d), n=2, n_hashes=24, bands=6, threshold=0.8
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
+
+    # --- beyond-reference: similarity search (embeddings table)
+    q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _embs(s, d), _queries(s, d), k=10
+    )
+    q["embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
+        _embs(s, d), threshold=0.45
+    )
+    q["lsh_topk"] = lambda s, d: similarity.lsh_topk(
+        _embs(s, d), _queries(s, d), k=10, n_planes=6
+    )
+
+    # --- beyond-reference: multimodal plumbing (documents as binary)
+    q["multimodal_features"] = lambda s, d: multimodal.extract_features(
+        multimodal.attach_binary(_docs(s, d))
+    ).select("media_id", "n_bytes", F.round("feat1", 6).alias("feat1"))
+
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
         scalar.decay(temporal.time_since(_panel(s, d), value=0), halflife=12.0)
     )
     return q
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query set for top-k similarity: every 50th vector id."""
+    return _embs(spark, sf_dir).filter(F.col("vec_id") % 50 == 0)
 
 
 GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
@@ -483,6 +537,139 @@ agg AS (
 )
 SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
 FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
+"""
+
+
+# shared DuckDB fragments for the beyond-reference oracles
+_BIGRAM_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+),
+bg AS (
+  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i + 1] AS shingle FROM pos
+),
+sz AS (SELECT doc, count(*) AS sz FROM bg GROUP BY 1),
+inter AS (
+  SELECT a.doc AS a, b.doc AS b, count(*) AS c
+  FROM bg a JOIN bg b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT a, b, c * 1.0 / (sa.sz + sb.sz - c) AS jac
+  FROM inter JOIN sz sa ON sa.doc = a JOIN sz sb ON sb.doc = b
+)
+"""
+
+_SIMHASH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents
+),
+wc AS (SELECT doc, w, count(*) AS cnt FROM tk GROUP BY 1, 2),
+hh AS (
+  SELECT doc, cnt, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM wc
+),
+bits AS (SELECT doc, cnt, h, unnest(generate_series(0, 31)) AS i FROM hh),
+votes AS (
+  SELECT doc, i, sum(CASE WHEN (h >> i) % 2 = 1 THEN cnt ELSE -cnt END) AS v
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+)
+"""
+
+_COSINE_COMP_SQL = """
+WITH ex AS (
+  SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings
+),
+comp AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM ex),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM comp GROUP BY 1)
+"""
+
+
+def _lang_id_oracle() -> str:
+    from views_transformation_library_spark.operators.text import LANG_STOPWORDS
+
+    hits = ",\n       ".join(
+        r"len(regexp_extract_all(lower(text), '\b(" + "|".join(ws) + r")\b')) AS h_" + lang
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    cases = "\n       ".join(
+        f"WHEN h_{lang} = g AND g > 0 THEN '{lang}'" for lang in langs
+    )
+    greatest = ", ".join(f"h_{lang}" for lang in langs)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+       {hits}
+  FROM documents
+),
+g AS (SELECT *, greatest({greatest}) AS g FROM h)
+SELECT doc_id,
+       CASE {cases}
+       ELSE 'und' END AS lang_pred
+FROM g
+"""
+
+
+def _quality_oracle() -> str:
+    from views_transformation_library_spark.operators.text import LANG_STOPWORDS
+
+    stop_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) * 1.0 AS n_tok,
+         length(text) * 1.0 AS n_chars,
+         len(regexp_extract_all(lower(text), '{stop_pat}')) * 1.0 AS n_stop,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok > 0 THEN
+         0.4 * least(n_tok / 50.0, 1.0)
+         + 0.4 * least(5.0 * (n_stop / n_tok), 1.0)
+         + 0.2 * (1.0 - least(10.0 * (n_punct / n_chars), 1.0))
+       ELSE 0.0 END, 6) AS quality
+FROM s
+"""
+
+
+def _minhash_oracle(n_hashes: int, bands: int, threshold: float) -> str:
+    from views_transformation_library_spark.operators.dedup import (
+        MINHASH_P,
+        SHINGLE_BITS_HEX,
+        minhash_params,
+    )
+
+    params = minhash_params(n_hashes)
+    r = n_hashes // bands
+    vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    return _BIGRAM_SQL + f""",
+xs AS (
+  SELECT doc, CAST('0x' || substr(md5(shingle), 1, {SHINGLE_BITS_HEX}) AS BIGINT) AS x FROM bg
+),
+params(j, pa, pb) AS (VALUES {vals}),
+mh AS (
+  SELECT doc, j, min((pa * x + pb) % {MINHASH_P}) AS mh
+  FROM xs CROSS JOIN params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc, j // {r} AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT l.doc AS ca, r.doc AS cb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc < r.doc
+)
+SELECT j.a, j.b, round(j.jac, 6) AS jaccard
+FROM jacc j JOIN cand ON cand.ca = j.a AND cand.cb = j.b
+WHERE j.jac >= {threshold!r}
 """
 
 
@@ -828,6 +1015,81 @@ GROUP BY 1, 2
     o["temporal_tree_expon"] = _temporal_tree_oracle(0.7, "expon", 8.0)
     o["spatial_tree_lag"] = _spatial_tree_oracle(0.9, 0)
     o["grid_lag"] = _grid_lag_oracle(GRID_LAG_THRESHOLD, 0)
+
+    # --- beyond-reference: text analysis
+    o["token_count"] = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens FROM documents
+"""
+    o["lang_id"] = _lang_id_oracle()
+    o["quality_score"] = _quality_oracle()
+    o["fingerprint"] = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+    # --- beyond-reference: dedup
+    o["exact_dedup"] = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+    o["ngram_jaccard"] = _BIGRAM_SQL + """
+SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
+"""
+    o["minhash_lsh"] = _minhash_oracle(n_hashes=24, bands=6, threshold=0.8)
+    o["simhash"] = _SIMHASH_SQL + """
+SELECT doc AS doc_id, simhash FROM sig
+"""
+    o["simhash_pairs"] = _SIMHASH_SQL + """,
+chunks AS (
+  SELECT doc, simhash, unnest(generate_series(0, 3)) AS k FROM sig
+),
+ch AS (SELECT doc, simhash, k, (simhash >> (k * 8)) % 256 AS chv FROM chunks),
+cand AS (
+  SELECT DISTINCT l.doc AS a, l.simhash AS sa, r.doc AS b, r.simhash AS sb
+  FROM ch l JOIN ch r ON l.k = r.k AND l.chv = r.chv AND l.doc < r.doc
+),
+ham AS (SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand)
+SELECT a, b, hamming FROM ham WHERE hamming <= 3
+"""
+    # --- beyond-reference: similarity
+    o["cosine_topk"] = _COSINE_COMP_SQL + """,
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+dots AS (
+  SELECT q.qid, c2.vec_id AS nid, sum(cq.x * c2.x) AS dp
+  FROM qs q
+  JOIN comp cq ON cq.vec_id = q.qid
+  JOIN comp c2 ON c2.i = cq.i AND c2.vec_id != q.qid
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id, round(dp / (na.nv * nb.nv), 6) AS cosine
+  FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = nid
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+    o["embedding_neardup"] = _COSINE_COMP_SQL + """,
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dp
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT a, b, round(dp / (na.nv * nb.nv), 6) AS cosine
+  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+)
+SELECT a, b, cosine FROM scored WHERE cosine >= 0.45
+"""
+    # --- beyond-reference: multimodal (text-as-binary stand-in)
+    o["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE ord(substr(text, 1, 1)) * 1.0 END, 6) AS feat1
+FROM documents
+"""
 
     # flagship
     o["flagship_decay_time_since"] = PSQL + """,

@@ -1,0 +1,196 @@
+"""Beyond-reference operators: text analysis, dedup, similarity, multimodal."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from views_transformation_library_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too"),
+        (2, "the cat sat on the mat and the dog sat too"),  # exact dup of 1
+        (3, "the cat sat on the mat and the dog stood too"),  # near dup
+        (4, "el gato y el perro en la casa que se ve por la noche"),
+        (5, "completely different words entirely unrelated topic zebra"),
+        (6, "!!! ??? ### $$$ %%%"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# text
+
+def test_token_count(docs):
+    out = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert out[1] == 11 and out[6] == 5 and out[7] == 0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "es"
+    assert out[6] == "und" and out[7] == "und"
+
+
+def test_quality_score(docs):
+    out = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    assert out[7] == 0.0
+    assert out[1] > out[6]  # natural text beats symbol soup
+    assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "  Hello   World "), (2, "hello world"), (3, "hello  world!")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 identical, keeper = min id
+    assert groups[3] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # near dup above 0.5
+    assert all(a < b for (a, b) in pairs)
+    assert not any({a, b} & {4, 5, 6, 7} for (a, b) in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in out  # identical -> all bands collide
+    # candidates are verified: no pair below the threshold
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_minhash_candidates_subset_of_exact(spark):
+    # LSH verified pairs must be a subset of brute-force jaccard pairs
+    rng = np.random.RandomState(21)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.choice(30, size=20)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))  # plant an exact dup
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(df, n=2, threshold=0.8).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.minhash_lsh_pairs(df, threshold=0.8).collect()}
+    assert lsh <= exact
+    assert (0, 100) in lsh  # exact dup always found
+
+
+def test_simhash_identical_and_distance(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup 1-3 within small hamming distance
+    assert (1, 3) in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity
+
+@pytest.fixture()
+def vectors(spark):
+    rng = np.random.RandomState(33)
+    rows = []
+    base = rng.randn(8)
+    for i in range(20):
+        v = rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in (base + 0.01 * rng.randn(8))]))  # near dup of 100
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    queries = vectors.filter(F.col("vec_id") == 100)
+    out = similarity.cosine_topk(vectors, queries, k=3).collect()
+    assert len(out) == 3
+    top = sorted(out, key=lambda r: r["rank"])[0]
+    assert top["neighbor_id"] == 101  # planted near-dup is the nearest
+    assert top["cosine"] > 0.99
+    # differential vs numpy brute force
+    pdf = vectors.toPandas().set_index("vec_id")["embedding"]
+    q = np.array(pdf[100], dtype=np.float64)
+    sims = {}
+    for vid, vec in pdf.items():
+        if vid == 100:
+            continue
+        v = np.array(vec, dtype=np.float64)
+        sims[vid] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    expected_top3 = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == expected_top3
+
+
+def test_embedding_neardup(vectors):
+    pairs = {(r["a"], r["b"]) for r in
+             similarity.embedding_neardup_pairs(vectors, threshold=0.95).collect()}
+    assert pairs == {(100, 101)}
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") == 100)
+    out = similarity.lsh_topk(vectors, queries, k=3, n_planes=4).collect()
+    # the planted near-dup shares the bucket with its twin (tiny perturbation)
+    assert any(r["neighbor_id"] == 101 for r in out)
+    assert all(r["query_id"] == 100 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_binary(docs.filter(F.col("doc_id") <= 3))
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len("the cat sat on the mat and the dog sat too")
+    assert by_id[1]["checksum"] == by_id[2]["checksum"]  # identical payloads
+    assert by_id[1]["feat1"] == float(ord("t"))
+
+
+def test_multimodal_real_decoder_is_stubbed(docs):
+    media = multimodal.attach_binary(docs.limit(1))
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample(spark):
+    rows = [(1, "vid", bytearray(b"xx"), None, None, 3000)]
+    df = spark.createDataFrame(
+        rows, schema=multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.frame_sample_stub(df, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    assert [r["ts_ms"] for r in out] == [0, 1000, 2000]

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines (beyond-reference
+surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes:
+  * exact dedup: one hash-groupBy — embarrassingly scalable.
+  * n-gram Jaccard: inverted-index (postings) self-join on shingles, NOT an
+    all-pairs cross join — pairs sharing no shingle never materialize. This
+    is the standard MapReduce-exact algorithm; the shuffle key is the
+    shingle, so hot shingles are the skew risk (mitigate upstream by
+    dropping ultra-common shingles — see `max_doc_freq`).
+  * MinHash+LSH: signatures via integer affine hashes of md5-derived
+    shingle ints — fully deterministic and engine-independent (no floats,
+    no library hash): h_j(x) = (a_j * x + b_j) mod P with x < 2^28,
+    a_j,b_j < P = 2^31-1, so products stay well under 2^63. Band buckets
+    join candidates; exact Jaccard verifies. At 100 TB the only wide
+    shuffles are groupBy(doc, j) for signatures and the band-bucket join.
+  * SimHash: 64-bit signature from per-token hash bits weighted by
+    occurrence; near-dup = signatures within Hamming distance d (join on
+    band chunks to avoid all-pairs).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+SHINGLE_BITS_HEX = 7  # 28-bit shingle ints keep a*x + b < 2^51
+
+
+def tokens_expr(col: str):
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), 0)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-md5 fingerprint: one row per
+    distinct content with the keeper (min id) and the copy count."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per doc via posexplode + positional self-joins
+    (n-1 joins on pos+i — expressible in every engine, no lambda types)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(tokens_expr(text_col)).alias("pos", "w0")
+    )
+    out = toks
+    for i in range(1, n):
+        nxt = toks.select(
+            F.col("doc").alias("__d"), (F.col("pos") - i).alias("__p"), F.col("w0").alias(f"w{i}")
+        )
+        out = out.join(
+            nxt, (F.col("doc") == F.col("__d")) & (F.col("pos") == F.col("__p"))
+        ).drop("__d", "__p")
+    shingle = F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)])
+    return out.select("doc", shingle.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= τ) via
+    a postings self-join on shingles. `max_doc_freq` optionally drops
+    shingles occurring in more than that many docs (skew guard at scale;
+    None = exact)."""
+    sh = _shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc").alias("a"), "shingle")
+    b = sh.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (a_j, b_j), a_j != 0."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n_hashes)]
+
+
+def shingle_int_expr(shingle_col: str):
+    """28-bit integer from the md5 of a shingle — identical in any engine
+    with md5 + hex parsing (DuckDB: CAST('0x'||substr(md5(s),1,7) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.col(shingle_col)), 1, SHINGLE_BITS_HEX), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 24, seed: int = 42
+) -> DataFrame:
+    """(doc, j, minhash) signature table: min over shingles of
+    (a_j * x + b_j) mod P. Explode over j via a small literal array; one
+    groupBy(doc, j)."""
+    params = minhash_params(n_hashes, seed)
+    hashed = sh.select("doc", shingle_int_expr("shingle").alias("x"))
+    exprs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias("h"),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        hashed.select("doc", F.explode(exprs).alias("jh"))
+        .groupBy("doc", F.col("jh.j").alias("j"))
+        .agg(F.min("jh.h").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_hashes: int = 24,
+    bands: int = 6,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard (a < b,
+    jaccard >= τ). Integer-exact end-to-end, so results are deterministic
+    and reproducible across engines. rows = bands per doc after banding;
+    candidate generation is an equi-join on (band, signature)."""
+    r = n_hashes // bands
+    sh = _shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, n_hashes, seed)
+    band_sig = (
+        sig.withColumn("band", (F.col("j") / r).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s.mh
+                ),
+            ).alias("sig")
+        )
+    )
+    left = band_sig.select(F.col("doc").alias("a"), "band", "sig")
+    right = band_sig.select(F.col("doc").alias("b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc").alias("a"), "shingle")
+    sb = sh.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(F.count("*").alias("c"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a", "b", (F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash signature: bit i set iff the weighted sum of bit i
+    over token hashes is positive (weight = token occurrence count).
+    Token hash = md5-derived int; bits <= 32 keeps shifts in integer range."""
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens_expr(text_col)).alias("w"))
+    counted = toks.groupBy("doc", "w").agg(F.count("*").alias("cnt"))
+    hashed = counted.select(
+        "doc",
+        "cnt",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_rows = hashed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            F.when(F.shiftright(F.col("h"), i) % 2 == 1, F.col("cnt")).otherwise(
+                                -F.col("cnt")
+                            )
+                        ).alias("v"),
+                    )
+                    for i in range(bits)
+                ]
+            )
+        ).alias("b"),
+    )
+    votes = bit_rows.groupBy("doc", F.col("b.i").alias("i")).agg(F.sum("b.v").alias("v"))
+    sig = votes.groupBy("doc").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE cast(0 as bigint) END")
+        ).alias("simhash")
+    )
+    return sig.select(F.col("doc").alias(id_col), "simhash")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= d, using the
+    pigeonhole chunk trick: signatures within d differ in at most d chunks,
+    so any pair shares >= chunks-d exact chunks when chunks > d — join on
+    each chunk, then verify exact Hamming distance."""
+    sig = simhash(df, id_col, text_col, bits)
+    w = bits // chunks
+    chunk_rows = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (F.shiftright("simhash", k * w) % (1 << w)).alias("ch"),
+                    )
+                    for k in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.k").alias("k"), F.col("c.ch").alias("ch"))
+    left = chunk_rows.select(F.col("doc").alias("a"), F.col("simhash").alias("sa"), "k", "ch")
+    right = chunk_rows.select(F.col("doc").alias("b"), F.col("simhash").alias("sb"), "k", "ch")
+    cand = left.join(right, ["k", "ch"]).filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb").distinct()
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

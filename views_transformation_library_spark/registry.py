@@ -15,13 +15,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from .operators import (
+    dedup,
     fourier,
     missing,
+    multimodal,
     scalar,
+    similarity,
     spacetime,
     spatial_graph,
     spatial_grid,
     temporal,
+    text,
     trees,
 )
 
@@ -60,6 +64,23 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "temporal_tree_lag": trees.temporal_tree_lag,
     "spatial_tree_lag": trees.spatial_tree_lag,
     "grid_lag": trees.grid_lag,
+    # beyond-reference: text analysis / dedup / similarity / multimodal
+    "token_count": text.token_count,
+    "lang_id": text.lang_id,
+    "text_stats": text.text_stats,
+    "quality_score": text.quality_score,
+    "fingerprint": text.fingerprint,
+    "exact_dedup": dedup.exact_dedup,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash": dedup.simhash,
+    "simhash_pairs": dedup.simhash_pairs,
+    "cosine_topk": similarity.cosine_topk,
+    "lsh_topk": similarity.lsh_topk,
+    "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+    "attach_binary": multimodal.attach_binary,
+    "extract_features": multimodal.extract_features,
+    "frame_sample": multimodal.frame_sample_stub,
     # missing (§2.3)
     "replace_na": missing.replace_na,
     "fill": missing.fill,
