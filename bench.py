@@ -27,6 +27,21 @@ HEADLINE = [
     "tlags3d",
     "extrapolate",
     "fill_with_group_and_global_means",
+    "splag4d_weighted",
+    "splag_country",
+    "spacetime_distances",
+    "fourier_lag",
+    "temporal_tree_lag",
+    "spatial_tree_lag",
+    "grid_lag",
+    "token_count",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "multimodal_features",
 ]
 
 
@@ -34,6 +49,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+    # warm the JVM / codegen / shuffle machinery so the first timed query
+    # does not carry session-startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(10_000).repartition(8, "id").selectExpr("count(distinct id)").collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

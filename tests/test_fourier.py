@@ -52,7 +52,21 @@ def test_fourier_invariants(grid16):
         assert all(v >= -1e-9 for v in by_month[month])
 
 
-def test_fourier_3d_deferred(grid16):
+def test_fourier_3d_matches_local_solver(grid16):
+    df, vals = grid16
+    got = {(t, u): v for (u, t, v) in collect_panel(fourier.fourier_lag(df, dimensionality=3))}
+    lons = np.array([lon for lat in range(4) for lon in range(4)])
+    lats = np.array([lat for lat in range(4) for lon in range(4)])
+    elons, elats, ncells = fourier._embedding(lons, lats)
+    grid = np.zeros((ncells, ncells))
+    grid[elons, elats] = vals[lons, lats]
+    solved = fourier._solve_slice_3d(grid)
+    for i in range(16):
+        u = lats[i] * 720 + lons[i]
+        assert got[(5, u)] == pytest.approx(solved[elons[i], elats[i]]), u
+
+
+def test_fourier_bad_dimensionality(grid16):
     df, _ = grid16
-    with pytest.raises(NotImplementedError):
-        fourier.fourier_lag(df, dimensionality=3)
+    with pytest.raises(ValueError):
+        fourier.fourier_lag(df, dimensionality=4)

@@ -47,21 +47,16 @@ def exact_dedup(
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-grams per doc via posexplode + positional self-joins
-    (n-1 joins on pos+i — expressible in every engine, no lambda types)."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(tokens_expr(text_col)).alias("pos", "w0")
+    """Distinct word n-grams per doc, built entirely with array expressions
+    (transform over a sequence of start positions + slice) — no joins, no
+    shuffle until the final distinct. Docs with fewer than n tokens yield
+    no shingles."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens_expr(text_col).alias("__toks"))
+    toks = toks.filter(F.size("__toks") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), i -> concat_ws(' ', slice(__toks, i, {n})))"
     )
-    out = toks
-    for i in range(1, n):
-        nxt = toks.select(
-            F.col("doc").alias("__d"), (F.col("pos") - i).alias("__p"), F.col("w0").alias(f"w{i}")
-        )
-        out = out.join(
-            nxt, (F.col("doc") == F.col("__d")) & (F.col("pos") == F.col("__p"))
-        ).drop("__d", "__p")
-    shingle = F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)])
-    return out.select("doc", shingle.alias("shingle")).distinct()
+    return toks.select("doc", F.explode(grams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -207,31 +202,21 @@ def simhash(
         "cnt",
         F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    bit_rows = hashed.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        (
-                            F.when(F.shiftright(F.col("h"), i) % 2 == 1, F.col("cnt")).otherwise(
-                                -F.col("cnt")
-                            )
-                        ).alias("v"),
-                    )
-                    for i in range(bits)
-                ]
-            )
-        ).alias("b"),
+    # one conditional sum per bit in a single hash aggregate — no 'bits x rows'
+    # explode, the vote matrix stays columnar through whole-stage codegen
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i) % 2 == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
     )
-    votes = bit_rows.groupBy("doc", F.col("b.i").alias("i")).agg(F.sum("b.v").alias("v"))
-    sig = votes.groupBy("doc").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE cast(0 as bigint) END")
-        ).alias("simhash")
-    )
-    return sig.select(F.col("doc").alias(id_col), "simhash")
+    sig_expr = None
+    for i in range(bits):
+        term = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return votes.select(F.col("doc").alias(id_col), sig_expr.alias("simhash"))
 
 
 def simhash_pairs(

@@ -28,6 +28,7 @@ from ..panel import TIME, UNIT, feature_cols
 from .spatial_grid import PG_STRIDE, embed_coords as _embedding
 
 SMALL = 1e-3  # zero-frequency clamp, fourier_lag.py:93-96
+LDIVISOR = 4  # 3-D mode reduction "to save memory and time", fourier_lag.py:178-180
 
 
 def _solve_slice(grid: np.ndarray) -> np.ndarray:
@@ -45,19 +46,44 @@ def _solve_slice(grid: np.ndarray) -> np.ndarray:
     return phi * rhomax / phimax
 
 
+def _solve_slice_3d(grid: np.ndarray) -> np.ndarray:
+    """Poisson solve with the slice embedded as the midplane of a cube
+    (reference fft_3D, fourier_lag.py:158-262): 1/d distance weighting; the
+    3rd dimension carries ncells/LDIVISOR Fourier modes; zero level and
+    rescale use the full cube, output is the midplane."""
+    rangej = grid.shape[0]
+    rangel = int(rangej / LDIVISOR)
+    icentrel = int(rangel / 2)
+    rhomax = grid.max()
+    rho = np.zeros((rangej, rangej, rangel))
+    rho[:, :, icentrel] = grid
+    rhohat = np.fft.fftn(rho, norm="ortho")
+    freqsj = 2.0 * np.pi * np.fft.fftfreq(rangej)
+    freqsl = 2.0 * np.pi * np.fft.fftfreq(rangel)
+    freqsj[np.abs(freqsj) < SMALL] = SMALL
+    freqsl[np.abs(freqsl) < SMALL] = SMALL
+    divisor = 1.0 / (
+        freqsj[:, None, None] ** 2 + freqsj[None, :, None] ** 2 + freqsl[None, None, :] ** 2
+    )
+    phi = np.real(np.fft.ifftn(rhohat * divisor, norm="ortho"))
+    phi -= phi.min()
+    phimax = max(phi.max(), 1.0)
+    return phi[:, :, icentrel] * rhomax / phimax
+
+
 def fourier_lag(
     df: DataFrame,
     dimensionality: int = 2,
     stride: int = PG_STRIDE,
 ) -> DataFrame:
-    """2-D Fourier lag: −ln(d)-weighted spatial lag per (time, feature) slice
-    (reference `get_fourier_lag`, `fourier_lag.py:8-75`). NaN -> 0 first.
-
-    The 3-D variant (1/d weighting via a cube embed, `fourier_lag.py:158-262`)
-    couples all timesteps into one transform and is deferred (raises).
-    """
-    if dimensionality != 2:
-        raise NotImplementedError("only the 2-D Fourier lag is implemented")
+    """Fourier lag per (time, feature) slice (reference `get_fourier_lag`,
+    `fourier_lag.py:8-75`). NaN -> 0 first. dimensionality=2 gives −ln(d)
+    weighting (plane solve); 3 gives 1/d (midplane-of-cube solve with
+    modes/LDIVISOR in the extra dimension). Both are embarrassingly parallel
+    over the time axis — one applyInPandas task per slice."""
+    if dimensionality not in (2, 3):
+        raise ValueError(f"dimensionality must be 2 or 3, got {dimensionality}")
+    solver = _solve_slice if dimensionality == 2 else _solve_slice_3d
     feats = feature_cols(df)
     schema = f"{TIME} long, {UNIT} long, " + ", ".join(f"{c} double" for c in feats)
 
@@ -68,7 +94,7 @@ def fourier_lag(
         for c in feats:
             grid = np.zeros((ncells, ncells))
             grid[lons, lats] = np.nan_to_num(pdf[c].to_numpy(), nan=0.0)
-            solved = _solve_slice(grid)
+            solved = solver(grid)
             out[c] = solved[lons, lats]
         return pd.DataFrame(out)
 

@@ -49,14 +49,19 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k by
     (cosine desc, neighbor_id) on 6dp-rounded cosine."""
+    # norms precomputed per vector (once), not per pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vv"),
+        _norm(F.col(vec_col)).alias("__vn"),
     )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__vv")) / (_norm(F.col("__qv")) * _norm(F.col("__vv")))
+    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
     scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -73,10 +78,14 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — exact brute force
     (postings-free; quadratic: use `lsh_topk` at scale)."""
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    a = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), _norm(F.col(vec_col)).alias("__na")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), _norm(F.col(vec_col)).alias("__nb")
+    )
     pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return pairs.select("a", "b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -115,15 +124,17 @@ def lsh_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vv"),
+        _norm(F.col(vec_col)).alias("__vn"),
         lsh_bucket_expr(vec_col, planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket_expr(vec_col, planes).alias("__bucket"),
     )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__vv")) / (_norm(F.col("__qv")) * _norm(F.col("__vv")))
+    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
     scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -366,18 +366,40 @@ def _level_aggregates(
 ) -> DataFrame:
     """Union of per-level box aggregates: level l value = sum over pgids in
     the aligned box (== the reference's stocked node sums,
-    spatial_tree.py:374-419). One groupBy per level, level count <= power+1."""
-    parts = []
-    for lvl in sorted(levels):
-        shift = power - lvl
-        parts.append(
-            cells.groupBy(
-                TIME,
-                F.lit(lvl).alias("__lvl"),
-                F.shiftright("__ex", shift).alias("__bx"),
-                F.shiftright("__ey", shift).alias("__by"),
-            ).agg(*[F.sum(c).alias(c) for c in feats])
+    spatial_tree.py:374-419).
+
+    Hierarchical rollup: the leaf level aggregates the cells once (cached —
+    it is tiny: one row per (time, cell)), every coarser level aggregates
+    the level below it (rows shrink 4x per level). Without this, each union
+    branch would recompute the full input scan."""
+    # localCheckpoint both materializes the (tiny) leaf aggregate AND
+    # truncates its lineage: every level and the downstream mesh/ok joins
+    # would otherwise stack the full input plan per branch, which blows up
+    # Catalyst on the deeply-chained semi-join mesh selection
+    leaf = (
+        cells.groupBy(
+            TIME,
+            F.col("__ex").alias("__bx"),
+            F.col("__ey").alias("__by"),
         )
+        .agg(*[F.sum(c).alias(c) for c in feats])
+        .localCheckpoint()
+    )
+    by_level = {power: leaf}
+    cur = leaf
+    for lvl in range(power - 1, min(levels) - 1, -1):
+        cur = cur.groupBy(
+            TIME,
+            F.shiftright("__bx", 1).alias("__bx"),
+            F.shiftright("__by", 1).alias("__by"),
+        ).agg(*[F.sum(c).alias(c) for c in feats])
+        by_level[lvl] = cur
+    parts = [
+        by_level[lvl].select(
+            TIME, F.lit(lvl).alias("__lvl"), "__bx", "__by", *feats
+        )
+        for lvl in sorted(levels)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -464,7 +486,9 @@ def grid_lag(
     geo = SpatialTreeGeometry(pgids, stride)
     cells = _embedded_cells(df, geo, stride, feats)
     all_levels = list(range(geo.power + 1))
-    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).cache()
+    # one materialization of all box aggregates (rows ~= 4/3 * |cells| across
+    # all levels); every level filter and the ok-chain then reads it for free
+    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).localCheckpoint()
 
     # top-down mesh selection: ok(l) = all strict ancestors had val > threshold
     mesh_parts = []
