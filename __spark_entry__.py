@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fill_inside"] = lambda s, d: missing.fill(_null_panel(s, d), "forward", "inside")
     q["fill_outside"] = lambda s, d: missing.fill(_null_panel(s, d), "both", "outside")
     q["extrapolate"] = lambda s, d: _r6(missing.extrapolate(_null_panel(s, d), "both", None))
+    q["extrapolate_inside"] = lambda s, d: _r6(
+        missing.extrapolate(_null_panel(s, d), "both", "inside")
+    )
+    q["list_totally_missing"] = lambda s, d: _ltm_query(s, d)
     q["fill_with_group_and_global_means"] = lambda s, d: _r6(
         missing.fill_with_group_and_global_means(_null_panel(s, d))
     )
@@ -341,6 +345,14 @@ def _tick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = ev.select(P.TIME, P.UNIT, "event").join(ts, [P.TIME, P.UNIT])
     res = temporal.tick_time_since(both, "event", "ts", out="tick")
     return res.select(P.TIME, P.UNIT, "tick")
+
+
+def _ltm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_totally_missing over the null panel plus a planted all-null
+    column; the list result is surfaced as a one-column frame."""
+    df = _null_panel(spark, sf_dir).withColumn("dead", F.lit(None).cast("double"))
+    cols = missing.list_totally_missing(df)
+    return spark.createDataFrame([(c,) for c in cols], schema="col string")
 
 
 def _mice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +951,38 @@ SELECT time_id, unit_id,
          ELSE value END, 6) AS value
 FROM aug
 """
+    o["extrapolate_inside"] = NULL_PANEL_SQL + f""",
+aug AS (
+  SELECT time_id, unit_id, value,
+         min(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id) AS first_t,
+         max(CASE WHEN value IS NOT NULL THEN time_id END) OVER (PARTITION BY unit_id) AS last_t,
+         last_value(value IGNORE NULLS) OVER ({W_UNIT}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(value IGNORE NULLS) OVER ({W_UNIT}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         max(CASE WHEN value IS NOT NULL THEN time_id END) OVER ({W_UNIT}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         min(CASE WHEN value IS NOT NULL THEN time_id END) OVER ({W_UNIT}
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM panel
+)
+SELECT time_id, unit_id,
+       round(CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN time_id > first_t AND time_id < last_t
+              THEN pv + (nv - pv) * (time_id - pt) / (nt - pt)
+         ELSE value END, 6) AS value
+FROM aug
+"""
+    o["list_totally_missing"] = NULL_PANEL_SQL + """,
+aug AS (SELECT *, CAST(NULL AS DOUBLE) AS dead FROM panel),
+counts AS (
+  SELECT 'value' AS col, count(value) AS c FROM aug
+  UNION ALL
+  SELECT 'dead' AS col, count(dead) AS c FROM aug
+)
+SELECT col FROM counts WHERE c = 0
+"""
     o["fill_with_group_and_global_means"] = NULL_PANEL_SQL + """
 SELECT time_id, unit_id,
        round(coalesce(value,
@@ -1020,8 +1064,8 @@ ranked AS (
               + pow(1.0 * (c.time_id - e.te), 2)) AS dist,
          row_number() OVER (
            PARTITION BY c.time_id, c.unit_id
-           ORDER BY sqrt(pow((c.lon - e.elon) * 0.5, 2) + pow((c.lat - e.elat) * 0.5, 2)
-                         + pow(1.0 * (c.time_id - e.te), 2)) ASC NULLS LAST,
+           ORDER BY (pow((c.lon - e.elon) * 0.5, 2) + pow((c.lat - e.elat) * 0.5, 2)
+                     + pow(1.0 * (c.time_id - e.te), 2)) ASC NULLS LAST,
                     e.te, e.ue) AS rn
   FROM cells c LEFT JOIN ev e ON e.te <= c.time_id
 )

@@ -1,0 +1,48 @@
+"""Physical-plan assertions: the scale claims, verified against Catalyst.
+
+These tests pin the *plan shapes* the operators are designed around:
+pushdown reaching the parquet scan, kernel/interaction tables broadcast,
+and chained same-key window ops sharing one shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import make_panel
+from views_transformation_library_spark import plans
+from views_transformation_library_spark.operators import spatial_grid, temporal
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_pushed_to_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") < 5.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert "l_quantity" in plans.pushed_filters(df)
+    rs = plans.read_schema(df)
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_chained_windows_share_one_shuffle(spark):
+    pn = make_panel(spark, [(t, u, 1.0) for t in range(5) for u in range(3)])
+    chained = temporal.moving_average(temporal.delta(temporal.tlag(pn, 1), 1), 3)
+    # tlag -> delta -> moving_average all partition by unit_id: one exchange
+    assert plans.count_exchanges(chained) == 1
+
+
+def test_splag4d_broadcasts_kernel(spark):
+    pn = make_panel(spark, [(1, p, 1.0) for p in [0, 1, 720, 721]])
+    out = spatial_grid.splag4d(pn, 1, 1, 0, 0)
+    assert plans.count_broadcasts(out) >= 1
+
+
+def test_cweq_single_shuffle(spark):
+    pn = make_panel(spark, [(t, u, float(t % 2)) for t in range(6) for u in (1, 2)])
+    out = temporal.cweq(pn, 0)
+    # gaps-and-islands stacks windows over (unit) then (unit, block), but
+    # hash(unit_id) already satisfies ClusteredDistribution(unit_id, block)
+    # -- subset partitioning -- so Catalyst plans ONE exchange total
+    assert plans.count_exchanges(out) == 1

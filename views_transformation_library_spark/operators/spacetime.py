@@ -62,17 +62,21 @@ def spacetime_distances(
     joined = targets.join(
         F.broadcast(events), F.col("__te") <= F.col(TIME), "left"
     )
-    dist = F.sqrt(
+    # rank on squared distance (monotone in distance) so the sqrt runs only
+    # on the k winners per cell, not on every candidate pair
+    dist2 = (
         ((F.col("__lon") - F.col("__elon")) * PGID_TO_DEGREES) ** 2
         + ((F.col("__lat") - F.col("__elat")) * PGID_TO_DEGREES) ** 2
         + (F.lit(float(nu)) * (F.col(TIME) - F.col("__te"))) ** 2
     )
-    joined = joined.withColumn("__dist", dist)
+    joined = joined.withColumn("__dist2", dist2)
     w = Window.partitionBy(TIME, UNIT).orderBy(
-        F.col("__dist").asc_nulls_last(), F.col("__te"), F.col("__ue")
+        F.col("__dist2").asc_nulls_last(), F.col("__te"), F.col("__ue")
     )
-    topk = joined.withColumn("__rn", F.row_number().over(w)).filter(
-        (F.col("__rn") <= k) | F.col("__dist").isNull()
+    topk = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") <= k) | F.col("__dist2").isNull())
+        .withColumn("__dist", F.sqrt("__dist2"))
     )
     if return_values == "distances":
         val = F.avg("__dist")

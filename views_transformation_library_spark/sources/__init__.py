@@ -2,4 +2,12 @@
 the viewser/ingester services, SURVEY.md §1.4); this engine's canonical
 source is Parquet with pushdown-friendly declarative reads."""
 
-from .tables import read_table, read_tables  # noqa: F401
+from .tables import (  # noqa: F401
+    read_csv,
+    read_json,
+    read_parquet,
+    read_stream_parquet,
+    read_table,
+    read_tables,
+    write_parquet,
+)

@@ -1,14 +1,17 @@
-"""Parquet table readers for the driver's star schema (TESTDATA.md).
+"""Sources & sinks.
 
-Plain `spark.read.parquet` so Catalyst keeps predicate pushdown, column
-pruning, and partition pruning. CSV/JSON/JDBC variants are thin wrappers;
-lakehouse formats (Delta/Iceberg) need jars not present in this image and
-are gated behind import-try.
+The reference reads nothing from disk (data arrives from viewser/ingester
+services, SURVEY.md §1.4). This engine's canonical source is Parquet with
+pushdown-friendly declarative reads; CSV/JSON/JDBC are thin wrappers that
+keep explicit schemas (no runaway inference on big data); the sink is
+partitioned Parquet. Lakehouse formats (Delta/Iceberg/Hudi) need jars not
+present in this image and are gated behind import-try.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = [
     "region",
@@ -30,3 +33,82 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV with an explicit schema (inferSchema double-scans the data —
+    avoid on anything large)."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (needs the driver jar on the classpath; partition with
+    partitionColumn/lowerBound/upperBound/numPartitions for parallel reads)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink — partition columns become directory keys so
+    later reads prune by them."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema: StructType | str, **options
+) -> DataFrame:
+    """Streaming parquet source (schema mandatory for streams)."""
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.parquet(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover - env
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:
+        raise NotImplementedError(
+            "Delta Lake jars are not on the classpath in this environment"
+        ) from exc
