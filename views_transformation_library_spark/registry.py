@@ -54,6 +54,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "time_since": temporal.time_since,
     "onset_possible": temporal.onset_possible,
     "onset": temporal.onset,
+    "tick_time_since": temporal.tick_time_since,
     "tlags3d": temporal.tlags3d,
     "temporal_entropy": temporal.temporal_entropy,
     # spatial (§2.4)
