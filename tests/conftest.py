@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pandas as pd
 import pytest
@@ -14,6 +15,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("vtl_spark_tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="vtl_wh_"))
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -39,6 +39,21 @@ def test_splag4d_broadcasts_kernel(spark):
     assert plans.count_broadcasts(out) >= 1
 
 
+def test_bucketed_panel_window_chain_zero_exchanges(spark):
+    from views_transformation_library_spark import panel as P
+
+    pn = make_panel(spark, [(t, u, float(t + u)) for t in range(6) for u in range(4)])
+    P.write_bucketed(pn, "panel_bucketed_test", n_buckets=4)
+    back = P.read_bucketed(spark, "panel_bucketed_test")
+    chained = temporal.moving_average(temporal.tlag(back, 1), 3)
+    # bucketed scan reports HashPartitioning(unit_id): whole chain, no shuffle
+    assert plans.count_exchanges(chained) == 0
+    # and the values are identical to the unbucketed path
+    a = sorted(map(tuple, chained.collect()))
+    b = sorted(map(tuple, temporal.moving_average(temporal.tlag(pn, 1), 3).collect()))
+    assert a == b
+
+
 def test_cweq_single_shuffle(spark):
     pn = make_panel(spark, [(t, u, float(t % 2)) for t in range(6) for u in (1, 2)])
     out = temporal.cweq(pn, 0)

@@ -117,6 +117,20 @@ def epoch_day(ev: DataFrame, ts_col: str = "ts"):
     return F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long")
 
 
+def write_bucketed(df: DataFrame, table: str, n_buckets: int = 32, mode: str = "overwrite") -> None:
+    """Persist a panel bucketed+sorted by the window keys.
+
+    A panel read back from this table carries HashPartitioning(unit_id)
+    from the scan, so every window chain over it runs with ZERO exchanges
+    (pinned in tests/test_plans.py) — the cheap way to amortize the one
+    shuffle across many transform jobs at scale."""
+    df.write.mode(mode).bucketBy(n_buckets, UNIT).sortBy(UNIT, TIME).saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 # DuckDB-side mirror of panel_from_events, used as a CTE prefix by oracle_sql().
 PANEL_SQL = """
 panel_agg AS (
