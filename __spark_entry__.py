@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _embs(s, d), _queries(s, d), k=10, n_planes=6
     )
+    q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _embs(s, d), _queries(s, d), k=10, n_centroids=16, nprobe=4
+    )
 
     # --- beyond-reference: multimodal plumbing (documents as binary)
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(

@@ -156,6 +156,20 @@ def test_embedding_neardup(vectors):
     assert pairs == {(100, 101)}
 
 
+def test_ivf_topk_recall_and_determinism(vectors):
+    from pyspark.sql import functions as FF
+
+    queries = vectors.filter(FF.col("vec_id") == 100)
+    out1 = similarity.ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2)
+    rows1 = sorted((r["neighbor_id"], r["rank"]) for r in out1.collect())
+    # the planted near-dup lands in the same centroid bucket as its twin
+    assert any(nid == 101 and rank == 1 for (nid, rank) in rows1)
+    # deterministic across runs (fixed seed + id-ordered sample)
+    out2 = similarity.ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2)
+    rows2 = sorted((r["neighbor_id"], r["rank"]) for r in out2.collect())
+    assert rows1 == rows2
+
+
 def test_lsh_topk_recall(vectors):
     queries = vectors.filter(F.col("vec_id") == 100)
     out = similarity.lsh_topk(vectors, queries, k=3, n_planes=4).collect()

@@ -18,4 +18,4 @@ __version__ = "0.1.0"
 TIME = "time_id"
 UNIT = "unit_id"
 
-from .registry import REGISTRY, transform  # noqa: E402,F401
+from .registry import REGISTRY, transform, transform_json  # noqa: E402,F401

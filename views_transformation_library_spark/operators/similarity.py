@@ -107,6 +107,100 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     return acc
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a driver-side sample.
+
+    The sample is id-hash based (`vec_id % sample_mod == 0`) so it is
+    reproducible and bounded — at 100 TB you train on ~10^5 sampled vectors,
+    never the full table. Pure numpy (no sklearn dependency); empty clusters
+    keep their previous centroid."""
+    pdf = (
+        vectors.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def _bucket_structs(vec_col: str, centroids: list[list[float]]):
+    """Array of (squared-distance-to-centroid, centroid-id) structs."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d2.alias("d2"), F.lit(i).alias("c")))
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are bucketed by their
+    nearest k-means centroid; each query probes only its `nprobe` nearest
+    buckets. Candidate count drops by ~n_centroids/nprobe at recall < 1.
+
+    Centroids are tiny literals baked into the plan (broadcast by value);
+    bucket assignment is a pure column expression that runs inside the scan
+    — the only join is queries x same-bucket vectors."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vv"),
+        _norm(F.col(vec_col)).alias("__vn"),
+        _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        F.explode(
+            F.transform(
+                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ).alias("__bucket"),
+    )
+    pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
+    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

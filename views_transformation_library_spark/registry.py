@@ -78,6 +78,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
     "lsh_topk": similarity.lsh_topk,
+    "ivf_topk": similarity.ivf_topk,
     "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
     "attach_binary": multimodal.attach_binary,
     "extract_features": multimodal.extract_features,
@@ -93,6 +94,18 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
 
 def register(name: str, fn: Callable[..., DataFrame]) -> None:
     REGISTRY[name] = fn
+
+
+def transform_json(df: DataFrame, spec_json: str) -> DataFrame:
+    """The remote-service surface: an ordered JSON list of steps exactly as
+    the viewser API ships them (`{"type": <name>, "args": [...]}` — reference
+    README.md:27-29), parsed and folded over the frame."""
+    import json
+
+    spec = json.loads(spec_json)
+    if not isinstance(spec, list):
+        raise ValueError("spec must be a JSON list of transform steps")
+    return transform(df, spec)
 
 
 def transform(df: DataFrame, spec: list[dict]) -> DataFrame:
