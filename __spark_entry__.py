@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from views_transformation_library_spark import panel as P
 from views_transformation_library_spark.operators import (
@@ -26,6 +26,7 @@ from views_transformation_library_spark.operators import (
     fourier,
     missing,
     multimodal,
+    relational,
     scalar,
     similarity,
     spacetime,
@@ -265,11 +266,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.attach_binary(_docs(s, d))
     ).select("media_id", "n_bytes", F.round("feat1", 6).alias("feat1"))
 
+    # --- relational surface (§2.5) over the star schema
+    q["tpch_q1"] = lambda s, d: _tpch_q1(s, d)
+    q["sessionize"] = lambda s, d: _sessionize_query(s, d)
+    q["pivot_event_types"] = lambda s, d: _pivot_query(s, d)
+    q["rollup_revenue"] = lambda s, d: _rollup_query(s, d)
+    q["topk_orders_per_customer"] = lambda s, d: _topk_query(s, d)
+
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
         scalar.decay(temporal.time_since(_panel(s, d), value=0), halflife=12.0)
     )
     return q
+
+
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape; money sums go through DECIMAL so they are exact and
+    order-independent on both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    # truncate to microseconds: DuckDB reads the nano-parquet at us precision
+    ev_us = ev.select("user_id", F.expr("ts DIV 1000").alias("ts"))
+    out = relational.sessionize(ev_us, gap_minutes=30, ts_unit="us")
+    return out.select(
+        "unit_id", "session_id", "n_events", F.col("duration_ticks").alias("duration_us")
+    )
+
+
+def _pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    return relational.pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+
+
+def _rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with_dec = li.withColumn("__p", F.col("l_extendedprice").cast("decimal(18,2)"))
+    return relational.rollup_sum(
+        with_dec, ["l_returnflag", "l_linestatus"], "__p", "revenue"
+    ).withColumn("revenue", F.col("revenue").cast("double"))
+
+
+def _topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # deterministic ordering: totalprice desc, then orderkey
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1231,60 @@ SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        round(CASE WHEN length(text) = 0 THEN 0.0 ELSE ord(substr(text, 1, 1)) * 1.0 END, 6) AS feat1
 FROM documents
+"""
+
+    # --- relational surface
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+    o["sessionize"] = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > CAST(30 AS BIGINT) * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+  FROM g
+)
+SELECT user_id AS unit_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       max(tus) - min(tus) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+    o["pivot_event_types"] = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events GROUP BY 1
+"""
+    o["rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+    o["topk_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+  FROM orders
+) WHERE rank <= 3
 """
 
     # flagship

@@ -1,0 +1,48 @@
+"""Relational surface operators (§2.5): sessionization, pivot, rollup, top-k."""
+
+from pyspark.sql import functions as F
+
+from views_transformation_library_spark.operators import relational
+
+
+def test_sessionize_gap_split(spark):
+    m = 60 * 1_000_000_000  # one minute of nanos
+    rows = [
+        (1, 0 * m), (1, 10 * m), (1, 50 * m),   # session 1 (gaps <= 30m... 10m, 40m? )
+        (1, 100 * m),
+        (2, 0 * m),
+    ]
+    # gaps for user 1: 10m (same session), 40m (new), 50m (new)
+    ev = spark.createDataFrame(rows, schema="user_id long, ts long")
+    out = relational.sessionize(ev, gap_minutes=30)
+    got = {(r["unit_id"], r["session_id"]): (r["n_events"], r["duration_ticks"]) for r in out.collect()}
+    assert got[(1, 1)] == (2, 10 * m)
+    assert got[(1, 2)] == (1, 0)
+    assert got[(1, 3)] == (1, 0)
+    assert got[(2, 1)] == (1, 0)
+
+
+def test_pivot_counts(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, schema="k long, t string")
+    out = {r["k"]: (r["a"], r["b"]) for r in relational.pivot_counts(df, "k", "t", ["a", "b"]).collect()}
+    assert out[1] == (2, 1)
+    assert out[2] == (0, 1)
+
+
+def test_rollup_sum(spark):
+    rows = [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 4.0)]
+    df = spark.createDataFrame(rows, schema="a string, b string, v double")
+    out = relational.rollup_sum(df, ["a", "b"], "v", "s").collect()
+    by_key = {(r["a"], r["b"]): r["s"] for r in out}
+    assert by_key[("x", "p")] == 1.0
+    assert by_key[("x", None)] == 3.0  # subtotal
+    assert by_key[(None, None)] == 7.0  # grand total
+
+
+def test_topk_per_group(spark):
+    rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)]
+    df = spark.createDataFrame(rows, schema="g long, v double")
+    out = relational.topk_per_group(df, "g", "v", k=2)
+    got = sorted((r["g"], r["rank"], r["v"]) for r in out.collect())
+    assert got == [(1, 1, 30.0), (1, 2, 20.0), (2, 1, 5.0)]

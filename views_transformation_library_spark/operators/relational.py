@@ -1,0 +1,83 @@
+"""Relational surface (SURVEY.md §2.5).
+
+The reference has no general relational operators, but its shapes (group-by
+aggregates, top-k, rollups, gaps-and-islands) all appear inside its
+transforms — here they are exposed as first-class operators over the star
+schema, each Catalyst-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def _ts_nanos(col):
+    """Events timestamps arrive as nanos-long (panel.read_events); accept
+    either a long or a real timestamp column."""
+    return col
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    ts_unit: str = "ns",
+) -> DataFrame:
+    """Classic sessionization: a new session starts when the gap to the
+    previous event exceeds `gap_minutes`. Gaps-and-islands — the same
+    two-window single-shuffle shape as cweq.
+
+    Returns one row per (user, session): session_id (1-based per user),
+    n_events, duration in ticks + seconds. Works on integer-epoch
+    timestamps; ts_unit ('ns' | 'us') names the tick size (the driver's
+    events table reads as nanos-long via panel.read_events)."""
+    per_sec = NANOS_PER_SEC if ts_unit == "ns" else 1_000_000
+    gap_nanos = gap_minutes * 60 * per_sec
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    with_breaks = events.withColumn(
+        "__new_session",
+        F.when(
+            (F.col(ts_col) - F.lag(ts_col).over(w)) > gap_nanos, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_id", F.sum("__new_session").over(w_cum) + 1
+    )
+    return (
+        with_ids.groupBy(F.col(key_col).alias("unit_id"), "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # integer ticks is the exact value; the seconds column is derived
+            # (float division can land on round-half boundaries)
+            (F.max(ts_col) - F.min(ts_col)).alias("duration_ticks"),
+            ((F.max(ts_col) - F.min(ts_col)) / per_sec).alias("duration_secs"),
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame, key_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for distinct
+    pivot values on big data — that is an extra job)."""
+    return df.groupBy(key_col).pivot(pivot_col, values).count().na.fill(0)
+
+
+def rollup_sum(df: DataFrame, group_cols: list[str], agg_col: str, out: str) -> DataFrame:
+    """ROLLUP aggregate — subtotals per prefix of group_cols plus a grand
+    total (NULL group keys mark the subtotal rows, SQL-standard)."""
+    return df.rollup(*group_cols).agg(F.sum(agg_col).alias(out))
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, ascending: bool = False
+) -> DataFrame:
+    """Top-k rows per group via ROW_NUMBER (deterministic: ties broken by
+    the ordering column then arbitrary stable columns supplied by caller)."""
+    ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(group_col).orderBy(ob)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -19,6 +19,7 @@ from .operators import (
     fourier,
     missing,
     multimodal,
+    relational,
     scalar,
     similarity,
     spacetime,
@@ -65,6 +66,11 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "temporal_tree_lag": trees.temporal_tree_lag,
     "spatial_tree_lag": trees.spatial_tree_lag,
     "grid_lag": trees.grid_lag,
+    # relational surface (§2.5)
+    "sessionize": relational.sessionize,
+    "pivot_counts": relational.pivot_counts,
+    "rollup_sum": relational.rollup_sum,
+    "topk_per_group": relational.topk_per_group,
     # beyond-reference: text analysis / dedup / similarity / multimodal
     "token_count": text.token_count,
     "lang_id": text.lang_id,
