@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pivot_event_types"] = lambda s, d: _pivot_query(s, d)
     q["rollup_revenue"] = lambda s, d: _rollup_query(s, d)
     q["topk_orders_per_customer"] = lambda s, d: _topk_query(s, d)
+    q["asof_join_orders"] = lambda s, d: _asof_query(s, d)
 
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
@@ -336,6 +337,39 @@ def _topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the customer's latest order at or before the
+    event time (microsecond precision on both engines)."""
+    ev = P.read_events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.expr("ts DIV 1000").alias("ets"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rd = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            # o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+            # cast matches DuckDB's naive epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ots"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("k", "ots").orderBy(F.col("o_orderkey").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = relational.asof_join(ev, rd, "k", "ets", "ots", ["o_orderkey", "o_totalprice"])
+    return out.select(
+        "event_id", F.col("k").alias("user_id"), "o_orderkey", "o_totalprice"
     )
 
 
@@ -1285,6 +1319,19 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
   FROM orders
 ) WHERE rank <= 3
+"""
+
+    o["asof_join_orders"] = """
+WITH r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS ots, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
+SELECT l.event_id, l.user_id, rd.o_orderkey, rd.o_totalprice
+FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
 """
 
     # flagship

@@ -40,6 +40,23 @@ def test_rollup_sum(spark):
     assert by_key[(None, None)] == 7.0  # grand total
 
 
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50)],
+        schema="id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 250, "c"), (20, 60, "d")],
+        schema="k long, ts long, tag string",
+    )
+    out = relational.asof_join(
+        left, right.withColumnRenamed("ts", "rts"), "k", "ts", "rts", ["tag"]
+    )
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    # ts=100 matches the rts=100 row (inclusive); 205 -> b; 300 -> c; 50 -> none
+    assert got == {1: "a", 2: "b", 3: "c", 4: None}
+
+
 def test_topk_per_group(spark):
     rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)]
     df = spark.createDataFrame(rows, schema="g long, v double")

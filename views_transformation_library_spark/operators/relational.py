@@ -73,6 +73,58 @@ def rollup_sum(df: DataFrame, group_cols: list[str], agg_col: str, out: str) -> 
     return df.rollup(*group_cols).agg(F.sum(agg_col).alias(out))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row of the
+    same key with right_ts <= left_ts (a native operator Spark lacks;
+    DuckDB/kdb call it ASOF JOIN).
+
+    Union-trick implementation — exact and single-shuffle: tag both sides,
+    sort (key, ts, side) with right rows first at equal ts (inclusive <=),
+    then carry the right payload forward with last(ignorenulls) and keep the
+    left rows. Scales as a window over |left| + |right| rows — no range-join
+    blowup, no per-key loops. Right side should be unique per (key, ts);
+    otherwise which duplicate wins is partition-order dependent.
+    """
+    lk = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+    )
+    rk = right.select(
+        F.col(key_col).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("__lrow"),
+        *right_cols,
+    )
+    unioned = lk.unionByName(rk)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__side",
+        "__lrow",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *right_cols
+    )
+
+
 def topk_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, ascending: bool = False
 ) -> DataFrame:

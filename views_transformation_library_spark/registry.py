@@ -71,6 +71,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "pivot_counts": relational.pivot_counts,
     "rollup_sum": relational.rollup_sum,
     "topk_per_group": relational.topk_per_group,
+    "asof_join": relational.asof_join,
     # beyond-reference: text analysis / dedup / similarity / multimodal
     "token_count": text.token_count,
     "lang_id": text.lang_id,
