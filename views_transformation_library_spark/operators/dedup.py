@@ -113,24 +113,17 @@ def shingle_int_expr(shingle_col: str):
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 24, seed: int = 42
 ) -> DataFrame:
-    """(doc, j, minhash) signature table: min over shingles of
-    (a_j * x + b_j) mod P. Explode over j via a small literal array; one
-    groupBy(doc, j)."""
+    """Wide signature table (doc, mh_0..mh_{H-1}): min over shingles of
+    (a_j * x + b_j) mod P, all H minimums computed in ONE hash aggregate —
+    no j-explode (which would shuffle |shingles| x H rows), columnar
+    whole-stage codegen throughout."""
     params = minhash_params(n_hashes, seed)
     hashed = sh.select("doc", shingle_int_expr("shingle").alias("x"))
-    exprs = F.array(
+    return hashed.groupBy("doc").agg(
         *[
-            F.struct(
-                F.lit(j).alias("j"),
-                ((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias("h"),
-            )
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
             for j, (a, b) in enumerate(params)
         ]
-    )
-    return (
-        hashed.select("doc", F.explode(exprs).alias("jh"))
-        .groupBy("doc", F.col("jh.j").alias("j"))
-        .agg(F.min("jh.h").alias("mh"))
     )
 
 
@@ -151,18 +144,23 @@ def minhash_lsh_pairs(
     r = n_hashes // bands
     sh = _shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, n_hashes, seed)
-    band_sig = (
-        sig.withColumn("band", (F.col("j") / r).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s.mh
-                ),
-            ).alias("sig")
-        )
-    )
+    # band signatures straight off the wide row: no second shuffle
+    band_sig = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     left = band_sig.select(F.col("doc").alias("a"), "band", "sig")
     right = band_sig.select(F.col("doc").alias("b"), "band", "sig")
     cand = (

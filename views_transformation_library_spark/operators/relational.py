@@ -13,12 +13,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 NANOS_PER_SEC = 1_000_000_000
 
 
-def _ts_nanos(col):
-    """Events timestamps arrive as nanos-long (panel.read_events); accept
-    either a long or a real timestamp column."""
-    return col
-
-
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
