@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    q["dedup_clusters"] = lambda s, d: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5, max_doc_freq=1000)
+    )
+    q["token_count_bpe"] = lambda s, d: text.token_count_bpe(_docs(s, d)).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
 
@@ -1212,6 +1218,21 @@ FROM documents GROUP BY 1
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
+    o["dedup_clusters"] = _ngram_sql(3, 1000).replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """,
+dpairs AS (SELECT a, b FROM jacc WHERE jac >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM dpairs UNION SELECT b AS src, a AS dst FROM dpairs),
+cc AS (
+  SELECT DISTINCT src AS node, src AS comp FROM edges
+  UNION
+  SELECT e.src AS node, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
+)
+SELECT node, min(comp) AS component FROM cc GROUP BY node
+"""
+    o["token_count_bpe"] = (
+        r"SELECT doc_id, len(regexp_extract_all(text, '"
+        + r"''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$|\s+"
+        + r"'))::BIGINT AS n_bpe_tokens FROM documents"
+    )
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

@@ -104,6 +104,30 @@ def test_minhash_candidates_subset_of_exact(spark):
     assert (0, 100) in lsh  # exact dup always found
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair (10,11), isolated pair (20,30): three clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 30)], schema="a long, b long"
+    )
+    out = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 20}
+
+
+def test_dedup_clusters_end_to_end(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    out = {r["node"]: r["component"] for r in comps.collect()}
+    # docs 1, 2, 3 form one near-dup cluster with keeper 1
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+
+
+def test_token_count_bpe(docs):
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in text.token_count_bpe(docs).collect()}
+    assert out[7] == 0
+    assert out[1] >= 11  # at least one token per word
+    assert out[6] > 0  # punctuation runs count
+
+
 def test_simhash_identical_and_distance(docs):
     sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sig[1] == sig[2]

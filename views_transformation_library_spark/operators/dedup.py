@@ -187,6 +187,50 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair graph: each node labeled with
+    the minimum id reachable from it (the cluster's canonical keeper).
+
+    Iterated min-label propagation: each round joins every node's label with
+    its neighbours' labels and takes the min; converges in O(diameter)
+    rounds (dup clusters are shallow — a handful of rounds in practice),
+    checked via a driver-side fixpoint count per round. All set-based —
+    works on billions of pairs; no GraphFrames dependency.
+
+    Returns (node, component) for every node appearing in pairs.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "__old"), "node")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -31,6 +31,18 @@ def token_count(df: DataFrame, col: str = "text", out: str = "n_tokens") -> Data
     return df.withColumn(out, F.regexp_count(F.col(col), F.lit(r"\S+")))
 
 
+# GPT-2-style pretokenizer pattern (public regex family): contractions,
+# letter runs, digit runs, punctuation runs, trailing whitespace
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$|\s+"
+
+
+def token_count_bpe(df: DataFrame, col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Subword-ish token count with a BPE-style pretokenizer regex — the
+    cheap stand-in for an exact tokenizer when budgeting LLM training data.
+    Pure regexp_count, runs at scan speed."""
+    return df.withColumn(out, F.regexp_count(F.col(col), F.lit(BPE_PATTERN)))
+
+
 def _stopword_hits(col: Column, words: list[str]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.regexp_count(F.lower(col), F.lit(pat))

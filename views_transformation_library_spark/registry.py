@@ -81,6 +81,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "exact_dedup": dedup.exact_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "connected_components": dedup.connected_components,
+    "token_count_bpe": text.token_count_bpe,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
