@@ -1,0 +1,177 @@
+"""Differential tests for the TREE WALKS against the reference classes.
+
+The tiling/conservation invariants in test_trees.py cannot distinguish a
+wrong-but-tiling walk from the reference's walk; this suite runs the actual
+reference TemporalTree / SpatialTree (loaded with a minimal injected
+`utilities` stub — the real module needs ingester3/xarray, absent here) and
+asserts the selected node sets and weights match our driver-side geometry
+exactly.
+"""
+
+import importlib.util
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from views_transformation_library_spark.operators import trees
+
+REF_DIR = "/root/reference/views_transformation_library"
+
+
+def _build_stub_utilities():
+    """Minimal reimplementation of the three utilities the tree classes use
+    (documented contracts: sorted unique key axes + (time, unit, feature)
+    tensor reshape of a complete panel)."""
+    stub = types.ModuleType("views_transformation_library.utilities")
+
+    def _map_times(df):
+        times = sorted({idx[0] for idx in df.index.values})
+        return times, {t: i for i, t in enumerate(times)}, dict(enumerate(times))
+
+    def _map_features(df):
+        return list(df.columns)
+
+    def _map_pgids_1d(df):
+        pgids = sorted({idx[1] for idx in df.index.values})
+        return pgids, {p: i for i, p in enumerate(pgids)}, dict(enumerate(pgids))
+
+    def _df_to_tensor_strides(df):
+        times, _, _ = _map_times(df)
+        pgids, _, _ = _map_pgids_1d(df)
+        return (
+            df.sort_index().to_numpy().reshape(len(times), len(pgids), len(df.columns))
+        )
+
+    def _map_pgids_2d(df):
+        PG_STRIDE = 720
+        pgids = np.sort(np.array(list({idx[1] for idx in df.index.values})))
+        longitudes = pgids % PG_STRIDE
+        latitudes = pgids // PG_STRIDE
+        longrange = longitudes.max() - longitudes.min()
+        latrange = latitudes.max() - latitudes.min()
+        longitudes = longitudes - longitudes.min()
+        latitudes = latitudes - latitudes.min()
+        maxsize = max(longrange, latrange)
+        power = 1 + int(np.log2(maxsize))
+        ncells = 2**power
+        inudgelong = int((ncells - longitudes.max()) / 2)
+        inudgelat = int((ncells - latitudes.max()) / 2)
+        longitudes = longitudes + inudgelong
+        latitudes = latitudes + inudgelat
+        pgid_to_longlat, longlat_to_pgid = {}, {}
+        pgid_to_index, index_to_pgid = {}, {}
+        for i, p in enumerate(pgids):
+            pgid_to_longlat[p] = (longitudes[i], latitudes[i])
+            longlat_to_pgid[(longitudes[i], latitudes[i])] = p
+            pgid_to_index[p] = i
+            index_to_pgid[i] = p
+        return pgids, pgid_to_longlat, longlat_to_pgid, pgid_to_index, index_to_pgid, ncells, power
+
+    stub._map_times = _map_times
+    stub._map_features = _map_features
+    stub._map_pgids_1d = _map_pgids_1d
+    stub._df_to_tensor_strides = _df_to_tensor_strides
+    stub._df_to_tensor_no_strides = _df_to_tensor_strides
+    stub._map_pgids_2d = _map_pgids_2d
+    return stub
+
+
+def _load(name):
+    pkg = types.ModuleType("views_transformation_library")
+    pkg.__path__ = [REF_DIR]
+    sys.modules.setdefault("views_transformation_library", pkg)
+    sys.modules["views_transformation_library.utilities"] = _build_stub_utilities()
+    spec = importlib.util.spec_from_file_location(
+        f"views_transformation_library.{name}", f"{REF_DIR}/{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ref_tt = ref_st = None
+if os.path.exists(REF_DIR):
+    try:
+        ref_tt = _load("temporal_tree")
+        ref_st = _load("spatial_tree")
+    except Exception:
+        pass
+
+pytestmark = pytest.mark.skipif(ref_tt is None, reason="reference trees not importable")
+
+
+def _panel(times, pgids, seed=1):
+    rng = np.random.RandomState(seed)
+    idx = pd.MultiIndex.from_product([times, pgids], names=["month", "pgid"])
+    return pd.DataFrame({"ged": rng.rand(len(idx))}, index=idx)
+
+
+@pytest.mark.parametrize("thetacrit", [0.3, 0.7, 1.5])
+def test_temporal_walk_matches_reference(thetacrit):
+    times = list(range(100, 131))
+    df = _panel(times, [1, 2])
+    rtree = ref_tt.TemporalTree()
+    rtree.build_tree(df)
+    rtree.stock_initial(df, True)
+    geo = trees.TemporalTreeGeometry(times)
+    for tnow in times[:-1]:
+        ref_nodes = rtree.walk(tnow, thetacrit)
+        ref_intervals = sorted((rtree.nodes[n].start, rtree.nodes[n].end) for n in ref_nodes)
+        my_nodes = geo.walk(tnow, thetacrit)
+        my_intervals = sorted((geo.nodes[n].start, geo.nodes[n].end) for n in my_nodes)
+        assert my_intervals == ref_intervals, (tnow, thetacrit)
+
+
+@pytest.mark.parametrize("fn", ["uniform", "oneovert", "sigmoid", "expon", "ramp"])
+def test_temporal_weights_match_reference(fn):
+    times = list(range(50, 71))
+    df = _panel(times, [7])
+    rtree = ref_tt.TemporalTree()
+    rtree.build_tree(df)
+    rtree.stock_initial(df, True)
+    geo = trees.TemporalTreeGeometry(times)
+    sigma = 5.0
+    for tnow in times[:-1]:
+        ref_nodes = rtree.walk(tnow, 0.8)
+        ref_w = rtree.weight_functions[fn](ref_nodes, tnow, sigma)
+        ref_by_interval = {
+            (rtree.nodes[n].start, rtree.nodes[n].end): w for n, w in zip(ref_nodes, ref_w)
+        }
+        my_nodes = geo.walk(tnow, 0.8)
+        for nid in my_nodes:
+            n = geo.nodes[nid]
+            got = geo.weight(fn, nid, tnow, sigma)
+            assert got == pytest.approx(ref_by_interval[(n.start, n.end)]), (fn, tnow)
+
+
+@pytest.mark.parametrize("thetacrit,dopt", [(0.5, 0), (0.9, 1), (1.5, 2)])
+def test_spatial_interactions_match_reference(thetacrit, dopt):
+    pgids = [lat * 720 + lon for lat in range(6) for lon in range(6)]
+    df = _panel([1, 2], pgids, seed=3)
+    rtree = ref_st.SpatialTree()
+    rtree.build_tree(df)
+    rtree.stock(df)
+    dfun = ref_st.get_dfunctions(dopt)
+    rtree.walk(thetacrit, dfun)
+    fname = list(dfun.keys())[0]
+    geo = trees.SpatialTreeGeometry(pgids)
+    mine = {}
+    for (p, lvl, bx, by, w) in geo.interactions(thetacrit, dopt):
+        size = geo.ncells >> lvl
+        centre = (bx * size + size / 2.0, by * size + size / 2.0)
+        mine.setdefault(p, {})[centre] = w
+    for p in pgids:
+        ref_list = rtree.interaction_lists[p]
+        ref_weights = rtree.interaction_weights[p]
+        ref_by_centre = {
+            tuple(rtree.nodes[n].centre): ref_weights[n][fname] for n in ref_list
+        }
+        got = mine.get(p, {})
+        assert set(got) == set(ref_by_centre), p
+        for c, w in ref_by_centre.items():
+            assert got[c] == pytest.approx(w), (p, c)
