@@ -194,6 +194,33 @@ def test_ivf_topk_recall_and_determinism(vectors):
     assert rows1 == rows2
 
 
+def test_zero_norm_vector_does_not_crash(spark):
+    # ANSI mode is on by default in Spark 4: unguarded /0 would throw
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 1")
+    out = similarity.cosine_topk(df, q, k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {3}  # zero-norm vec 2 dropped
+    pairs = similarity.embedding_neardup_pairs(df, threshold=-1.0).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 3)}
+
+
+def test_minhash_band_validation(docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=16)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, n_hashes=24, bands=5)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 6-node chain needs ~5 rounds; max_iters=2 must raise, not lie
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], schema="a long, b long"
+    )
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(pairs, max_iters=2)
+
+
 def test_lsh_topk_recall(vectors):
     queries = vectors.filter(F.col("vec_id") == 100)
     out = similarity.lsh_topk(vectors, queries, k=3, n_planes=4).collect()

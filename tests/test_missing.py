@@ -120,6 +120,13 @@ def test_fill_groups_with_time_means(gappy):
     assert by_key[(2, 1)] is None
 
 
+def test_fill_rejects_bad_arguments(spark, gappy):
+    with pytest.raises(ValueError):
+        missing.fill(gappy, limit_direction="foward")  # typo must not mean 'both'
+    with pytest.raises(ValueError):
+        missing.extrapolate(gappy, limit_area="insid")
+
+
 def test_impute_mice_gated(spark):
     rows = [(t, 1, float(t) if t % 2 else None, float(t)) for t in range(1, 9)]
     df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))

@@ -57,6 +57,18 @@ def test_asof_join(spark):
     assert got == {1: "a", 2: "b", 3: "c", 4: None}
 
 
+def test_asof_join_null_payload_not_mixed(spark):
+    # matched right row has a NULL field: must NOT inherit the field from an
+    # earlier right row (atomic struct carry)
+    left = spark.createDataFrame([(1, 10, 300)], schema="id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(10, 100, 5.0, None), (10, 200, None, 7.0)],
+        schema="k long, rts long, x double, y double",
+    )
+    out = relational.asof_join(left, right, "k", "ts", "rts", ["x", "y"]).collect()[0]
+    assert out["x"] is None and out["y"] == 7.0  # the ts=200 row, verbatim
+
+
 def test_topk_per_group(spark):
     rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)]
     df = spark.createDataFrame(rows, schema="g long, v double")

@@ -141,6 +141,10 @@ def minhash_lsh_pairs(
     jaccard >= τ). Integer-exact end-to-end, so results are deterministic
     and reproducible across engines. rows = bands per doc after banding;
     candidate generation is an equi-join on (band, signature)."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
+        )
     r = n_hashes // bands
     sh = _shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, n_hashes, seed)
@@ -209,6 +213,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -227,7 +232,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "(a duplicate cluster has a longer diameter); raise max_iters"
+        )
     return labels
 
 

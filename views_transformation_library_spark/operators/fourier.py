@@ -87,9 +87,20 @@ def fourier_lag(
     feats = feature_cols(df)
     schema = f"{TIME} long, {UNIT} long, " + ", ".join(f"{c} double" for c in feats)
 
+    # ONE global embedding from the panel's full unit set (mirrors the
+    # reference's single _map_pgids_2d) — a per-slice embedding would give
+    # slices with differing unit sets different box sizes/offsets and
+    # silently incomparable phi values. Driver-side work is bounded by the
+    # distinct-unit axis (<= 259,200 on the global grid).
+    all_units = np.array(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    glons, glats, ncells = _embedding(all_units % stride, all_units // stride)
+    lon_off = int(glons[0] - (all_units[0] % stride))
+    lat_off = int(glats[0] - (all_units[0] // stride))
+
     def solve_time_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         units = pdf[UNIT].to_numpy()
-        lons, lats, ncells = _embedding(units % stride, units // stride)
+        lons = units % stride + lon_off
+        lats = units // stride + lat_off
         out = {TIME: pdf[TIME].to_numpy(), UNIT: units}
         for c in feats:
             grid = np.zeros((ncells, ncells))

@@ -88,6 +88,15 @@ def _bfill(c: str):
     return F.first(c, ignorenulls=True).over(_w_fut())
 
 
+def _validate_limits(limit_direction: str, limit_area: str | None) -> None:
+    if limit_direction not in ("forward", "backward", "both"):
+        raise ValueError(
+            f"limit_direction must be forward|backward|both, got {limit_direction!r}"
+        )
+    if limit_area not in (None, "inside", "outside"):
+        raise ValueError(f"limit_area must be None|inside|outside, got {limit_area!r}")
+
+
 def fill(
     df: DataFrame,
     limit_direction: str = "both",
@@ -106,6 +115,7 @@ def fill(
     leading edge and ffills the trailing edge regardless of direction
     (`missing.py:116-121`).
     """
+    _validate_limits(limit_direction, limit_area)
     cols = cols or feature_cols(df)
     out = df
     w_unit_all = Window.partitionBy(UNIT)
@@ -150,6 +160,7 @@ def extrapolate(
     take the nearest valid value (no slope extrapolation); direction/area
     limits restrict which NaNs may be filled.
     """
+    _validate_limits(limit_direction, limit_area)
     cols = cols or feature_cols(df)
     out = df
     w_unit_all = Window.partitionBy(UNIT)

@@ -81,17 +81,20 @@ def asof_join(
 
     Union-trick implementation — exact and single-shuffle: tag both sides,
     sort (key, ts, side) with right rows first at equal ts (inclusive <=),
-    then carry the right payload forward with last(ignorenulls) and keep the
+    then carry the right payload forward atomically (one struct, so NULL
+    fields in a matched right row never mix with earlier rows) and keep the
     left rows. Scales as a window over |left| + |right| rows — no range-join
     blowup, no per-key loops. Right side should be unique per (key, ts);
     otherwise which duplicate wins is partition-order dependent.
     """
+    rtypes = dict(right.dtypes)
+    rrow_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
     lk = left.select(
         F.col(key_col).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     rk = right.select(
         F.col(key_col).alias("__k"),
@@ -100,7 +103,9 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__lrow"),
-        *right_cols,
+        # the whole right payload travels as ONE struct so NULL fields inside
+        # a matched row never mix with fields from earlier rows
+        F.struct(*right_cols).alias("__rrow"),
     )
     unioned = lk.unionByName(rk)
     w = (
@@ -111,11 +116,12 @@ def asof_join(
     carried = unioned.select(
         "__side",
         "__lrow",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
     out = carried.filter(F.col("__side") == 1)
     return out.select(
-        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *right_cols
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],
     )
 
 

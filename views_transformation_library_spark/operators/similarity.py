@@ -36,6 +36,22 @@ def _norm(a):
     )
 
 
+def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared scoring/ranking tail for the top-k variants: 6dp-rounded
+    cosine (so rank ties are deterministic, broken by neighbor_id), with the
+    norm product nullif-guarded — a zero-norm vector yields NULL cosine and
+    is dropped rather than raising DIVIDE_BY_ZERO under ANSI mode (the
+    default in Spark 4)."""
+    cos = _dot(F.col("__qv"), F.col("__vv")) / F.nullif(
+        F.col("__qn") * F.col("__vn"), F.lit(0.0)
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -48,7 +64,8 @@ def cosine_topk(
     small -> broadcast; the big side streams through one pass.
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k by
-    (cosine desc, neighbor_id) on 6dp-rounded cosine."""
+    (cosine desc, neighbor_id) on 6dp-rounded cosine; zero-norm vectors are
+    excluded (undefined cosine)."""
     # norms precomputed per vector (once), not per pair
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -61,13 +78,7 @@ def cosine_topk(
         _norm(F.col(vec_col)).alias("__vn"),
     )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
-    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_and_rank(pairs, k)
 
 
 def embedding_neardup_pairs(
@@ -85,7 +96,10 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), _norm(F.col(vec_col)).alias("__nb")
     )
     pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    # nullif: zero-norm vectors have undefined cosine -> NULL -> filtered
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return pairs.select("a", "b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -165,6 +179,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are bucketed by their
     nearest k-means centroid; each query probes only its `nprobe` nearest
@@ -172,10 +187,16 @@ def ivf_topk(
 
     Centroids are tiny literals baked into the plan (broadcast by value);
     bucket assignment is a pure column expression that runs inside the scan
-    — the only join is queries x same-bucket vectors."""
+    — the only join is queries x same-bucket vectors.
+
+    At scale, EITHER pass pretrained `centroids` OR set `sample_mod` so the
+    k-means training sample (vec_id % sample_mod == 0) stays bounded — the
+    default of 1 trains on every vector, which is only sane for small
+    tables."""
     if centroids is None:
         centroids = train_ivf_centroids(
-            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+            sample_mod=sample_mod,
         )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -195,10 +216,7 @@ def ivf_topk(
         ).alias("__bucket"),
     )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
-    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_and_rank(pairs, k)
 
 
 def lsh_topk(
@@ -228,7 +246,4 @@ def lsh_topk(
         lsh_bucket_expr(vec_col, planes).alias("__bucket"),
     )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__vv")) / (F.col("__qn") * F.col("__vn"))
-    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_and_rank(pairs, k)

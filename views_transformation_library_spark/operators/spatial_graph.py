@@ -120,8 +120,13 @@ def splag_country(
             "w", F.coalesce(F.col("dist") ** F.lit(float(kernel_power)), F.lit(0.0))
         )
     if norm_kernel:
+        # nullif: an all-zero weight ring (coincident centroids with power>0)
+        # yields NULL weights -> 0 contribution, instead of raising
+        # DIVIDE_BY_ZERO under ANSI mode
         ring = ring.withColumn(
-            "w", F.col("w") / F.sum("w").over(Window.partitionBy("month_id", "c"))
+            "w",
+            F.col("w")
+            / F.nullif(F.sum("w").over(Window.partitionBy("month_id", "c")), F.lit(0.0)),
         )
     # join neighbour values: value rows keyed (month, n_id); inf guard -> 0
     vals = df.select(

@@ -21,10 +21,6 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def _tokens(col: Column) -> Column:
-    return F.regexp_extract_all(F.lower(col), F.lit(r"\S+"), 0)
-
-
 def token_count(df: DataFrame, col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count. `regexp_count` of non-space runs — empty and
     all-space strings yield 0."""

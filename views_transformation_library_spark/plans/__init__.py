@@ -21,11 +21,13 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle exchanges in the physical plan (broadcast exchanges excluded)."""
+    """Shuffle exchanges in the physical plan (broadcast exchanges excluded).
+
+    Substring count, not line-anchored: plan trees prefix left-branch nodes
+    with ':' characters, which a '^\\s*[+-]' anchor misses (that bug made a
+    2-exchange join plan count as 1)."""
     plan = physical_plan(df)
-    return len(re.findall(r"^\s*\+?-?\s*Exchange hashpartitioning", plan, re.M)) + len(
-        re.findall(r"^\s*\+?-?\s*Exchange rangepartitioning", plan, re.M)
-    )
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
 
 
 def count_broadcasts(df: DataFrame) -> int:
