@@ -776,12 +776,20 @@ sig AS (
 )
 """
 
+# norms and dots via sequential list folds (list_sum over an index
+# comprehension) — identical accumulation order to Spark's zip_with fold,
+# so values are bit-identical; a hash-agg SUM would be partition-order
+# dependent and could straddle the rounding boundary
+_DOT = (
+    "list_sum([{a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE "
+    "for i in generate_series(1, len({a}.embedding))])"
+)
 _COSINE_COMP_SQL = """
-WITH ex AS (
-  SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings
-),
-comp AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM ex),
-nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM comp GROUP BY 1)
+WITH nrm AS (
+  SELECT vec_id,
+         sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
+  FROM embeddings
+)
 """
 
 
@@ -1298,34 +1306,32 @@ ham AS (SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand)
 SELECT a, b, hamming FROM ham WHERE hamming <= 3
 """
     # --- beyond-reference: similarity
-    o["cosine_topk"] = _COSINE_COMP_SQL + """,
-qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
-dots AS (
-  SELECT q.qid, c2.vec_id AS nid, sum(cq.x * c2.x) AS dp
-  FROM qs q
-  JOIN comp cq ON cq.vec_id = q.qid
-  JOIN comp c2 ON c2.i = cq.i AND c2.vec_id != q.qid
-  GROUP BY 1, 2
-),
+    o["cosine_topk"] = _COSINE_COMP_SQL + f""",
 scored AS (
-  SELECT qid AS query_id, nid AS neighbor_id, round(dp / (na.nv * nb.nv), 6) AS cosine
-  FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = nid
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round({_DOT.format(a='q', b='v')}
+               / nullif(nq.nv * nv2.nv, 0.0), 6) AS cosine
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id != q.vec_id
+  JOIN nrm nq ON nq.vec_id = q.vec_id
+  JOIN nrm nv2 ON nv2.vec_id = v.vec_id
+  WHERE q.vec_id % 50 = 0
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
-    o["embedding_neardup"] = _COSINE_COMP_SQL + """,
-dots AS (
-  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dp
-  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
-),
+    o["embedding_neardup"] = _COSINE_COMP_SQL + f""",
 scored AS (
-  SELECT a, b, round(dp / (na.nv * nb.nv), 6) AS cosine
-  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round({_DOT.format(a='a', b='b')}
+               / nullif(na.nv * nb.nv, 0.0), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
 )
 SELECT a, b, cosine FROM scored WHERE cosine >= 0.45
 """
