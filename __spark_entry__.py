@@ -1202,17 +1202,35 @@ FROM panel p
 LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) = 1
 GROUP BY 1, 2
 """
-    o["splag_country_ring2"] = PSQL + """
-SELECT p.time_id, p.unit_id, round(coalesce(sum(v.value), 0.0), 6) AS value
+    # 2-hop reachability on the chain graph requires the intermediate unit
+    # to exist in the panel (the Spark side builds edges only between
+    # existing ids); units are currently gapless so the EXISTS is a no-op,
+    # but the oracle should not silently assume that. EXISTS cannot sit in
+    # a LEFT JOIN condition in DuckDB -> inner ring + WHERE, joined back.
+    ring2_cte = """,
+ring AS (
+  SELECT p.time_id AS t, p.unit_id AS u, v.value AS nv,
+         abs(v.unit_id - p.unit_id) AS d, v.unit_id AS n
+  FROM panel p
+  JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) IN (1, 2)
+),
+valid AS (
+  SELECT * FROM ring r
+  WHERE d = 1 OR EXISTS (
+    SELECT 1 FROM panel m WHERE m.time_id = r.t AND m.unit_id = (r.u + r.n) // 2
+  )
+)
+"""
+    o["splag_country_ring2"] = PSQL + ring2_cte + """
+SELECT p.time_id, p.unit_id, round(coalesce(sum(va.nv), 0.0), 6) AS value
 FROM panel p
-LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) IN (1, 2)
+LEFT JOIN valid va ON va.t = p.time_id AND va.u = p.unit_id
 GROUP BY 1, 2
 """
-    o["splag_country_weighted"] = PSQL + """
-SELECT p.time_id, p.unit_id,
-       round(coalesce(sum(v.value * abs(v.unit_id - p.unit_id)), 0.0), 6) AS value
+    o["splag_country_weighted"] = PSQL + ring2_cte + """
+SELECT p.time_id, p.unit_id, round(coalesce(sum(va.nv * va.d), 0.0), 6) AS value
 FROM panel p
-LEFT JOIN panel v ON v.time_id = p.time_id AND abs(v.unit_id - p.unit_id) IN (1, 2)
+LEFT JOIN valid va ON va.t = p.time_id AND va.u = p.unit_id
 GROUP BY 1, 2
 """
     st_cells = f""",
@@ -1339,7 +1357,9 @@ SELECT a, b, cosine FROM scored WHERE cosine >= 0.45
     o["multimodal_features"] = """
 SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
-       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE ord(substr(text, 1, 1)) * 1.0 END, 6) AS feat1
+       round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) * 1.0
+             END, 6) AS feat1
 FROM documents
 """
 

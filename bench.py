@@ -56,14 +56,23 @@ def main():
     spark.read.parquet(f"{sf_dir}/events.parquet").count()  # parquet reader + fs cache
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    from pyspark.sql import functions as F
+
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # checksum EVERY output column: a bare count() would let Catalyst
+        # prune the very window/projection expressions being benchmarked,
+        # timing only the shared scan + panel build
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("checksum"),  # overflow-free
+        ).collect()[0]
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({row['n']} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -205,6 +205,12 @@ def test_zero_norm_vector_does_not_crash(spark):
     assert {(r["a"], r["b"]) for r in pairs} == {(1, 3)}
 
 
+def test_lsh_and_ivf_empty_vectors(spark):
+    empty = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    assert similarity.lsh_topk(empty, empty, k=3).count() == 0
+    assert similarity.ivf_topk(empty, empty, k=3).count() == 0
+
+
 def test_minhash_band_validation(docs):
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=16)

@@ -74,6 +74,22 @@ def test_temporal_tree_weighted_brute_force(spark):
             assert out[t] == pytest.approx(expected.get(t, 0.0)), (fn, t)
 
 
+def test_temporal_tree_rejects_gapped_time_axis(spark):
+    # cum-diff interval sums are only valid on a gapless axis; a gap must
+    # raise (not silently produce corrupt interval sums)
+    rows = [(t, 1, 1.0) for t in [1, 2, 4, 5]]
+    df = make_panel(spark, rows)
+    with pytest.raises(ValueError, match="gapless"):
+        trees.temporal_tree_lag(df, 0.7, "uniform")
+
+
+def test_spatial_tree_single_unit_all_zero(spark):
+    # only leaf is the excluded self -> empty interaction set -> zeros
+    df = make_panel(spark, [(1, 721, 5.0), (2, 721, 7.0)])
+    out = collect_panel(trees.spatial_tree_lag(df, 1e-9, 0))
+    assert [(u, v) for (u, _, v) in out] == [(721, 0.0), (721, 0.0)]
+
+
 def test_temporal_tree_multiple_weight_functions(spark):
     times = list(range(5, 14))
     rows = [(t, 1, 1.0) for t in times]

@@ -21,11 +21,7 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from views_transformation_library_spark.session import get_spark
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from views_transformation_library_spark.sources.tables import TABLES
 
 
 def norm_cell(v):

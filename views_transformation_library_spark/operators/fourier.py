@@ -52,7 +52,7 @@ def _solve_slice_3d(grid: np.ndarray) -> np.ndarray:
     3rd dimension carries ncells/LDIVISOR Fourier modes; zero level and
     rescale use the full cube, output is the midplane."""
     rangej = grid.shape[0]
-    rangel = int(rangej / LDIVISOR)
+    rangel = max(int(rangej / LDIVISOR), 1)  # tiny grids: keep >= 1 mode
     icentrel = int(rangel / 2)
     rhomax = grid.max()
     rho = np.zeros((rangej, rangej, rangel))

@@ -36,6 +36,14 @@ def _norm(a):
     )
 
 
+def _empty_topk(vectors: DataFrame, id_col: str) -> DataFrame:
+    """Empty result with the top-k output schema (empty/all-null input)."""
+    id_type = dict(vectors.dtypes).get(id_col, "bigint")
+    return vectors.sparkSession.createDataFrame(
+        [], schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double, rank int"
+    )
+
+
 def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
     """Shared scoring/ranking tail for the top-k variants: 6dp-rounded
     cosine (so rank ties are deterministic, broken by neighbor_id), with the
@@ -193,6 +201,8 @@ def ivf_topk(
     k-means training sample (vec_id % sample_mod == 0) stays bounded — the
     default of 1 trains on every vector, which is only sane for small
     tables."""
+    if centroids is None and vectors.first() is None:
+        return _empty_topk(vectors, id_col)
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
@@ -231,7 +241,10 @@ def lsh_topk(
     """Approximate top-k: score only vectors sharing the query's hyperplane
     sign bucket. Recall < 1 by construction; bucket count 2^n_planes cuts
     the candidate set proportionally. Same output shape as cosine_topk."""
-    dim = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    if first is None or first[0] is None:
+        return _empty_topk(vectors, id_col)
+    dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),

@@ -75,6 +75,16 @@ class TemporalTreeGeometry:
         nseq_initial = tend - tstart
         if nseq_initial < 1:
             raise ValueError("temporal tree needs at least two timesteps")
+        # the cum(e-1) - cum(s-1) interval trick requires a gapless time
+        # axis (a missing boundary time would coalesce to 0 and corrupt the
+        # difference); the reference hard-asserts completeness for tensor
+        # ops too (utilities.py:26-27) — densify first
+        if len(times) != nseq_initial + 1:
+            raise ValueError(
+                "temporal tree needs a gapless integer time axis "
+                f"({nseq_initial + 1} expected between {tstart} and {tend}, "
+                f"got {len(times)}); densify the panel first"
+            )
         nseq = int(2 ** (1 + int(math.log2(nseq_initial))))
         self.npad = nseq - nseq_initial
         self.tstart, self.tend = tstart, tend
@@ -434,6 +444,10 @@ def spatial_tree_lag(
     pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
     geo = SpatialTreeGeometry(pgids, stride)
     inter = geo.interactions(thetacrit, dfunction_option)
+    if not inter:
+        # no interactions at all (e.g. single-unit panel: the only leaf is
+        # the excluded self) -> all-zero lag
+        return df.select(TIME, UNIT, *[F.lit(0.0).alias(c) for c in feats])
     inter_df = spark.createDataFrame(
         inter, schema="pgid long, lvl int, bx long, by long, w double"
     )

@@ -113,7 +113,12 @@ def epoch_day(ev: DataFrame, ts_col: str = "ts"):
     when ts is nanos-long; datediff when it is a real timestamp."""
     dtype = dict(ev.dtypes).get(ts_col)
     if dtype in ("bigint", "long"):
-        return F.expr(f"{ts_col} DIV {NANOS_PER_DAY}").cast("long")
+        # FLOOR division (DIV truncates toward zero, which would shift
+        # pre-1970 timestamps by a day): subtract the non-negative pmod
+        # remainder first, then the division is exact
+        return F.expr(
+            f"({ts_col} - pmod({ts_col}, {NANOS_PER_DAY})) DIV {NANOS_PER_DAY}"
+        ).cast("long")
     return F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long")
 
 

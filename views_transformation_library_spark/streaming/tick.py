@@ -33,9 +33,13 @@ def _update(key, pdfs, state: GroupState):
         last_event, last_ts = state.get
     else:
         last_event, last_ts = None, None
+    # materialize and sort the WHOLE group: Arrow may deliver one unit's
+    # batch as several chunks in shuffle order, and a per-chunk sort would
+    # process later times first, corrupting the counter and the stored state
+    all_pdfs = [p for p in pdfs if len(p)]
     rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(TIME)
+    if all_pdfs:
+        pdf = pd.concat(all_pdfs).sort_values(TIME)
         for t, ev in zip(pdf[TIME], pdf["event"]):
             if last_event is None:
                 ts = 0  # no history: counter starts at 0
