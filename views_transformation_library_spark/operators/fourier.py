@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..panel import TIME, UNIT, feature_cols
+from ..panel import TIME, UNIT, feature_cols, materialize
 from .spatial_grid import PG_STRIDE, embed_coords as _embedding
 
 SMALL = 1e-3  # zero-frequency clamp, fourier_lag.py:93-96
@@ -86,6 +86,9 @@ def fourier_lag(
     solver = _solve_slice if dimensionality == 2 else _solve_slice_3d
     feats = feature_cols(df)
     schema = f"{TIME} long, {UNIT} long, " + ", ".join(f"{c} double" for c in feats)
+    # the unit-axis collect and the grouped-map plan both read the panel —
+    # materialize it once
+    df = materialize(df)
 
     # ONE global embedding from the panel's full unit set (mirrors the
     # reference's single _map_pgids_2d) — a per-slice embedding would give

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, one_feature
+from ..panel import KEYS, TIME, UNIT, materialize, one_feature
 from .spatial_grid import PG_STRIDE, with_grid_coords
 
 PGID_TO_DEGREES = 0.5  # reference spacetime_distance.py:110
@@ -50,7 +50,9 @@ def spacetime_distances(
     (t_e, unit_e).
     """
     col = col or one_feature(df)
-    cells = with_grid_coords(df, stride)
+    # both the broadcast events side and the targets side read the panel —
+    # materialize it once instead of rebuilding it per branch
+    cells = with_grid_coords(materialize(df), stride)
     events = cells.filter(F.col(col) > 0).select(
         F.col(TIME).alias("__te"),
         F.col(UNIT).alias("__ue"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, feature_cols
+from ..panel import KEYS, TIME, UNIT, feature_cols, materialize
 
 
 def nth_order_reachability(edges: DataFrame, n: int) -> DataFrame:
@@ -108,6 +108,9 @@ def splag_country(
     (`:272-273`).
     """
     feats = feature_cols(df)
+    # three plan branches reference the panel (unit restriction, neighbour
+    # values, output keys) — materialize it once
+    df = materialize(df)
     ring = neighbour_ring(edges, kernel_inner, kernel_width)
     # restrict neighbours to countries present in the panel (splag_country.py:272)
     panel_units = df.select(F.col(UNIT).alias("n_id")).distinct()

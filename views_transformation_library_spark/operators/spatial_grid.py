@@ -19,7 +19,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..panel import KEYS, TIME, UNIT, feature_cols
+from ..panel import KEYS, TIME, UNIT, feature_cols, materialize
 
 PG_STRIDE = 720  # global 0.5-degree grid stride (reference utilities.py:158)
 
@@ -104,7 +104,9 @@ def splag4d(
     """
     feats = feature_cols(df)
     spark = df.sparkSession
-    cells = with_grid_coords(df.na.fill(0.0, subset=feats), stride)
+    # the contribution side and the target side both read the panel —
+    # materialize it once instead of rebuilding it per branch
+    cells = with_grid_coords(materialize(df.na.fill(0.0, subset=feats)), stride)
     kern = spark.createDataFrame(
         kernel_offsets(kernel_inner, kernel_width, kernel_power, norm_kernel),
         schema="dx int, dy int, w double",

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, feature_cols
+from ..panel import KEYS, TIME, UNIT, feature_cols, materialize
 from .spatial_grid import PG_STRIDE, embed_coords
 
 # ---------------------------------------------------------------------------
@@ -227,6 +227,9 @@ def temporal_tree_lag(
         weight_functions = [weight_functions]
     feats = feature_cols(df)
     spark = df.sparkSession
+    # five plan branches reference the panel (times collect, cum_e, cum_s,
+    # units, grid) — materialize it once
+    df = materialize(df)
     times = [r[0] for r in df.select(TIME).distinct().collect()]
     geo = TemporalTreeGeometry(times)
     inter = geo.interactions(thetacrit, weight_functions, sigma)
@@ -441,6 +444,9 @@ def spatial_tree_lag(
     data path."""
     feats = feature_cols(df)
     spark = df.sparkSession
+    # three plan branches reference the panel (pgid collect, box aggregates,
+    # output grid) — materialize it once
+    df = materialize(df)
     pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
     geo = SpatialTreeGeometry(pgids, stride)
     inter = geo.interactions(thetacrit, dfunction_option)
@@ -496,6 +502,9 @@ def grid_lag(
         2: lambda d: 1.0 / (d * d),
     }[dfunction_option]
     spark = df.sparkSession
+    # four plan branches reference the panel (pgid collect, box aggregates,
+    # targets, output grid) — materialize it once
+    df = materialize(df)
     pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
     geo = SpatialTreeGeometry(pgids, stride)
     cells = _embedded_cells(df, geo, stride, feats)

@@ -54,6 +54,26 @@ def is_complete(df: DataFrame) -> bool:
     return n == nt * nu
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a panel once so operators that reference it from several
+    plan branches (self-joins, driver-side key collects + the main plan) do
+    not re-run the upstream build per branch.
+
+    ``localCheckpoint`` computes the frame eagerly, stores the blocks on the
+    executors, and truncates lineage — Catalyst does not reuse a duplicated
+    upstream subplan across self-join branches, so without this a panel built
+    from an aggregation pipeline is recomputed for every branch (measured 2-4
+    full rebuilds per operator at sf0.1). Panels are bounded by |T| x |U|
+    rows per feature, so the stored footprint is small relative to the fact
+    data even at 100 TB input; on a cluster, a bucketed persisted panel
+    (``write_bucketed``) serves the same role across *jobs*, this serves it
+    across *branches within one job*. Streaming frames pass through unchanged
+    (checkpointing is a batch concept)."""
+    if df.isStreaming:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def densify(df: DataFrame, fill: float | None = 0.0) -> DataFrame:
     """Complete the (time, unit) grid; absent cells get ``fill`` (None -> NULL).
 
