@@ -513,36 +513,45 @@ def grid_lag(
     # all levels); every level filter and the ok-chain then reads it for free
     nodevals = _level_aggregates(cells, feats, all_levels, geo.power).localCheckpoint()
 
-    # top-down mesh selection: ok(l) = all strict ancestors had val > threshold
-    mesh_parts = []
-    level_tbl = {
-        lvl: nodevals.filter(F.col("__lvl") == lvl).select(
-            TIME, "__bx", "__by", F.col(c).alias("__val")
+    # mesh membership, set-based in one pass instead of a 2-joins-per-level
+    # top-down chain: a box is in the mesh iff it is acceptable
+    # (val <= threshold, or it is a leaf) AND no strict ancestor is
+    # acceptable (every ancestor split, i.e. had val > threshold). Each box
+    # explodes into its <= power ancestor references (ancestor box id is
+    # just a right-shift of its own id) and anti-joins against the
+    # acceptable boxes — every ancestor box exists in nodevals because the
+    # levels are rollups of the same cells. shiftright needs a literal
+    # shift amount, hence expr() for the per-row shift (__lvl - __alvl).
+    vals = nodevals.select(TIME, "__lvl", "__bx", "__by", F.col(c).alias("__val"))
+    candidates = vals.filter(
+        (F.col("__val") <= threshold) | (F.col("__lvl") == geo.power)
+    )
+    anc_refs = (
+        candidates.filter(F.col("__lvl") >= 1)
+        .select(
+            TIME, "__lvl", "__bx", "__by",
+            F.explode(F.sequence(F.lit(0), F.col("__lvl") - 1)).alias("__alvl"),
         )
-        for lvl in all_levels
-    }
-    ok = level_tbl[0].select(TIME, "__bx", "__by")  # root: no ancestors
-    for lvl in all_levels:
-        tbl = level_tbl[lvl].join(ok, [TIME, "__bx", "__by"])
-        is_leaf_level = lvl == geo.power
-        accept = tbl.filter((F.col("__val") <= threshold) | F.lit(is_leaf_level))
-        mesh_parts.append(accept.select(TIME, F.lit(lvl).alias("__lvl"), "__bx", "__by", "__val"))
-        if not is_leaf_level:
-            over = tbl.filter(F.col("__val") > threshold).select(
-                F.col(TIME).alias("__ot"),
-                F.col("__bx").alias("__px"),
-                F.col("__by").alias("__py"),
-            )
-            ok = level_tbl[lvl + 1].select(TIME, "__bx", "__by").join(
-                over,
-                (F.col(TIME) == F.col("__ot"))
-                & (F.shiftright("__bx", 1) == F.col("__px"))
-                & (F.shiftright("__by", 1) == F.col("__py")),
-                "left_semi",
-            )
-    mesh = mesh_parts[0]
-    for p in mesh_parts[1:]:
-        mesh = mesh.unionByName(p)
+        .select(
+            TIME, "__lvl", "__bx", "__by", "__alvl",
+            F.expr("shiftright(__bx, __lvl - __alvl)").alias("__abx"),
+            F.expr("shiftright(__by, __lvl - __alvl)").alias("__aby"),
+        )
+    )
+    blocked = anc_refs.join(
+        candidates.select(
+            F.col(TIME).alias("__at"),
+            F.col("__lvl").alias("__alvl2"),
+            F.col("__bx").alias("__abx2"),
+            F.col("__by").alias("__aby2"),
+        ),
+        (F.col(TIME) == F.col("__at"))
+        & (F.col("__alvl") == F.col("__alvl2"))
+        & (F.col("__abx") == F.col("__abx2"))
+        & (F.col("__aby") == F.col("__aby2")),
+        "left_semi",
+    ).select(TIME, "__lvl", "__bx", "__by")
+    mesh = candidates.join(blocked, [TIME, "__lvl", "__bx", "__by"], "left_anti")
     size = F.expr(f"cast(shiftright({geo.ncells}, __lvl) as double)")
     mesh = mesh.select(
         F.col(TIME).alias("__mt"),
