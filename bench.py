@@ -50,10 +50,26 @@ def main():
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     # warm the JVM / codegen / shuffle machinery so the first timed query
-    # does not carry session-startup cost
+    # does not carry session-startup cost. Synthetic data only — the warmup
+    # must exercise the *machinery* (codegen, exchange, window exec,
+    # broadcast, Arrow python workers), not precompute any query input.
+    from pyspark.sql import functions as F  # noqa: F811
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(10_000).repartition(8, "id").selectExpr("count(distinct id)").collect()
     spark.read.parquet(f"{sf_dir}/events.parquet").count()  # parquet reader + fs cache
+    warm = spark.range(10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("t"), F.rand(7).alias("v")
+    )
+    from pyspark.sql import Window
+
+    warm.select(F.lag("v", 1).over(Window.partitionBy("k").orderBy("t"))).agg(
+        F.count(F.lit(1))
+    ).collect()  # window exec + sort
+    warm.join(F.broadcast(warm.groupBy("k").count()), "k").agg(F.sum("count")).collect()
+    warm.groupBy("k").applyInPandas(lambda p: p, schema="k long, t long, v double").agg(
+        F.count(F.lit(1))
+    ).collect()  # Arrow + python worker pool spin-up
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     from pyspark.sql import functions as F

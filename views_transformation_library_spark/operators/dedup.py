@@ -25,6 +25,8 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..panel import materialize
+
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
 SHINGLE_BITS_HEX = 7  # 28-bit shingle ints keep a*x + b < 2^51
 
@@ -71,7 +73,9 @@ def ngram_jaccard_pairs(
     a postings self-join on shingles. `max_doc_freq` optionally drops
     shingles occurring in more than that many docs (skew guard at scale;
     None = exact)."""
-    sh = _shingles(df, id_col, text_col, n)
+    # the postings table feeds three branches (sizes + both join sides):
+    # materialize it once instead of re-tokenizing the corpus per branch
+    sh = materialize(_shingles(df, id_col, text_col, n))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
@@ -146,8 +150,11 @@ def minhash_lsh_pairs(
             f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
         )
     r = n_hashes // bands
-    sh = _shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, n_hashes, seed)
+    # shingles feed signature building plus three verification branches;
+    # signatures feed both sides of the band-bucket self-join — materialize
+    # each once
+    sh = materialize(_shingles(df, id_col, text_col, n))
+    sig = materialize(minhash_signatures(sh, n_hashes, seed))
     # band signatures straight off the wide row: no second shuffle
     band_sig = sig.select(
         "doc",
@@ -284,7 +291,9 @@ def simhash_pairs(
     pigeonhole chunk trick: signatures within d differ in at most d chunks,
     so any pair shares >= chunks-d exact chunks when chunks > d — join on
     each chunk, then verify exact Hamming distance."""
-    sig = simhash(df, id_col, text_col, bits)
+    # both sides of the chunk self-join read the signature table —
+    # materialize it once
+    sig = materialize(simhash(df, id_col, text_col, bits))
     w = bits // chunks
     chunk_rows = sig.select(
         F.col(id_col).alias("doc"),
