@@ -409,12 +409,11 @@ def _event_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chain_edges(pn: DataFrame) -> DataFrame:
     """Synthetic time-varying adjacency over the panel's units: a ~ b iff
     |a-b| == 1 (chain graph), present for every panel month. Stands in for
     the reference's country_country_month_expanded table (symmetric, no
     self-edges, utilities.py:305-307)."""
-    pn = _panel(spark, sf_dir)
     units = pn.select(F.col(P.UNIT).alias("a_id")).distinct()
     months = pn.select(F.col(P.TIME).alias("month_id")).distinct()
     fwd = units.select("a_id", (F.col("a_id") + 1).alias("b_id"))
@@ -424,10 +423,9 @@ def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return months.crossJoin(edges).select("month_id", "a_id", "b_id")
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _centroids(pn: DataFrame) -> DataFrame:
     """Synthetic centroids on a line: country_id -> (lat=id, lon=0), so
     centroid distance == |a - b|."""
-    pn = _panel(spark, sf_dir)
     return pn.select(F.col(P.UNIT).alias("country_id")).distinct().select(
         "country_id",
         F.col("country_id").cast("double").alias("lat"),
@@ -438,9 +436,11 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _splag_country_query(
     spark: SparkSession, sf_dir: str, inner: int, width: int, power: int
 ) -> DataFrame:
-    pn = _panel(spark, sf_dir)
-    edges = _chain_edges(spark, sf_dir)
-    cent = _centroids(spark, sf_dir) if power else None
+    # one materialized panel feeds the operator AND the synthetic
+    # edge/centroid side-tables (otherwise each rebuilds it from events)
+    pn = P.materialize(_panel(spark, sf_dir))
+    edges = _chain_edges(pn)
+    cent = _centroids(pn) if power else None
     return _r6(
         spatial_graph.splag_country(
             pn, edges, cent, kernel_inner=inner, kernel_width=width, kernel_power=power

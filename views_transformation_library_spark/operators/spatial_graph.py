@@ -109,8 +109,10 @@ def splag_country(
     """
     feats = feature_cols(df)
     # three plan branches reference the panel (unit restriction, neighbour
-    # values, output keys) — materialize it once
+    # values, output keys) and the reachability iteration references the
+    # edge table n+1 times for each of the two rings — materialize both once
     df = materialize(df)
+    edges = materialize(edges)
     ring = neighbour_ring(edges, kernel_inner, kernel_width)
     # restrict neighbours to countries present in the panel (splag_country.py:272)
     panel_units = df.select(F.col(UNIT).alias("n_id")).distinct()
