@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -230,9 +231,10 @@ def temporal_tree_lag(
     # five plan branches reference the panel (times collect, cum_e, cum_s,
     # units, grid) — materialize it once
     df = materialize(df)
-    times = [r[0] for r in df.select(TIME).distinct().collect()]
-    geo = TemporalTreeGeometry(times)
-    inter = geo.interactions(thetacrit, weight_functions, sigma)
+    times = tuple(sorted(r[0] for r in df.select(TIME).distinct().collect()))
+    inter = _temporal_interactions_cached(
+        times, thetacrit, tuple(weight_functions), sigma
+    )
     inter_df = spark.createDataFrame(
         inter, schema="tnow long, s long, e long, fn string, w double"
     )
@@ -374,6 +376,39 @@ class SpatialTreeGeometry:
         return rows
 
 
+# geometry and walks are pure functions of the key axes + parameters —
+# memoize them so repeated transforms over the same grid (the reference's
+# dominant usage: one panel, many features/parameter combos) skip the
+# driver-side tree build. Small maxsize bounds the held interaction lists
+# (only large at the full 259k-cell grid).
+@lru_cache(maxsize=8)
+def _spatial_geometry_cached(pgids: tuple, stride: int) -> "SpatialTreeGeometry":
+    return SpatialTreeGeometry(list(pgids), stride)
+
+
+@lru_cache(maxsize=16)
+def _spatial_interactions_cached(
+    pgids: tuple, stride: int, thetacrit: float, dfunction_option: int
+):
+    return _spatial_geometry_cached(pgids, stride).interactions(
+        thetacrit, dfunction_option
+    )
+
+
+@lru_cache(maxsize=8)
+def _temporal_geometry_cached(times: tuple) -> "TemporalTreeGeometry":
+    return TemporalTreeGeometry(list(times))
+
+
+@lru_cache(maxsize=16)
+def _temporal_interactions_cached(
+    times: tuple, thetacrit: float, weight_functions: tuple, sigma: float
+):
+    return _temporal_geometry_cached(times).interactions(
+        thetacrit, list(weight_functions), sigma
+    )
+
+
 def _level_aggregates(
     cells: DataFrame, feats: list[str], levels: list[int], power: int
 ) -> DataFrame:
@@ -447,9 +482,9 @@ def spatial_tree_lag(
     # three plan branches reference the panel (pgid collect, box aggregates,
     # output grid) — materialize it once
     df = materialize(df)
-    pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
-    geo = SpatialTreeGeometry(pgids, stride)
-    inter = geo.interactions(thetacrit, dfunction_option)
+    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    geo = _spatial_geometry_cached(pgids, stride)
+    inter = _spatial_interactions_cached(pgids, stride, thetacrit, dfunction_option)
     if not inter:
         # no interactions at all (e.g. single-unit panel: the only leaf is
         # the excluded self) -> all-zero lag
@@ -505,8 +540,8 @@ def grid_lag(
     # four plan branches reference the panel (pgid collect, box aggregates,
     # targets, output grid) — materialize it once
     df = materialize(df)
-    pgids = [r[0] for r in df.select(UNIT).distinct().collect()]
-    geo = SpatialTreeGeometry(pgids, stride)
+    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    geo = _spatial_geometry_cached(pgids, stride)
     cells = _embedded_cells(df, geo, stride, feats)
     all_levels = list(range(geo.power + 1))
     # one materialization of all box aggregates (rows ~= 4/3 * |cells| across
