@@ -64,8 +64,13 @@ def spacetime_distances(
     # variant that packs events into one broadcast array and sorts it per
     # row with higher-order functions was tried and measured 4x SLOWER at
     # sf0.1 — per-row array materialization beats the shuffle it saves only
-    # on much smaller event sets.) Ranking is on squared distance; sqrt runs
-    # only on the k winners.
+    # on much smaller event sets. An array_sort(collect_list)-slice top-k
+    # aggregate instead of the sort+row_number was also tried: identical
+    # steady-state time, because the join expansion — inherent to exact
+    # brute-force kNN — dominates, and the window's sort is local anyway:
+    # the targets side's partitioning already satisfies the window clustering
+    # by subset, so no exchange is planned.) Ranking is on squared distance;
+    # sqrt runs only on the k winners.
     targets = cells.select(*KEYS, "__lon", "__lat")
     joined = targets.join(F.broadcast(events), F.col("__te") <= F.col(TIME), "left")
     dist2 = (
