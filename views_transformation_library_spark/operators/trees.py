@@ -597,17 +597,24 @@ def grid_lag(
     ).select(TIME, "__lvl", "__bx", "__by")
     mesh = candidates.join(blocked, [TIME, "__lvl", "__bx", "__by"], "left_anti")
     size = F.expr(f"cast(shiftright({geo.ncells}, __lvl) as double)")
-    mesh = mesh.select(
-        F.col(TIME).alias("__mt"),
-        "__lvl",
-        "__bx",
-        "__by",
-        "__val",
-        (F.col("__bx") * size + size / 2).alias("__cx"),
-        (F.col("__by") * size + size / 2).alias("__cy"),
+    mesh = materialize(
+        mesh.select(
+            F.col(TIME).alias("__mt"),
+            "__lvl",
+            "__bx",
+            "__by",
+            "__val",
+            (F.col("__bx") * size + size / 2).alias("__cx"),
+            (F.col("__by") * size + size / 2).alias("__cy"),
+        )
     )
+    # the mesh is what the adaptive coarsening made small — broadcast it so
+    # the cells side never shuffles. Its size is data-dependent (bounded by
+    # the box count, not by it being a kernel), so decide at runtime from
+    # the materialized frame: a count on a checkpointed frame is free.
+    mesh_side = F.broadcast(mesh) if mesh.count() <= 2_000_000 else mesh
     targets = cells.select(TIME, UNIT, "__ex", "__ey")
-    pairs = targets.join(mesh, F.col(TIME) == F.col("__mt")).filter(
+    pairs = targets.join(mesh_side, F.col(TIME) == F.col("__mt")).filter(
         ~(
             (F.col("__lvl") == geo.power)
             & (F.col("__bx") == F.col("__ex"))
