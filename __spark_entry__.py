@@ -53,7 +53,10 @@ def _r6(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     out = df
     for c, t in df.dtypes:
         if c in cols and t == "double":
-            out = out.withColumn(c, F.round(F.col(c), 6))
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the driver value-hash
+            # is byte-exact; DuckDB's round() can emit -0.0 where Spark's
+            # BigDecimal-based round emits +0.0)
+            out = out.withColumn(c, F.round(F.col(c), 6) + F.lit(0.0))
     return out
 
 
@@ -1051,7 +1054,10 @@ sums AS (
   FROM offs
 )
 SELECT time_id, unit_id,
-       round(CASE WHEN bigx > 0 THEN log2(bigx) - s / bigx ELSE 0.0 END, 6) AS value
+       -- + 0.0 canonicalizes -0.0: DuckDB rounds tiny negatives (one-row
+       -- frames give H = log2(x) - x*log2(x)/x ~ -2e-16) to -0.0, Spark
+       -- to +0.0, and the driver hash compares bytes
+       round(CASE WHEN bigx > 0 THEN log2(bigx) - s / bigx ELSE 0.0 END, 6) + 0.0 AS value
 FROM sums
 """
 

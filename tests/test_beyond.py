@@ -265,3 +265,15 @@ def test_frame_sample(spark):
     out = multimodal.frame_sample_stub(df, every_ms=1000).collect()
     assert [r["frame_idx"] for r in out] == [0, 1, 2]
     assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
+
+
+def test_ivf_training_sample_is_bounded(vectors):
+    # cap 10 on a 112-row table -> sample_mod 12 -> driver pulls ~1/12th;
+    # training still yields usable centroids and the query still runs
+    cents = similarity.train_ivf_centroids(
+        vectors, n_centroids=4, vec_col="embedding", sample_cap=10
+    )
+    assert 1 <= len(cents) <= 4
+    queries = vectors.filter(F.col("vec_id") == 100)
+    out = similarity.ivf_topk(vectors, queries, k=3, centroids=cents, nprobe=2)
+    assert out.count() <= 3

@@ -61,3 +61,19 @@ def test_cweq_single_shuffle(spark):
     # hash(unit_id) already satisfies ClusteredDistribution(unit_id, block)
     # -- subset partitioning -- so Catalyst plans ONE exchange total
     assert plans.count_exchanges(out) == 1
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    """neardup must compile to a bucketed equi-join, never an all-pairs
+    cartesian (it was a crossJoin in r1 — the 100 TB killer)."""
+    import numpy as np
+
+    from views_transformation_library_spark.operators import similarity
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = similarity.embedding_neardup_pairs(df, threshold=0.8, n_blocks=4)
+    plan = plans.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4,6 +4,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import collect_panel, make_panel
 from views_transformation_library_spark.operators import spatial_grid, spatial_graph, spacetime
@@ -206,3 +207,53 @@ def test_spacetime_weights_power(st_panel):
     }
     assert out[(101, 722)] == pytest.approx(1.0 / 0.25)  # size/d^2 at d=0.5
     assert out[(101, 721)] == 1.0  # d=0 -> raw size, not inf
+
+
+def test_spacetime_banded_path_matches_slice_path(st_panel):
+    """driver_cap=0 forces the staged banded join + θ-join fallback; the
+    result must be identical to the per-slice numpy path (both exact)."""
+    for rv, power in (("distances", 0.0), ("weights", 2.0)):
+        a = sorted(collect_panel(spacetime.spacetime_distances(st_panel, rv, k=1, power=power)))
+        b = sorted(
+            collect_panel(
+                spacetime.spacetime_distances(st_panel, rv, k=1, power=power, driver_cap=0)
+            )
+        )
+        assert a == pytest.approx(b)
+
+
+def test_spacetime_banded_candidates_sublinear_in_history(spark):
+    """The stage join's candidate count must grow ~linearly with panel
+    length (events-in-band), unlike the full θ-join's ~quadratic growth —
+    this is the scale property that replaces the reference's 600-step cap."""
+    from views_transformation_library_spark.operators.spacetime import (
+        _banded_candidates,
+    )
+    from views_transformation_library_spark.operators.spatial_grid import (
+        with_grid_coords,
+    )
+
+    counts = {}
+    for T in (20, 40):
+        rows = [
+            (t, u, 1.0 if (u + t) % 7 == 0 else 0.0)
+            for t in range(T)
+            for u in range(64)
+        ]
+        pn = with_grid_coords(make_panel(spark, rows), 8)
+        events = pn.filter(F.col("value") > 0).select(
+            F.col("time_id").alias("__te"),
+            F.col("unit_id").alias("__ue"),
+            F.col("__lon").alias("__elon"),
+            F.col("__lat").alias("__elat"),
+            F.col("value").alias("__size"),
+        )
+        targets = pn.select("time_id", "unit_id", "__lon", "__lat")
+        counts[T] = (
+            _banded_candidates(targets, events, 2, 1).count(),
+            targets.join(events, F.col("__te") <= F.col("time_id")).count(),
+        )
+    band_ratio = counts[40][0] / counts[20][0]
+    full_ratio = counts[40][1] / counts[20][1]
+    assert band_ratio < 2.5  # ~linear in T
+    assert full_ratio > 3.0  # ~quadratic in T

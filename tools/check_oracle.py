@@ -5,13 +5,19 @@ at the given sf dir, then compares row count, schema (column names sorted),
 and an order-insensitive value comparison (sorted rows, NaN==NaN, doubles
 to 1e-9 relative). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` compares doubles byte-exactly (IEEE bit pattern), mirroring the
+driver's value-hash: it catches what isclose() hides — e.g. DuckDB's
+``round()`` emitting ``-0.0`` where Spark emits ``+0.0`` (the r1
+temporal_entropy red row was exactly this, not a float-sum flake).
 """
 
 from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
@@ -38,7 +44,7 @@ def rows_key(row):
     return tuple((x is None, str(type(x).__name__), str(x)) for x in row)
 
 
-def compare_rows(spark_rows, duck_rows, rel=1e-9):
+def compare_rows(spark_rows, duck_rows, rel=1e-9, strict=False):
     if len(spark_rows) != len(duck_rows):
         return f"row count {len(spark_rows)} vs {len(duck_rows)}"
     a = sorted((tuple(norm_cell(c) for c in r) for r in spark_rows), key=rows_key)
@@ -50,7 +56,13 @@ def compare_rows(spark_rows, duck_rows, rel=1e-9):
             if ca is None or cb is None:
                 return f"row {i}: {ra} vs {rb}"
             if isinstance(ca, float) and isinstance(cb, float):
-                if not math.isclose(ca, cb, rel_tol=rel, abs_tol=1e-9):
+                if strict:
+                    if struct.pack("<d", ca) != struct.pack("<d", cb):
+                        return (
+                            f"row {i} (strict): {ra} vs {rb} "
+                            f"[{struct.pack('<d', ca).hex()} vs {struct.pack('<d', cb).hex()}]"
+                        )
+                elif not math.isclose(ca, cb, rel_tol=rel, abs_tol=1e-9):
                     return f"row {i}: {ra} vs {rb}"
             elif ca != cb:
                 return f"row {i}: {ra} vs {rb}"
@@ -58,8 +70,10 @@ def compare_rows(spark_rows, duck_rows, rel=1e-9):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -99,7 +113,7 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: schema {s_cols} vs {d_cols}")
             continue
-        err = compare_rows(s_rows, d_rows)
+        err = compare_rows(s_rows, d_rows, strict=strict)
         if err:
             failures.append(name)
             print(f"FAIL  {name}: {err}")

@@ -13,9 +13,13 @@ rank ties (broken by vec_id) are deterministic.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ..panel import materialize
 
 
 def _dot(a, b):
@@ -94,22 +98,78 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — exact brute force
-    (postings-free; quadratic: use `lsh_topk` at scale)."""
-    a = vectors.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), _norm(F.col(vec_col)).alias("__na")
+    """All pairs (a < b) with cosine >= threshold — EXACT, via metric
+    blocking (ball-cover pruning), never an all-pairs cartesian.
+
+    cosine(a,b) >= t  ⟺  ||â - b̂|| <= d_t := sqrt(2 - 2t) on the unit
+    sphere. Vectors are assigned to their nearest of `n_blocks` k-means
+    centroids (trained on a bounded driver sample); each block i keeps its
+    radius r_i = max member distance to centroid. By the triangle
+    inequality a qualifying pair can only span blocks (i, j) with
+    ||c_i - c_j|| <= r_i + r_j + d_t, so only those block pairs are
+    equi-joined and exact-verified. Same output as brute force; the plan is
+    scan → block-pair equi-join (tiny broadcast pair table) → verify — no
+    CartesianProduct (pinned in tests/test_plans.py). Worst case (one
+    dense ball) degrades to all-pairs *work* but stays a bucketed join.
+    """
+    t = float(threshold)
+    d_t = math.sqrt(max(0.0, 2.0 - 2.0 * t)) if t > -1.0 else 2.0
+    base = vectors.filter(_norm(F.col(vec_col)) > 0)  # zero-norm: NULL cosine, never output
+    if base.first() is None:
+        return vectors.sparkSession.createDataFrame(
+            [], schema=f"a {dict(vectors.dtypes).get(id_col, 'bigint')},"
+                       f" b {dict(vectors.dtypes).get(id_col, 'bigint')}, cosine double"
+        )
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
     )
-    b = vectors.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), _norm(F.col(vec_col)).alias("__nb")
+    unit_df = base.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), unit.alias("__u"))
+    centroids = train_ivf_centroids(
+        unit_df, n_centroids=n_blocks, id_col="__id", vec_col="__u", seed=seed
     )
-    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    # nullif: zero-norm vectors have undefined cosine -> NULL -> filtered
+    nearest = _bucket_structs("__u", centroids)[0]
+    # one shared assignment table feeds BOTH self-join branches and the
+    # radius aggregate — materialize so the scan+assign runs once
+    assigned = materialize(
+        unit_df.select(
+            "__id", "__v",
+            nearest["c"].alias("__blk"),
+            F.sqrt(nearest["d2"]).alias("__r"),
+        )
+    )
+    radii = {
+        r["__blk"]: r["r"]
+        for r in assigned.groupBy("__blk").agg(F.max("__r").alias("r")).collect()
+    }
+    C = np.array(centroids, dtype=np.float64)
+    admissible = []
+    for i in radii:
+        for j in radii:
+            if float(np.linalg.norm(C[i] - C[j])) <= radii[i] + radii[j] + d_t:
+                admissible.append((i, j))
+    pair_tbl = vectors.sparkSession.createDataFrame(admissible, schema="bi int, bj int")
+    a = assigned.select(
+        F.col("__id").alias("a"), F.col("__v").alias("__va"),
+        _norm(F.col("__v")).alias("__na"), F.col("__blk").alias("bi"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("b"), F.col("__v").alias("__vb"),
+        _norm(F.col("__v")).alias("__nb"), F.col("__blk").alias("bj"),
+    )
+    pairs = (
+        a.join(F.broadcast(pair_tbl), "bi")
+        .join(b, "bj")
+        .filter(F.col("a") < F.col("b"))
+    )
+    # nullif kept for belt-and-braces (zero-norms already filtered)
     cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return pairs.select("a", "b", F.round(cos, 6).alias("cosine")).filter(
-        F.col("cosine") >= threshold
+        F.col("cosine") >= t
     )
 
 
@@ -133,19 +193,25 @@ def train_ivf_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
     n_iters: int = 5,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_cap: int = 100_000,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means on a driver-side sample.
+    """Deterministic Lloyd's k-means on a *bounded* driver-side sample.
 
-    The sample is id-hash based (`vec_id % sample_mod == 0`) so it is
-    reproducible and bounded — at 100 TB you train on ~10^5 sampled vectors,
-    never the full table. Pure numpy (no sklearn dependency); empty clusters
-    keep their previous centroid."""
+    By default ``sample_mod`` is derived from a cheap count so the driver
+    pulls at most ~``sample_cap`` vectors regardless of table size — at
+    100 TB you train on ~10^5 hash-sampled vectors, never the full table.
+    The sample is id-hash based (``xxhash64(id) % mod == 0``) so it is
+    reproducible and independent of id density. Pure numpy (no sklearn
+    dependency); empty clusters keep their previous centroid."""
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = max(1, -(-n // sample_cap))  # ceil division
     pdf = (
-        vectors.filter(F.col(id_col) % sample_mod == 0)
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
         .select(id_col, vec_col)
         .toPandas()
         .sort_values(id_col)
@@ -187,7 +253,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are bucketed by their
     nearest k-means centroid; each query probes only its `nprobe` nearest
@@ -197,10 +263,10 @@ def ivf_topk(
     bucket assignment is a pure column expression that runs inside the scan
     — the only join is queries x same-bucket vectors.
 
-    At scale, EITHER pass pretrained `centroids` OR set `sample_mod` so the
-    k-means training sample (vec_id % sample_mod == 0) stays bounded — the
-    default of 1 trains on every vector, which is only sane for small
-    tables."""
+    Training is bounded by default: `train_ivf_centroids` derives
+    `sample_mod` from a cheap count so the driver sample stays ≤ ~1e5
+    vectors regardless of table size; pass pretrained `centroids` to skip
+    training entirely."""
     if centroids is None and vectors.first() is None:
         return _empty_topk(vectors, id_col)
     if centroids is None:
