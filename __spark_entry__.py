@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grid_lag"] = lambda s, d: _r6(
         trees.grid_lag(_panel(s, d), GRID_LAG_THRESHOLD, 0, stride=GRID_STRIDE)
     )
+    q["grid_lag_multi"] = lambda s, d: _r6(
+        trees.grid_lag(_panel2(s, d), GRID_LAG_MULTI_THRESHOLD, 0, stride=GRID_STRIDE)
+    )
 
     # --- beyond-reference: text analysis (documents table)
     q["token_count"] = lambda s, d: text.token_count(_docs(s, d)).select(
@@ -514,16 +517,11 @@ def _ltm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MICE imputation (rows-only check: posterior sampling is stochastic;
-    the driver verifies shape/rowcount, pytest verifies clipping bounds)."""
+    the driver verifies shape/rowcount, pytest verifies genuine imputation,
+    convergence, and clipping bounds). Pure-numpy imputer — no fallback."""
     pn = _null_panel(spark, sf_dir)
     two = pn.withColumn("value2", F.col("value") * 2.0)
-    try:
-        draws = missing.impute_mice(two, n_imputations=1, n_shards=8)
-    except NotImplementedError:
-        # sklearn absent: fall back to returning the un-imputed frame so the
-        # rows-only check still exercises the code path gate
-        return two
-    return draws[0]
+    return missing.impute_mice(two, n_imputations=1, n_shards=8)[0]
 
 
 def _null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +572,9 @@ sparse AS (
 """
 
 GRID_LAG_THRESHOLD = 5000.0
+# lower threshold for the 2-feature mesh query: feature b (click-only sums)
+# is much smaller than a, so the two meshes refine differently
+GRID_LAG_MULTI_THRESHOLD = 800.0
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's documented oracle SF
 
 
@@ -658,7 +659,15 @@ FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
 """
 
 
-def _grid_lag_oracle(threshold: float, dopt: int) -> str:
+def _grid_lag_oracle(
+    threshold: float,
+    dopt: int,
+    feats: tuple[str, ...] = ("value",),
+    base: str | None = None,
+    panel_cte: str = "panel",
+) -> str:
+    """Mesh oracle, one independent mesh chain per feature (the reference
+    computes a mesh per (timestep, feature), spatial_tree.py:540-541)."""
     _, units = _oracle_keys()
     geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
     p = geo.power
@@ -667,63 +676,75 @@ def _grid_lag_oracle(threshold: float, dopt: int) -> str:
         1: "1.0 / {d}",
         2: "1.0 / ({d} * {d})",
     }[dopt]
+    feat_sel = ", ".join(feats)
     ctes = [
         f"""
 cells AS (
   SELECT time_id, unit_id,
          unit_id % {GRID_STRIDE} + {geo.lon_shift} AS ex,
          unit_id // {GRID_STRIDE} + {geo.lat_shift} AS ey,
-         value
-  FROM panel
+         {feat_sel}
+  FROM {panel_cte}
 )"""
     ]
-    for lvl in range(p + 1):
-        ctes.append(
-            f"""
-lvl{lvl} AS (
-  SELECT time_id, ex >> {p - lvl} AS bx, ey >> {p - lvl} AS by, sum(value) AS val
-  FROM cells GROUP BY 1, 2, 3
-)"""
-        )
-    ctes.append("ok0 AS (SELECT time_id, bx, by FROM lvl0)")
-    mesh_selects = []
-    for lvl in range(p + 1):
-        leaf = "TRUE" if lvl == p else f"val <= {threshold!r}"
-        mesh_selects.append(
-            f"SELECT time_id, {lvl} AS lvl, bx, by, val FROM lvl{lvl} "
-            f"JOIN ok{lvl} USING (time_id, bx, by) WHERE {leaf}"
-        )
-        if lvl < p:
+    for c in feats:
+        for lvl in range(p + 1):
             ctes.append(
                 f"""
-ok{lvl + 1} AS (
-  SELECT l.time_id, l.bx, l.by FROM lvl{lvl + 1} l
-  JOIN (SELECT time_id, bx, by FROM lvl{lvl} JOIN ok{lvl} USING (time_id, bx, by)
+lvl{lvl}_{c} AS (
+  SELECT time_id, ex >> {p - lvl} AS bx, ey >> {p - lvl} AS by, sum({c}) AS val
+  FROM cells GROUP BY 1, 2, 3
+)"""
+            )
+        ctes.append(f"ok0_{c} AS (SELECT time_id, bx, by FROM lvl0_{c})")
+        mesh_selects = []
+        for lvl in range(p + 1):
+            leaf = "TRUE" if lvl == p else f"val <= {threshold!r}"
+            mesh_selects.append(
+                f"SELECT time_id, {lvl} AS lvl, bx, by, val FROM lvl{lvl}_{c} "
+                f"JOIN ok{lvl}_{c} USING (time_id, bx, by) WHERE {leaf}"
+            )
+            if lvl < p:
+                ctes.append(
+                    f"""
+ok{lvl + 1}_{c} AS (
+  SELECT l.time_id, l.bx, l.by FROM lvl{lvl + 1}_{c} l
+  JOIN (SELECT time_id, bx, by FROM lvl{lvl}_{c} JOIN ok{lvl}_{c} USING (time_id, bx, by)
         WHERE val > {threshold!r}) o
     ON o.time_id = l.time_id AND (l.bx >> 1) = o.bx AND (l.by >> 1) = o.by
 )"""
-            )
-    ctes.append("mesh AS (" + " UNION ALL ".join(mesh_selects) + ")")
-    ctes.append(
-        f"""
-meshc AS (
+                )
+        ctes.append(f"mesh_{c} AS (" + " UNION ALL ".join(mesh_selects) + ")")
+        ctes.append(
+            f"""
+meshc_{c} AS (
   SELECT time_id AS mt, lvl, bx, by, val,
          bx * ({geo.ncells} >> lvl) + ({geo.ncells} >> lvl) / 2.0 AS cx,
          by * ({geo.ncells} >> lvl) + ({geo.ncells} >> lvl) / 2.0 AS cy
-  FROM mesh
+  FROM mesh_{c}
 )"""
-    )
-    d = "sqrt(pow(t.ex + 0.5 - m.cx, 2) + pow(t.ey + 0.5 - m.cy, 2))"
-    w = dfun.format(d=d)
-    return PSQL + "," + ",".join(ctes) + f""",
-agg AS (
+        )
+        d = "sqrt(pow(t.ex + 0.5 - m.cx, 2) + pow(t.ey + 0.5 - m.cy, 2))"
+        w = dfun.format(d=d)
+        ctes.append(
+            f"""
+agg_{c} AS (
   SELECT t.time_id, t.unit_id, sum(m.val * {w}) AS v
-  FROM cells t JOIN meshc m ON m.mt = t.time_id
+  FROM cells t JOIN meshc_{c} m ON m.mt = t.time_id
   WHERE NOT (m.lvl = {p} AND m.bx = t.ex AND m.by = t.ey)
   GROUP BY 1, 2
-)
-SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
-FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
+)"""
+        )
+    outs = ", ".join(
+        f"round(coalesce(a_{c}.v, 0.0), 6) AS {c}" for c in feats
+    )
+    joins = " ".join(
+        f"LEFT JOIN agg_{c} a_{c} ON a_{c}.time_id = p.time_id AND a_{c}.unit_id = p.unit_id"
+        for c in feats
+    )
+    return (base or PSQL) + "," + ",".join(ctes) + f"""
+SELECT p.time_id, p.unit_id, {outs}
+FROM {panel_cte} p {joins}
 """
 
 
@@ -1278,6 +1299,9 @@ GROUP BY 1, 2
     o["temporal_tree_expon"] = _temporal_tree_oracle(0.7, "expon", 8.0)
     o["spatial_tree_lag"] = _spatial_tree_oracle(0.9, 0)
     o["grid_lag"] = _grid_lag_oracle(GRID_LAG_THRESHOLD, 0)
+    o["grid_lag_multi"] = _grid_lag_oracle(
+        GRID_LAG_MULTI_THRESHOLD, 0, feats=("a", "b"), base=PANEL2_SQL, panel_cte="panel2"
+    )
 
     # --- beyond-reference: text analysis
     o["token_count"] = r"""

@@ -127,18 +127,43 @@ def test_fill_rejects_bad_arguments(spark, gappy):
         missing.extrapolate(gappy, limit_area="insid")
 
 
-def test_impute_mice_gated(spark):
+def test_impute_mice_fills_and_clips(spark):
     rows = [(t, 1, float(t) if t % 2 else None, float(t)) for t in range(1, 9)]
     df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
-    try:
-        import sklearn  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            missing.impute_mice(df, n_imputations=1)
-        return
     draws = missing.impute_mice(df, n_imputations=2, n_shards=1)
     assert len(draws) == 2
     res = draws[0].toPandas()
     assert res["a"].notna().all()
     # imputed values clipped to observed [min, max] (reference missing.py:192-207)
     assert res["a"].between(1.0, 7.0).all()
+    # observed values are never modified
+    obs = res[res["time_id"] % 2 == 1]
+    assert (obs["a"] == obs["time_id"].astype(float)).all()
+    # the two draws differ (posterior sampling) but are each reproducible
+    res2 = draws[1].toPandas()
+    assert not res.equals(res2)
+    again = missing.impute_mice(df, n_imputations=2, n_shards=1)[0].toPandas()
+    assert res.sort_values("time_id").reset_index(drop=True).equals(
+        again.sort_values("time_id").reset_index(drop=True)
+    )
+
+
+def test_iterative_ridge_converges_on_planted_linear_relation():
+    """a = 3b + 1 with 30% of 'a' planted missing: the deterministic path
+    (sample_posterior=False) must recover the linear relation closely."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    b = rng.uniform(0, 10, size=200)
+    a = 3.0 * b + 1.0
+    X = np.column_stack([a, b])
+    hide = rng.rand(200) < 0.3
+    X_missing = X.copy()
+    X_missing[hide, 0] = np.nan
+    filled = missing._iterative_ridge_impute(
+        X_missing, seed=0, sample_posterior=False
+    )
+    assert np.abs(filled[hide, 0] - a[hide]).max() < 1e-3
+    # observed entries bit-identical
+    assert (filled[~hide, 0] == a[~hide]).all()
+    assert (filled[:, 1] == b).all()

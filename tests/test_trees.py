@@ -11,6 +11,7 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
 from conftest import collect_panel, make_panel
 from views_transformation_library_spark.operators import trees
 
@@ -213,3 +214,30 @@ def test_grid_lag_mesh_varies_with_time(spark):
     assert got[(1, p0)] == pytest.approx(16.0 / math.log(1 + d_root))
     # month 2 differs from month 1 (mesh refined)
     assert got[(2, p0)] != pytest.approx(got[(1, p0)])
+
+
+def test_grid_lag_multi_feature_independent_meshes(spark):
+    """Two features get independent meshes (reference per-feature loop,
+    spatial_tree.py:540-541): 'a' splits around its hot cell, 'b' (uniform,
+    below threshold) keeps the root-only mesh."""
+    pgids = [lat * 720 + lon for lat in range(4) for lon in range(4)]
+    rows = [(1, p, 100.0 if p == 721 else 1.0, 1.0) for p in pgids]
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
+    out, grids = trees.grid_lag(df, 50.0, 0, keep_grids=True)
+    res = {r["unit_id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert len(res) == 16 and all(len(v) == 2 for v in res.values())
+    mesh_sizes = {
+        r["feature"]: r["n"]
+        for r in grids.groupBy("feature").agg(F.count("*").alias("n")).collect()
+    }
+    assert mesh_sizes["b"] == 1  # root only
+    assert mesh_sizes["a"] > 1  # refined around the hot cell
+    # single-feature runs on each column individually must agree
+    a_only = {
+        u: v
+        for (u, _, v) in collect_panel(
+            trees.grid_lag(df.select("time_id", "unit_id", "a"), 50.0, 0)
+        )
+    }
+    for u, (va, _) in res.items():
+        assert va == pytest.approx(a_only[u]), u

@@ -3,10 +3,13 @@
 ffill/bfill/interpolation are window arithmetic (`last(..., ignorenulls)` /
 `first(..., ignorenulls)`) — no UDFs, one unit-partitioned shuffle shared by
 the whole family. MICE is the one genuinely model-based op and runs inside
-`applyInPandas` (sklearn optional, gated).
+`applyInPandas` with a pure-numpy iterative ridge imputer (no sklearn
+dependency — this environment does not ship it).
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -199,6 +202,69 @@ def extrapolate(
     return out
 
 
+def _iterative_ridge_impute(
+    X: np.ndarray,
+    seed: int,
+    max_iter: int = 10,
+    alpha: float = 1e-6,
+    sample_posterior: bool = True,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Pure-numpy stand-in for sklearn's IterativeImputer(BayesianRidge()):
+    round-robin per-column ridge regressions solved by normal equations.
+
+    Matches the reference algorithm's shape (`missing.py:165-207`): mean
+    initial fill, columns visited fewest-missing-first, each missing column
+    regressed on all others over its observed rows, missing entries
+    replaced by predictions — plus N(0, residual σ) posterior-style noise
+    when ``sample_posterior`` (the multiple-imputation draws must differ).
+    The estimator diverges from BayesianRidge only in how the ridge penalty
+    is chosen (fixed tiny α vs evidence-maximized) — documented divergence;
+    observed values are never modified.
+    """
+    X = X.astype(np.float64, copy=True)
+    miss = np.isnan(X)
+    n, p = X.shape
+    col_mean = np.zeros(p)
+    for j in range(p):
+        obs = ~miss[:, j]
+        col_mean[j] = X[obs, j].mean() if obs.any() else 0.0
+    filled = X.copy()
+    filled[miss] = col_mean[np.nonzero(miss)[1]]
+    # fewest-missing-first, sklearn's default imputation_order='ascending'
+    order = sorted(
+        (j for j in range(p) if miss[:, j].any() and (~miss[:, j]).any()),
+        key=lambda j: (int(miss[:, j].sum()), j),
+    )
+    rng = np.random.RandomState(seed)
+    for _ in range(max_iter):
+        max_delta = 0.0
+        for j in order:
+            obs = ~miss[:, j]
+            others = [c for c in range(p) if c != j]
+            A = np.column_stack([np.ones(n), filled[:, others]])
+            Ao, yo = A[obs], X[obs, j]
+            reg = alpha * np.eye(A.shape[1])
+            reg[0, 0] = 0.0  # don't penalize the intercept
+            try:
+                beta = np.linalg.solve(Ao.T @ Ao + reg, Ao.T @ yo)
+            except np.linalg.LinAlgError:
+                beta = np.linalg.lstsq(Ao, yo, rcond=None)[0]
+            pred = A[miss[:, j]] @ beta
+            if sample_posterior:
+                resid = yo - Ao @ beta
+                dof = max(1, int(obs.sum()) - A.shape[1])
+                sigma = float(np.sqrt((resid @ resid) / dof))
+                pred = pred + rng.normal(0.0, sigma, size=len(pred))
+            old = filled[miss[:, j], j]
+            if len(pred):
+                max_delta = max(max_delta, float(np.max(np.abs(old - pred))))
+            filled[miss[:, j], j] = pred
+        if not sample_posterior and max_delta < tol:
+            break
+    return filled
+
+
 def impute_mice(
     df: DataFrame,
     n_imputations: int = 5,
@@ -206,31 +272,23 @@ def impute_mice(
     max_iter: int = 10,
     shard_col: str = UNIT,
     n_shards: int = 32,
+    sample_posterior: bool = True,
 ) -> list[DataFrame]:
     """MICE multiple imputation (reference `missing.py:165-230`):
-    N IterativeImputer draws, imputed values clipped to the observed
+    N iterative-imputer draws, imputed values clipped to the observed
     column min/max (`missing.py:192-207`).
 
     Spark mapping: the reference fans out draws over multiprocessing.Pool;
     here each draw is one job and *within* a draw the imputer runs per shard
     inside `applyInPandas` (shards = hash buckets of unit_id so each pandas
-    chunk is bounded regardless of total scale). sklearn is optional — gated
-    import, NotImplementedError when absent.
+    chunk is bounded regardless of total scale). The imputer itself is the
+    pure-numpy `_iterative_ridge_impute` — no sklearn dependency. Each
+    (draw, shard) gets a distinct deterministic seed, so results are
+    reproducible run to run.
 
     Returns a list of N imputed DataFrames (the reference yields a
     generator of N frames, `missing.py:212-230`).
     """
-    try:
-        from sklearn.experimental import enable_iterative_imputer  # noqa: F401
-        from sklearn.impute import IterativeImputer
-        from sklearn.linear_model import BayesianRidge
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "impute_mice needs scikit-learn, which is not in this environment"
-        ) from exc
-
-    import pandas as pd  # noqa: F401
-
     feats = feature_cols(df)
     # observed per-column bounds for clipping (one small agg, broadcast into tasks)
     bounds = df.agg(
@@ -242,15 +300,15 @@ def impute_mice(
     schema = df.schema
 
     def make_fn(draw_seed: int):
-        def impute_shard(pdf):
-            imp = IterativeImputer(
-                estimator=BayesianRidge(),
-                random_state=draw_seed,
+        def impute_shard(key, pdf):
+            shard_seed = (draw_seed * 100_003 + int(key[0])) % (2**31 - 1)
+            vals = _iterative_ridge_impute(
+                pdf[feats].to_numpy(dtype=np.float64, na_value=np.nan),
+                seed=shard_seed,
                 max_iter=max_iter,
-                sample_posterior=True,
+                sample_posterior=sample_posterior,
             )
-            vals = imp.fit_transform(pdf[feats])
-            res = pdf.copy()
+            res = pdf.drop(columns="__shard").copy()
             res[feats] = vals
             for c in feats:
                 if lo[c] is not None:
@@ -263,9 +321,6 @@ def impute_mice(
     out = []
     for i in range(n_imputations):
         fn = make_fn(seed + i)
-        imputed = (
-            sharded.groupBy("__shard")
-            .applyInPandas(lambda pdf, fn=fn: fn(pdf.drop(columns="__shard")), schema=schema)
-        )
+        imputed = sharded.groupBy("__shard").applyInPandas(fn, schema=schema)
         out.append(imputed)
     return out

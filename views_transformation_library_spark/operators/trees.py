@@ -515,57 +515,19 @@ def spatial_tree_lag(
     return grid.join(res, KEYS, "left").na.fill(0.0, subset=feats)
 
 
-def grid_lag(
-    df: DataFrame,
-    threshold: float,
-    dfunction_option: int = 0,
-    split_criterion: str = "min",
-    stride: int = PG_STRIDE,
-) -> DataFrame:
-    """Adaptive-mesh lag (reference `get_grid_lag`, spatial_tree.py:82-115,
-    478-591), single-feature panels.
+def _grid_mesh(nodevals: DataFrame, c: str, threshold: float, geo: SpatialTreeGeometry) -> DataFrame:
+    """The adaptive mesh for one feature, materialized.
 
-    Mesh per timestep: starting at the root, nodes with value > threshold
-    split recursively; a node is in the mesh iff every strict ancestor
-    exceeded the threshold and it does not (or it is a leaf). Expressed as a
-    top-down chain of joins over the per-level box aggregates (<= power
-    iterations building one lazy plan). The weighted sum is then a
-    time-equi-join of cells x mesh (d WITHOUT the +0.01 nudge — the
-    reference uses the plain distance here, spatial_tree.py:565) excluding
-    the target's own leaf, one hash aggregate.
+    Mesh membership, set-based in one pass instead of a 2-joins-per-level
+    top-down chain: a box is in the mesh iff it is acceptable
+    (val <= threshold, or it is a leaf) AND no strict ancestor is
+    acceptable (every ancestor split, i.e. had val > threshold). Each box
+    explodes into its <= power ancestor references (ancestor box id is
+    just a right-shift of its own id) and anti-joins against the
+    acceptable boxes — every ancestor box exists in nodevals because the
+    levels are rollups of the same cells. shiftright needs a literal
+    shift amount, hence expr() for the per-row shift (__lvl - __alvl).
     """
-    if split_criterion != "min":
-        raise ValueError(f"unknown split criterion {split_criterion!r}; allowed: 'min'")
-    feats = feature_cols(df)
-    if len(feats) != 1:
-        raise ValueError("grid_lag implemented for single-feature panels")
-    c = feats[0]
-    dfun_sql = {
-        0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
-        1: lambda d: 1.0 / d,
-        2: lambda d: 1.0 / (d * d),
-    }[dfunction_option]
-    spark = df.sparkSession
-    # four plan branches reference the panel (pgid collect, box aggregates,
-    # targets, output grid) — materialize it once
-    df = materialize(df)
-    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
-    geo = _spatial_geometry_cached(pgids, stride)
-    cells = _embedded_cells(df, geo, stride, feats)
-    all_levels = list(range(geo.power + 1))
-    # one materialization of all box aggregates (rows ~= 4/3 * |cells| across
-    # all levels); every level filter and the ok-chain then reads it for free
-    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).localCheckpoint()
-
-    # mesh membership, set-based in one pass instead of a 2-joins-per-level
-    # top-down chain: a box is in the mesh iff it is acceptable
-    # (val <= threshold, or it is a leaf) AND no strict ancestor is
-    # acceptable (every ancestor split, i.e. had val > threshold). Each box
-    # explodes into its <= power ancestor references (ancestor box id is
-    # just a right-shift of its own id) and anti-joins against the
-    # acceptable boxes — every ancestor box exists in nodevals because the
-    # levels are rollups of the same cells. shiftright needs a literal
-    # shift amount, hence expr() for the per-row shift (__lvl - __alvl).
     vals = nodevals.select(TIME, "__lvl", "__bx", "__by", F.col(c).alias("__val"))
     candidates = vals.filter(
         (F.col("__val") <= threshold) | (F.col("__lvl") == geo.power)
@@ -597,7 +559,7 @@ def grid_lag(
     ).select(TIME, "__lvl", "__bx", "__by")
     mesh = candidates.join(blocked, [TIME, "__lvl", "__bx", "__by"], "left_anti")
     size = F.expr(f"cast(shiftright({geo.ncells}, __lvl) as double)")
-    mesh = materialize(
+    return materialize(
         mesh.select(
             F.col(TIME).alias("__mt"),
             "__lvl",
@@ -608,22 +570,89 @@ def grid_lag(
             (F.col("__by") * size + size / 2).alias("__cy"),
         )
     )
-    # the mesh is what the adaptive coarsening made small — broadcast it so
-    # the cells side never shuffles. Its size is data-dependent (bounded by
-    # the box count, not by it being a kernel), so decide at runtime from
-    # the materialized frame: a count on a checkpointed frame is free.
-    mesh_side = F.broadcast(mesh) if mesh.count() <= 2_000_000 else mesh
+
+
+def grid_lag(
+    df: DataFrame,
+    threshold: float,
+    dfunction_option: int = 0,
+    split_criterion: str = "min",
+    stride: int = PG_STRIDE,
+    keep_grids: bool = False,
+):
+    """Adaptive-mesh lag (reference `get_grid_lag`, spatial_tree.py:82-115,
+    478-591), one mesh per feature per timestep as in the reference's
+    per-feature loop (`spatial_tree.py:540-541`).
+
+    Mesh per (timestep, feature): starting at the root, nodes with value >
+    threshold split recursively; a node is in the mesh iff every strict
+    ancestor exceeded the threshold and it does not (or it is a leaf). The
+    weighted sum is then a time-equi-join of cells x mesh (d WITHOUT the
+    +0.01 nudge — the reference uses the plain distance here,
+    spatial_tree.py:565) excluding the target's own leaf, one hash
+    aggregate per feature.
+
+    ``keep_grids=True`` additionally returns the mesh membership frame
+    (feature, time_id, __lvl, __bx, __by) — the set-based equivalent of the
+    reference's per-(time, feature) nodeid lists (`spatial_tree.py:492,545`).
+
+    Documented divergence: empty boxes are never mesh members (they hold
+    value 0, so with the usual threshold >= 0 the reference excludes them
+    too via its nleaf>0 check; a negative threshold would diverge).
+    """
+    if split_criterion != "min":
+        raise ValueError(f"unknown split criterion {split_criterion!r}; allowed: 'min'")
+    feats = feature_cols(df)
+    dfun_sql = {
+        0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
+        1: lambda d: 1.0 / d,
+        2: lambda d: 1.0 / (d * d),
+    }[dfunction_option]
+    # four plan branches reference the panel (pgid collect, box aggregates,
+    # targets, output grid) — materialize it once
+    df = materialize(df)
+    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    geo = _spatial_geometry_cached(pgids, stride)
+    cells = _embedded_cells(df, geo, stride, feats)
+    all_levels = list(range(geo.power + 1))
+    # one materialization of all box aggregates (rows ~= 4/3 * |cells| across
+    # all levels, every feature summed side by side); every mesh build then
+    # reads it for free
+    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).localCheckpoint()
     targets = cells.select(TIME, UNIT, "__ex", "__ey")
-    pairs = targets.join(mesh_side, F.col(TIME) == F.col("__mt")).filter(
-        ~(
-            (F.col("__lvl") == geo.power)
-            & (F.col("__bx") == F.col("__ex"))
-            & (F.col("__by") == F.col("__ey"))
+    out = df.select(TIME, UNIT)
+    mesh_frames = []
+    for c in feats:
+        mesh = _grid_mesh(nodevals, c, threshold, geo)
+        if keep_grids:
+            mesh_frames.append(
+                mesh.select(
+                    F.lit(c).alias("feature"),
+                    F.col("__mt").alias(TIME),
+                    "__lvl", "__bx", "__by",
+                )
+            )
+        # the mesh is what the adaptive coarsening made small — broadcast it
+        # so the cells side never shuffles. Its size is data-dependent
+        # (bounded by the box count, not by it being a kernel), so decide at
+        # runtime: a count on a checkpointed frame is free.
+        mesh_side = F.broadcast(mesh) if mesh.count() <= 2_000_000 else mesh
+        pairs = targets.join(mesh_side, F.col(TIME) == F.col("__mt")).filter(
+            ~(
+                (F.col("__lvl") == geo.power)
+                & (F.col("__bx") == F.col("__ex"))
+                & (F.col("__by") == F.col("__ey"))
+            )
         )
-    )
-    d = F.sqrt(
-        (F.col("__ex") + 0.5 - F.col("__cx")) ** 2 + (F.col("__ey") + 0.5 - F.col("__cy")) ** 2
-    )
-    res = pairs.groupBy(TIME, UNIT).agg(F.sum(F.col("__val") * dfun_sql(d)).alias(c))
-    grid = df.select(TIME, UNIT)
-    return grid.join(res, KEYS, "left").na.fill(0.0, subset=[c])
+        d = F.sqrt(
+            (F.col("__ex") + 0.5 - F.col("__cx")) ** 2 + (F.col("__ey") + 0.5 - F.col("__cy")) ** 2
+        )
+        res = pairs.groupBy(TIME, UNIT).agg(F.sum(F.col("__val") * dfun_sql(d)).alias(c))
+        out = out.join(res, KEYS, "left")
+    out = out.na.fill(0.0, subset=feats)
+    if keep_grids:
+        grids = mesh_frames[0]
+        for m in mesh_frames[1:]:
+            grids = grids.unionByName(m)
+        return out, grids
+    return out
