@@ -1,33 +1,13 @@
-"""Skew helpers + streaming sliding windows."""
+"""Streaming sliding windows (the skew helpers were retired in r2 —
+salted aggregation duplicated Spark's map-side partial aggregation for
+sum/count, and join skew is AQE skew-join's job; pattern documented in
+SCALE.md §skew)."""
 
 import os
 
 import pandas as pd
-import pytest
-from pyspark.sql import functions as F
 
-from views_transformation_library_spark.functions import skew
 from views_transformation_library_spark.streaming.windows import sliding_sum_stream
-
-
-def test_salted_sum_matches_plain_sum(spark):
-    df = spark.createDataFrame(
-        [(k % 3, float(i)) for i, k in enumerate(range(300))], schema="k long, v double"
-    )
-    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
-    salted = {r["k"]: r["v"] for r in skew.salted_sum(df, ["k"], ["v"]).collect()}
-    assert salted == pytest.approx(plain)
-
-
-def test_salted_join_keys_match(spark):
-    fact = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], schema="k long, v double")
-    dim = spark.createDataFrame([(1, "a"), (2, "b")], schema="k long, name string")
-    fs = skew.with_salted_key(fact, "k", n_salts=4)
-    ds = skew.explode_salts(dim, "k", n_salts=4)
-    joined = fs.join(ds, "__salted_key")
-    # every fact row finds exactly one dim match
-    assert joined.count() == 3
-    assert {r["name"] for r in joined.collect()} == {"a", "b"}
 
 
 def test_sliding_sum_stream(spark, tmp_path):

@@ -3,6 +3,7 @@
 
 import math
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -257,3 +258,97 @@ def test_spacetime_banded_candidates_sublinear_in_history(spark):
     full_ratio = counts[40][1] / counts[20][1]
     assert band_ratio < 2.5  # ~linear in T
     assert full_ratio > 3.0  # ~quadratic in T
+
+
+
+# ---------------------------------------------------------------------------
+# Reference goldens: generated ONCE from /root/reference's get_splag4d run
+# verbatim on a 3x3 fixture (tools/gen_splag4d_goldens.py; the single
+# runtime scipy call — ndimage.convolve, symmetric kernel, constant/0
+# padding — is shimmed with a numpy zero-padded correlation). Value-level
+# cross-check of kernel build + convolution against the reference itself.
+# Keyed by (kernel_inner, kernel_width, kernel_power, norm_kernel).
+SPLAG4D_REFERENCE_GOLDENS = {
+    (1, 1, 0, 0): {
+        (5, 0): 14.504038110435793,
+        (5, 1): 22.448875204881425,
+        (5, 2): 8.95883673693796,
+        (5, 720): 24.724209357097287,
+        (5, 721): 43.759721930807856,
+        (5, 722): 19.748548428190976,
+        (5, 1440): 18.542300523139335,
+        (5, 1441): 29.43962540191213,
+        (5, 1442): 12.9970991496415,
+        (6, 0): 29.008076220871587,
+        (6, 1): 44.89775040976285,
+        (6, 2): 17.91767347387592,
+        (6, 720): 49.448418714194574,
+        (6, 721): 87.51944386161571,
+        (6, 722): 39.49709685638195,
+        (6, 1440): 37.08460104627867,
+        (6, 1441): 58.87925080382426,
+        (6, 1442): 25.994198299283,
+    },
+    (1, 2, 2, 1): {
+        (5, 0): 2.050571784378126,
+        (5, 1): 2.223563657129155,
+        (5, 2): 1.6390307226075704,
+        (5, 720): 2.4651218657079887,
+        (5, 721): 3.672524831079786,
+        (5, 722): 2.1800418217793527,
+        (5, 1440): 2.3993461438812016,
+        (5, 1441): 2.727193827947691,
+        (5, 1442): 1.904253735159092,
+        (6, 0): 4.101143568756252,
+        (6, 1): 4.44712731425831,
+        (6, 2): 3.278061445215141,
+        (6, 720): 4.9302437314159775,
+        (6, 721): 7.345049662159572,
+        (6, 722): 4.360083643558705,
+        (6, 1440): 4.798692287762403,
+        (6, 1441): 5.454387655895382,
+        (6, 1442): 3.808507470318184,
+    },
+    (2, 1, 1, 0): {
+        (5, 0): 11.67207436689068,
+        (5, 1): 9.618364662512743,
+        (5, 2): 15.686884057537384,
+        (5, 720): 5.473695696220066,
+        (5, 721): 0.0,
+        (5, 722): 10.471479596973833,
+        (5, 1440): 9.285646146962575,
+        (5, 1441): 4.47287492530483,
+        (5, 1442): 11.989777136199713,
+        (6, 0): 23.34414873378136,
+        (6, 1): 19.236729325025486,
+        (6, 2): 31.373768115074768,
+        (6, 720): 10.947391392440132,
+        (6, 721): 0.0,
+        (6, 722): 20.942959193947665,
+        (6, 1440): 18.57129229392515,
+        (6, 1441): 8.94574985060966,
+        (6, 1442): 23.979554272399426,
+    },
+}
+
+
+@pytest.mark.parametrize("params", sorted(SPLAG4D_REFERENCE_GOLDENS))
+def test_splag4d_matches_reference_goldens(spark, params):
+    rng = np.random.RandomState(23)
+    vals = rng.rand(3, 3) * 10
+    rows = []
+    for month in (5, 6):
+        for lat in range(3):
+            for lon in range(3):
+                v = float(vals[lon, lat]) * (1 if month == 5 else 2)
+                rows.append((month, lat * 720 + lon, v))
+    df = make_panel(spark, rows)
+    ki, kw, kp, nk = params
+    got = {
+        (t, u): v
+        for (u, t, v) in collect_panel(spatial_grid.splag4d(df, ki, kw, kp, nk))
+    }
+    expected = SPLAG4D_REFERENCE_GOLDENS[params]
+    assert set(got) == set(expected)
+    for key, val in expected.items():
+        assert got[key] == pytest.approx(val, rel=1e-9), key
