@@ -72,8 +72,14 @@ def compare_rows(spark_rows, duck_rows, rel=1e-9, strict=False):
 def main():
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    results = {}
     spark = get_spark("oracle_check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -93,9 +99,11 @@ def main():
             s_rows = [[r[c] for c in s_cols] for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             print(f"skip  {name}: no oracle (rows-only: {len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -104,6 +112,7 @@ def main():
             d_rows_raw = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         d_order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
@@ -111,14 +120,25 @@ def main():
         d_rows = [[r[i] for i in d_order] for r in d_rows_raw]
         if s_cols != d_cols:
             failures.append(name)
+            results[name] = {"status": "schema_mismatch", "spark": s_cols, "oracle": d_cols}
             print(f"FAIL  {name}: schema {s_cols} vs {d_cols}")
             continue
         err = compare_rows(s_rows, d_rows, strict=strict)
         if err:
             failures.append(name)
+            results[name] = {"status": "value_mismatch", "err": err[:300]}
             print(f"FAIL  {name}: {err}")
         else:
+            results[name] = {
+                "status": "match_strict" if strict else "match",
+                "rows": len(s_rows),
+            }
             print(f"ok    {name}  ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "strict": strict, "results": results}, fh, indent=1)
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")

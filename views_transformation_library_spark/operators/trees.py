@@ -412,55 +412,36 @@ def _temporal_interactions_cached(
 def _level_aggregates(
     cells: DataFrame, feats: list[str], levels: list[int], power: int
 ) -> DataFrame:
-    """Union of per-level box aggregates: level l value = sum over pgids in
-    the aligned box (== the reference's stocked node sums,
+    """Per-level box aggregates in ONE shuffle: level l value = sum over
+    pgids in the aligned box (== the reference's stocked node sums,
     spatial_tree.py:374-419).
 
-    Hierarchical rollup: the leaf level aggregates the cells once (cached —
-    it is tiny: one row per (time, cell)), every coarser level aggregates
-    the level below it (rows shrink 4x per level). Without this, each union
-    branch would recompute the full input scan."""
-    # localCheckpoint both materializes the (tiny) leaf aggregate AND
-    # truncates its lineage: every level and the downstream mesh/ok joins
-    # would otherwise stack the full input plan per branch, which blows up
-    # Catalyst on the deeply-chained semi-join mesh selection
-    leaf = (
-        cells.groupBy(
+    Each cell explodes into its |levels| (level, box) keys — the level-l
+    box id is just the cell coordinate right-shifted by (power - l) — and a
+    single groupBy(time, lvl, bx, by) sums every level side by side. This
+    replaced r1's hierarchical level-on-level rollup: that chain needed a
+    localCheckpoint per level (Catalyst re-executes chained aggregates per
+    union branch otherwise), and the (power+1) sequential blocking jobs
+    cost ~2.9 s of grid_lag's 3.5 s at sf0.1 — versus one shuffle of
+    |cells| × |levels| rows here (the driver-side job overhead, not the
+    shuffled volume, was the bottleneck). Summing each box directly from
+    its leaf cells also mirrors the DuckDB oracle's per-level aggregates
+    exactly. The result is small (Σ_l boxes_l ≈ 4/3 |cells|) and callers
+    checkpoint it once."""
+    lvl_arr = F.array(*[F.lit(int(l)) for l in sorted(levels)])
+    exploded = cells.select(
+        TIME, "__ex", "__ey", *feats, F.explode(lvl_arr).alias("__lvl")
+    )
+    return (
+        exploded.groupBy(
             TIME,
-            F.col("__ex").alias("__bx"),
-            F.col("__ey").alias("__by"),
+            "__lvl",
+            F.expr(f"shiftright(__ex, {power} - __lvl)").alias("__bx"),
+            F.expr(f"shiftright(__ey, {power} - __lvl)").alias("__by"),
         )
         .agg(*[F.sum(c).alias(c) for c in feats])
-        .localCheckpoint()
+        .select(TIME, "__lvl", "__bx", "__by", *feats)
     )
-    by_level = {power: leaf}
-    cur = leaf
-    for lvl in range(power - 1, min(levels) - 1, -1):
-        # checkpoint EVERY level, not just the leaf: the levels are chained
-        # rollups, and each union branch below re-executes its whole chain
-        # from the leaf otherwise (Catalyst does not dedupe across union
-        # branches — measured 46 exchanges in one spatial_tree_lag plan).
-        # Each level is at most 1/4 the rows of the one below it.
-        cur = (
-            cur.groupBy(
-                TIME,
-                F.shiftright("__bx", 1).alias("__bx"),
-                F.shiftright("__by", 1).alias("__by"),
-            )
-            .agg(*[F.sum(c).alias(c) for c in feats])
-            .localCheckpoint()
-        )
-        by_level[lvl] = cur
-    parts = [
-        by_level[lvl].select(
-            TIME, F.lit(lvl).alias("__lvl"), "__bx", "__by", *feats
-        )
-        for lvl in sorted(levels)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def _embedded_cells(df: DataFrame, geo: SpatialTreeGeometry, stride: int, feats: list[str]) -> DataFrame:
