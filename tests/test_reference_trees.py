@@ -175,3 +175,64 @@ def test_spatial_interactions_match_reference(thetacrit, dopt):
         assert set(got) == set(ref_by_centre), p
         for c, w in ref_by_centre.items():
             assert got[c] == pytest.approx(w), (p, c)
+
+
+# ---------------------------------------------------------------------------
+# tlags3d: goldens from the reference's numerical core (get_tlags), generated
+# by running /root/reference/views_transformation_library/tlag3d.py's
+# get_tlags directly on this fixture (the public tlags3d wrapper cannot run:
+# tlag3d.py:130 references an undefined `df` — NameError on any input; and
+# get_tlags wraps tindex-lag < 0 AROUND via numpy negative indexing instead
+# of zeroing — both divergences documented in operators/temporal.py).
+# Layout per (time, pgid): [a_lag1, a_lag3, b_lag1, b_lag3]
+TLAGS3D_REFERENCE_GOLDENS = {
+    (100, 7): [0.243, 6.288, 1.023, 2.899],
+    (100, 9): [6.998, 5.999, 3.898, 1.329],
+    (100, 12): [0.229, 2.847, 2.888, 1.268],
+    (101, 7): [2.22, 3.276, 4.354, 0.721],
+    (101, 9): [2.067, 1.656, 4.593, 4.82],
+    (101, 12): [4.884, 9.602, 3.059, 0.942],
+    (102, 7): [7.659, 0.243, 2.592, 1.023],
+    (102, 9): [2.968, 6.998, 0.939, 3.898],
+    (102, 12): [0.807, 0.229, 3.692, 2.888],
+    (103, 7): [4.413, 2.22, 0.792, 4.354],
+    (103, 9): [8.799, 2.067, 1.37, 4.593],
+    (103, 12): [4.142, 4.884, 1.48, 3.059],
+    (104, 7): [6.288, 7.659, 2.899, 2.592],
+    (104, 9): [5.999, 2.968, 1.329, 0.939],
+    (104, 12): [2.847, 0.807, 1.268, 3.692],
+    (105, 7): [3.276, 4.413, 0.721, 0.792],
+    (105, 9): [1.656, 8.799, 4.82, 1.37],
+    (105, 12): [9.602, 4.142, 0.942, 1.48],
+}
+
+
+def test_tlags3d_matches_reference_core(spark):
+    from conftest import make_panel
+    from views_transformation_library_spark.operators import temporal
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for t in range(100, 106):
+        for u in (7, 9, 12):
+            rows.append((t, u, round(float(rng.rand() * 10), 3),
+                         round(float(rng.rand() * 5), 3)))
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
+    out = {
+        (r["time_id"], r["unit_id"]): [
+            r["a_tlag_1"], r["a_tlag_3"], r["b_tlag_1"], r["b_tlag_3"]
+        ]
+        for r in temporal.tlags3d(df, lags=[1, 3]).collect()
+    }
+    assert set(out) == set(TLAGS3D_REFERENCE_GOLDENS)
+    for (t, u), ref_vals in TLAGS3D_REFERENCE_GOLDENS.items():
+        for j, lag in enumerate([1, 3, 1, 3]):
+            if t - lag >= 100:
+                # in-range lags: exact agreement with the reference core
+                assert out[(t, u)][j] == pytest.approx(ref_vals[j]), (t, u, j)
+            else:
+                # out-of-range: the reference wraps around (numpy negative
+                # indexing); we emit the documented 0.0 — assert BOTH, so
+                # this test fails if either side's behavior drifts
+                assert out[(t, u)][j] == 0.0, (t, u, j)
+                assert ref_vals[j] != 0.0, (t, u, j)
