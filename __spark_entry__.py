@@ -259,6 +259,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
+    # benchmark decontamination: eval set = every 97th doc (deterministic
+    # subset so the oracle can reproduce it); self-pairs score 1.0
+    q["containment"] = lambda s, d: dedup.containment_pairs(
+        _docs(s, d),
+        _docs(s, d).filter(F.col("doc_id") % 97 == 0),
+        n=3,
+        min_containment=0.2,
+    )
+    q["normalize_text"] = lambda s, d: text.normalize_text(
+        _docs(s, d), lowercase=True, mask_urls=True, mask_emails=True
+    ).select("doc_id", "text_norm")
 
     # --- beyond-reference: similarity search (embeddings table)
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -1369,6 +1380,30 @@ SELECT node, min(comp) AS component FROM cc GROUP BY node
         + r"''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$|\s+"
         + r"'))::BIGINT AS n_bpe_tokens FROM documents"
     )
+    o["containment"] = _ngram_sql(3) + """,
+bench AS (SELECT * FROM bg WHERE doc % 97 = 0),
+bsz AS (SELECT doc, count(*) AS bsz FROM bench GROUP BY 1),
+ov AS (
+  SELECT c.doc AS doc_id, b.doc AS bench_id, count(*) AS overlap
+  FROM bg c JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bsz, 6) AS containment
+FROM ov JOIN bsz ON bsz.doc = bench_id
+WHERE round(overlap * 1.0 / bsz, 6) >= 0.2
+"""
+    o["normalize_text"] = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[\x00-\x1F\x7F]', ' ', 'g'),
+         '\s+', ' ', 'g'))) AS text_norm
+FROM documents
+"""
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

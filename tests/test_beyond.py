@@ -277,3 +277,30 @@ def test_ivf_training_sample_is_bounded(vectors):
     queries = vectors.filter(F.col("vec_id") == 100)
     out = similarity.ivf_topk(vectors, queries, k=3, centroids=cents, nprobe=2)
     assert out.count() <= 3
+
+
+def test_containment_pairs_planted(spark, docs=None):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "prefix words the quick brown fox jumps over the lazy dog tonight and more trailing text here"),
+        (3, "completely unrelated content about spark execution engines"),
+    ]
+    corpus = spark.createDataFrame(rows, schema="doc_id long, text string")
+    bench = corpus.filter(F.col("doc_id") == 1)
+    out = {
+        (r["doc_id"], r["bench_id"]): (r["overlap"], r["containment"])
+        for r in dedup.containment_pairs(corpus, bench, n=3, min_containment=0.5).collect()
+    }
+    # doc 1 contains itself fully; doc 2 contains all of doc 1's trigrams
+    assert out[(1, 1)][1] == 1.0
+    assert out[(2, 1)][1] == 1.0
+    assert (3, 1) not in out
+
+
+def test_normalize_text(spark):
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [(1, "Visit https://example.com/x?q=1 NOW!\x07\x07  Mail me@example.org \t ok")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = T.normalize_text(df, lowercase=True, mask_urls=True, mask_emails=True).collect()[0]
+    assert out["text_norm"] == "visit <url> now! mail <email> ok"

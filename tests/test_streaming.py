@@ -56,3 +56,39 @@ def test_tick_stream_counts_and_resets(spark, tmp_path):
     assert rows[(1, 5)] == 2
     # unit 2: never an event -> monotone counter
     assert rows[(2, 1)] == 0 and rows[(2, 2)] == 1 and rows[(2, 3)] == 2
+
+
+def test_dedup_stream(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"]
+            ),
+            "doc_id": [1, 2, 3],
+            # doc 3 duplicates doc 1 up to whitespace/case
+            "text": ["Hello  World", "fresh content", "hello world"],
+        }
+    ).to_parquet(src + "/a.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    out = dedup_stream(stream, watermark="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 2]  # doc 3 dropped as an exact dup of doc 1

@@ -345,3 +345,51 @@ def simhash_pairs(
     cand = left.join(right, ["k", "ch"]).filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb").distinct()
     ham = cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
     return ham.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents that contain a benchmark
+    document's n-grams (beyond-reference surface — the standard
+    training-data hygiene check before an evaluation run).
+
+    For every (corpus doc a, benchmark doc b) sharing at least one shingle:
+    containment(b in a) = |shingles(a) ∩ shingles(b)| / |shingles(b)| —
+    containment, not Jaccard, because a short benchmark item embedded in a
+    long document should still score 1.0. Pairs with containment >=
+    ``min_containment`` are returned as (doc_id, bench_id, overlap,
+    containment).
+
+    Plan: the benchmark side is small by definition (an eval set) — its
+    postings table is built once and BROADCAST; the corpus streams through
+    one hash join keyed on the shingle and one groupBy(a, b). The corpus —
+    the 100 TB side — is never shuffled on more than its shingles.
+    """
+    sh_c = _shingles(corpus, id_col, text_col, n)
+    sh_b = materialize(_shingles(benchmark, id_col, text_col, n))
+    bench_sizes = sh_b.groupBy("doc").agg(F.count("*").alias("__bsz"))
+    overlap = (
+        sh_c.join(
+            F.broadcast(sh_b.select(F.col("doc").alias("__b"), "shingle")), "shingle"
+        )
+        .groupBy(F.col("doc").alias("a"), F.col("__b").alias("b"))
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        overlap.join(
+            F.broadcast(bench_sizes.select(F.col("doc").alias("b"), "__bsz")), "b"
+        )
+        .select(
+            F.col("a").alias("doc_id"),
+            F.col("b").alias("bench_id"),
+            "overlap",
+            F.round(F.col("overlap") / F.col("__bsz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -103,3 +103,31 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> D
     fingerprint doubles as a cross-system exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def normalize_text(
+    df: DataFrame,
+    col: str = "text",
+    out: str = "text_norm",
+    lowercase: bool = False,
+    mask_urls: bool = False,
+    mask_emails: bool = False,
+) -> DataFrame:
+    """Deterministic text normalization for training-data pipelines:
+    strip ASCII control characters, collapse whitespace runs to one space,
+    trim; optionally lowercase and mask URLs/emails with fixed sentinels.
+
+    Pure regexp_replace column expressions (JVM-side, whole-stage codegen;
+    the regex classes are chosen to behave identically in Java regex and
+    DuckDB's RE2 so the op is oracle-checkable). Masking before whitespace
+    collapse so masked runs cannot re-join neighboring tokens."""
+    c = F.col(col)
+    if mask_emails:
+        c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    if mask_urls:
+        c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+    c = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out, c)
