@@ -270,6 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["normalize_text"] = lambda s, d: text.normalize_text(
         _docs(s, d), lowercase=True, mask_urls=True, mask_emails=True
     ).select("doc_id", "text_norm")
+    # shard_size=100 exercises the two-phase prefix sum (5+ shards at sf0.01)
+    q["pack_windows"] = lambda s, d: text.pack_windows(
+        _docs(s, d), window=512, shard_size=100
+    )
 
     # --- beyond-reference: similarity search (embeddings table)
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -1391,6 +1395,24 @@ ov AS (
 SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bsz, 6) AS containment
 FROM ov JOIN bsz ON bsz.doc = bench_id
 WHERE round(overlap * 1.0 / bsz, 6) >= 0.2
+"""
+    o["pack_windows"] = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cend - n_tokens)::BIGINT AS start_offset,
+       cend::BIGINT AS end_offset,
+       ((cend - n_tokens) // 512)::BIGINT AS first_window,
+       (greatest(cend - 1, cend - n_tokens) // 512)::BIGINT AS last_window
+FROM c
 """
     o["normalize_text"] = r"""
 SELECT doc_id,

@@ -304,3 +304,34 @@ def test_normalize_text(spark):
     df = spark.createDataFrame(rows, schema="doc_id long, text string")
     out = T.normalize_text(df, lowercase=True, mask_urls=True, mask_emails=True).collect()[0]
     assert out["text_norm"] == "visit <url> now! mail <email> ok"
+
+
+def test_pack_windows_offsets_and_spans(spark):
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [
+        (1, "a b c"),           # 3 tokens  [0, 3)
+        (2, ""),                # 0 tokens  [3, 3)
+        (3, "d e f g h"),       # 5 tokens  [3, 8)
+        (10, "i j"),            # 2 tokens  [8, 10) — crosses shard boundary
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in T.pack_windows(df, window=4, shard_size=5).collect()
+    }
+    assert (out[1]["start_offset"], out[1]["end_offset"]) == (0, 3)
+    assert (out[2]["start_offset"], out[2]["end_offset"]) == (3, 3)
+    assert (out[3]["start_offset"], out[3]["end_offset"]) == (3, 8)
+    assert (out[10]["start_offset"], out[10]["end_offset"]) == (8, 10)
+    # window spans with W=4: doc 3 spans windows 0..1, doc 10 fits window 2
+    assert (out[1]["first_window"], out[1]["last_window"]) == (0, 0)
+    assert (out[2]["first_window"], out[2]["last_window"]) == (0, 0)
+    assert (out[3]["first_window"], out[3]["last_window"]) == (0, 1)
+    assert (out[10]["first_window"], out[10]["last_window"]) == (2, 2)
+    # two-phase prefix sum == global prefix sum regardless of shard size
+    alt = {
+        r["doc_id"]: r.asDict()
+        for r in T.pack_windows(df, window=4, shard_size=1_000_000).collect()
+    }
+    assert all(alt[k] == out[k] for k in out)

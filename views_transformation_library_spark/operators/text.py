@@ -9,7 +9,7 @@ counting, and md5 document fingerprinting for exact dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # deterministic and cheap — not a real language model by design
@@ -131,3 +131,68 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out, c)
+
+
+def pack_windows(
+    df: DataFrame,
+    window: int = 2048,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents are concatenated
+    in ``id_col`` order and cut into fixed ``window``-token training
+    sequences; each document's global token offset and the window span it
+    lands in are computed — the assignment step every LLM pretraining
+    pipeline runs before writing packed shards.
+
+    Scale design: a global ordered prefix-sum over 10^9+ docs cannot be a
+    single Window.orderBy (one-partition sort). Two-phase instead: docs are
+    range-sharded by id (``shard = id div shard_size``), each shard does a
+    *partitioned* cumulative sum, and the per-shard totals — one row per
+    shard — are prefix-summed and broadcast back as shard base offsets.
+    Shuffle volume is one hash partition by shard plus a broadcast of
+    |shards| rows.
+
+    Output: (doc_id, n_tokens, start_offset, end_offset, first_window,
+    last_window) with end exclusive; empty docs (0 tokens) get
+    first_window = last_window = the window containing their offset.
+    """
+    token_expr = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col), token_expr.alias("n_tokens"),
+        (F.col(id_col) - (F.col(id_col) % shard_size)).alias("__shard"),
+    )
+    w_shard = Window.partitionBy("__shard").orderBy(id_col)
+    local = base.withColumn(
+        "__local_end", F.sum("n_tokens").over(w_shard)
+    )
+    # one row per shard -> prefix-summed base offsets, broadcast back
+    w_sh = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offsets = (
+        base.groupBy("__shard")
+        .agg(F.sum("n_tokens").alias("__total"))
+        .withColumn("__base", F.coalesce(F.sum("__total").over(w_sh), F.lit(0)))
+        .select("__shard", "__base")
+    )
+    out = (
+        local.join(F.broadcast(shard_offsets), "__shard")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__base") + F.col("__local_end") - F.col("n_tokens")).alias("start_offset"),
+            (F.col("__base") + F.col("__local_end")).alias("end_offset"),
+        )
+        # integer DIV, not floor(double /): offsets exceed double's 53-bit
+        # mantissa long before 100 TB of tokens
+        .withColumn("first_window", F.expr(f"start_offset DIV {int(window)}"))
+        .withColumn(
+            "last_window",
+            F.expr(f"greatest(end_offset - 1, start_offset) DIV {int(window)}"),
+        )
+    )
+    return out
