@@ -1,0 +1,41 @@
+"""Spec-driven composition surface (SURVEY.md §2.7): the JSON 'query
+language' the reference's viewser API ships."""
+
+import pytest
+
+from conftest import collect_panel, make_panel
+from views_transformation_library_spark import REGISTRY, transform, transform_json
+
+
+def test_transform_folds_spec_chain(spark):
+    pn = make_panel(spark, [(t, 1, float(t)) for t in range(5)])
+    out = transform(pn, [
+        {"type": "tlag", "args": [1]},
+        {"type": "greater_or_equal", "args": [2.0]},
+    ])
+    got = {t: v for (_, t, v) in collect_panel(out)}
+    # tlag(1): t=0 has no predecessor (NULL, preserved through the
+    # comparison); times 3,4 see lagged values 2,3 -> 1.0
+    assert got == {0: None, 1: 0.0, 2: 0.0, 3: 1.0, 4: 1.0}
+
+
+def test_transform_json_and_unknown_step(spark):
+    pn = make_panel(spark, [(t, 1, float(t)) for t in range(3)])
+    out = transform_json(pn, '[{"type": "decay", "args": [1.0]}]')
+    assert out.count() == 3
+    with pytest.raises(KeyError, match="unknown transform"):
+        transform(pn, [{"type": "no_such_op"}])
+
+
+def test_registry_covers_new_r2_surface():
+    for name in ("containment_pairs", "normalize_text", "pack_windows",
+                 "impute_mice_draw", "embedding_neardup_pairs"):
+        assert name in REGISTRY, name
+
+
+def test_registry_impute_mice_draw_returns_frame(spark):
+    rows = [(t, 1, float(t) if t % 2 else None, float(t)) for t in range(1, 9)]
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
+    out = transform(df, [{"type": "impute_mice_draw", "kwargs": {"n_shards": 1, "n_imputations": 1}}])
+    res = out.toPandas()
+    assert res["a"].notna().all()

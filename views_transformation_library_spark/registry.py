@@ -92,12 +92,18 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "attach_binary": multimodal.attach_binary,
     "extract_features": multimodal.extract_features,
     "frame_sample": multimodal.frame_sample_stub,
+    "containment_pairs": dedup.containment_pairs,
+    "normalize_text": text.normalize_text,
+    "pack_windows": text.pack_windows,
     # missing (§2.3)
     "replace_na": missing.replace_na,
     "fill": missing.fill,
     "extrapolate": missing.extrapolate,
     "fill_with_group_and_global_means": missing.fill_with_group_and_global_means,
     "fill_groups_with_time_means": missing.fill_groups_with_time_means,
+    # impute_mice yields N frames; the spec surface (DataFrame -> DataFrame)
+    # exposes one draw per step
+    "impute_mice_draw": lambda df, *a, **k: missing.impute_mice(df, *a, **k)[0],
 }
 
 
