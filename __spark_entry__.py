@@ -274,6 +274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_windows"] = lambda s, d: text.pack_windows(
         _docs(s, d), window=512, shard_size=100
     )
+    # Gopher-style repetition rules; the synthetic docs have no newlines, so
+    # the gate splits "lines" on the literal token ' line ' (occurs often) —
+    # the \n default is covered by pytest fixtures with planted dup lines
+    q["repetition_stats"] = lambda s, d: text.repetition_stats(
+        _docs(s, d), line_sep=" line "
+    ).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_word_frac", "dup_word_frac",
+    )
 
     # --- beyond-reference: similarity search (embeddings table)
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -287,6 +296,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _embs(s, d), _queries(s, d), k=10, n_centroids=16, nprobe=4
+    )
+    # same index, centroids trained fully distributed (no driver sample) —
+    # approx like ivf_topk, rows-only gated. Smaller k-means than ivf_topk:
+    # each Lloyd's iteration bakes n_centroids x dim literals into the
+    # assignment expression, and at toy scale plan compilation (not data)
+    # dominates — 8x3 exercises the identical path at half the compile cost
+    q["ivf_topk_dist"] = lambda s, d: similarity.ivf_topk(
+        _embs(s, d), _queries(s, d), k=10, n_centroids=8, nprobe=3,
+        train_distributed=True,
     )
 
     # --- beyond-reference: multimodal plumbing (documents as binary)
@@ -1425,6 +1443,38 @@ SELECT doc_id,
            '[\x00-\x1F\x7F]', ' ', 'g'),
          '\s+', ' ', 'g'))) AS text_norm
 FROM documents
+"""
+    o["repetition_stats"] = r"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split_regex(text, ' line ')) AS t(l)
+  WHERE trim(l) <> ''
+),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS nd,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_chars,
+         sum(cnt * length(line)) AS tot_chars
+  FROM lc GROUP BY 1
+),
+words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+),
+wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, sum(cnt) AS n_words, count(*) AS ndw, max(cnt) AS top_n
+  FROM wc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+       round(coalesce((ls.n_lines - ls.nd) * 1.0 / nullif(ls.n_lines, 0), 0.0), 6) + 0.0 AS dup_line_frac,
+       round(coalesce(ls.dup_chars * 1.0 / nullif(ls.tot_chars, 0), 0.0), 6) + 0.0 AS dup_line_char_frac,
+       round(coalesce(ws.top_n * 1.0 / nullif(ws.n_words, 0), 0.0), 6) + 0.0 AS top_word_frac,
+       round(coalesce((ws.n_words - ws.ndw) * 1.0 / nullif(ws.n_words, 0), 0.0), 6) + 0.0 AS dup_word_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN ws ON ws.doc_id = d.doc_id
 """
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig

@@ -335,3 +335,63 @@ def test_pack_windows_offsets_and_spans(spark):
         for r in T.pack_windows(df, window=4, shard_size=1_000_000).collect()
     }
     assert all(alt[k] == out[k] for k in out)
+
+def test_repetition_stats_planted(spark):
+    rows = [
+        # 4 non-empty lines, "aa bb" repeated twice -> 2/4 lines are dup
+        # occurrences beyond the first... dup_line_frac = 1 - 3/4 = 0.25;
+        # chars in duplicated lines = 2 * 5 = 10 of 5+5+2+8 = 20 total
+        (1, "aa bb\naa bb\ncc\ndd ee ff\n\n  "),
+        # single line, no repeats at line level; 'x' is 3 of 4 words
+        (2, "x x x y"),
+        (3, ""),  # empty doc: all zeros
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.25
+    assert out[1]["dup_line_char_frac"] == 10 / 20
+    assert out[2]["n_lines"] == 1
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 0.75
+    assert out[2]["dup_word_frac"] == 0.5  # 4 words, 2 distinct
+    for c in ("n_lines", "dup_line_frac", "dup_line_char_frac",
+              "top_word_frac", "dup_word_frac"):
+        assert out[3][c] == 0, c
+
+
+def test_repetition_stats_custom_line_sep(spark):
+    df = spark.createDataFrame(
+        [(1, "aa STOP bb STOP aa")], schema="doc_id long, text string"
+    )
+    out = text.repetition_stats(df, line_sep=" STOP ").collect()[0]
+    assert out["n_lines"] == 3
+    # 'aa' occurs twice -> 1 - 2/3
+    assert out["dup_line_frac"] == round(1 - 2 / 3, 6)
+
+
+def test_ivf_distributed_training(vectors):
+    cents = similarity.train_ivf_centroids_distributed(
+        vectors, n_centroids=4, n_iters=3
+    )
+    assert 1 <= len(cents) <= 4
+    dim = len(vectors.first()["embedding"])
+    assert all(len(c) == dim for c in cents)
+    queries = vectors.filter(F.col("vec_id") == 100)
+    out = similarity.ivf_topk(
+        vectors, queries, k=3, n_centroids=4, nprobe=2, train_distributed=True
+    ).collect()
+    # the planted near-dup twin lands in the same k-means bucket
+    assert any(r["neighbor_id"] == 101 for r in out)
+    assert all(r["query_id"] == 100 for r in out)
+
+
+def test_ivf_distributed_empty_and_init(spark, vectors):
+    empty = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    assert similarity.train_ivf_centroids_distributed(empty) == []
+    # pretrained init skips the hash-sample bootstrap but still iterates
+    seed_cents = similarity.train_ivf_centroids(vectors, n_centroids=2)
+    cents = similarity.train_ivf_centroids_distributed(
+        vectors, n_centroids=2, n_iters=1, init_centroids=seed_cents
+    )
+    assert len(cents) == 2

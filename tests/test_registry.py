@@ -29,7 +29,8 @@ def test_transform_json_and_unknown_step(spark):
 
 def test_registry_covers_new_r2_surface():
     for name in ("containment_pairs", "normalize_text", "pack_windows",
-                 "impute_mice_draw", "embedding_neardup_pairs"):
+                 "repetition_stats", "impute_mice_draw",
+                 "embedding_neardup_pairs"):
         assert name in REGISTRY, name
 
 

@@ -229,6 +229,82 @@ def train_ivf_centroids(
     return centroids.tolist()
 
 
+def train_ivf_centroids_distributed(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    init_centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Fully distributed Lloyd's k-means — the 100 TB training path.
+
+    The driver-sample trainer (`train_ivf_centroids`) is bounded but trains
+    on ≤ ~1e5 vectors; this variant trains on EVERY vector without any
+    driver-side materialization of the table:
+
+    - *assign*: nearest-centroid id is a pure column expression over the
+      centroid literals (`_bucket_structs`) — runs inside the scan, no join,
+      no shuffle of the vector payload.
+    - *update*: `posexplode` the vector and hash-aggregate
+      (bucket, dim) → (sum, count). Map-side partial aggregation collapses
+      each task to ≤ n_centroids × dim rows before the shuffle, so per
+      iteration the driver receives exactly n_centroids × dim sums —
+      independent of table size.
+
+    Cost is n_iters passes over the source (re-scan, not cache: at 100 TB
+    a localCheckpoint would copy the table; callers with cluster memory to
+    spare can `.cache()` the projected vector column themselves).
+
+    Per-dimension sums are double hash-aggregates (partition-order
+    dependent in the last ulp), so centroid components are rounded to 9dp
+    each iteration — run-to-run stable except exactly at a rounding
+    boundary; downstream `ivf_topk` queries are rows-only gated, which
+    absorbs that. Empty clusters keep their previous centroid (same policy
+    as the driver-sample trainer). Initial centroids default to the
+    n_centroids vectors with the smallest xxhash64(id, seed) — a
+    deterministic, order-independent sample.
+    """
+    base = vectors.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__id"))
+    if init_centroids is None:
+        rows = (
+            base.select("__v", F.xxhash64(F.col("__id"), F.lit(seed)).alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(n_centroids)
+            .collect()
+        )
+        if not rows:
+            return []
+        centroids = [[float(x) for x in r["__v"]] for r in rows]
+    else:
+        centroids = [list(map(float, c)) for c in init_centroids]
+    for _ in range(n_iters):
+        nearest = _bucket_structs("__v", centroids)[0]["c"]
+        # assignment and posexplode in separate selects: a generator next to
+        # a struct-subscript expression makes the analyzer resolve the
+        # subscript against the generator's (col1, col2) output struct
+        stats = (
+            base.select(nearest.alias("__b"), "__v")
+            .select("__b", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__b", "__dim")
+            .agg(
+                F.sum(F.col("__x").cast("double")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["__b"], {})[r["__dim"]] = r["__s"]
+            counts[r["__b"]] = r["__n"]
+        for c, dims in sums.items():
+            n = counts[c]
+            centroids[c] = [round(dims[i] / n, 9) for i in sorted(dims)]
+    return centroids
+
+
 def _bucket_structs(vec_col: str, centroids: list[list[float]]):
     """Array of (squared-distance-to-centroid, centroid-id) structs."""
     entries = []
@@ -254,6 +330,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
+    train_distributed: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are bucketed by their
     nearest k-means centroid; each query probes only its `nprobe` nearest
@@ -265,11 +342,17 @@ def ivf_topk(
 
     Training is bounded by default: `train_ivf_centroids` derives
     `sample_mod` from a cheap count so the driver sample stays ≤ ~1e5
-    vectors regardless of table size; pass pretrained `centroids` to skip
-    training entirely."""
+    vectors regardless of table size; `train_distributed=True` trains on
+    every vector with zero driver-side table materialization
+    (`train_ivf_centroids_distributed`); pass pretrained `centroids` to
+    skip training entirely."""
     if centroids is None and vectors.first() is None:
         return _empty_topk(vectors, id_col)
-    if centroids is None:
+    if centroids is None and train_distributed:
+        centroids = train_ivf_centroids_distributed(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    elif centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,

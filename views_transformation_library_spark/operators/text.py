@@ -133,6 +133,98 @@ def normalize_text(
     return df.withColumn(out, c)
 
 
+def repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    pretraining-data quality rules for catching boilerplate and
+    machine-generated spam (Rae et al. 2021, table A1 family):
+
+      n_lines          non-empty (trimmed) lines
+      dup_line_frac    fraction of lines that are repeats of an earlier
+                       line: 1 - distinct/total
+      dup_line_char_frac  fraction of line characters living in lines that
+                       occur more than once (all occurrences counted)
+      top_word_frac    occurrences of the most common word / total words
+      dup_word_frac    1 - distinct words / total words
+
+    Scale design: counting repeats per document is explode → two
+    hash aggregates keyed by (doc, line) then (doc) — linear in corpus
+    size, map-side partial aggregation on both (a per-doc HOF
+    formulation of dup_line_char_frac would be O(lines x distinct) per
+    doc, quadratic on pathological documents). Words are lowercase
+    [a-z0-9]+ runs; lines are \\n-split and trimmed, empties dropped.
+    All ratios are exact integer-over-integer divisions rounded to 6dp
+    (single division per doc — no double-sum order dependence), with
+    +0.0 canonicalization so -0.0 never leaks into the hash gate.
+    Docs with no lines / no words score 0.0 everywhere. ``line_sep`` is a
+    regex (Java/RE2-portable) so corpora with non-newline record
+    structure can still use the line-level rules.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(col), line_sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z0-9]+"), 0)
+    base = df.select(F.col(id_col), lines.alias("__lines"), words.alias("__words"))
+
+    line_counts = (
+        base.select(id_col, F.explode("__lines").alias("__line"))
+        .groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    line_stats = line_counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("__n_lines"),
+        F.count("*").alias("__n_distinct_lines"),
+        F.sum(
+            F.when(F.col("__cnt") > 1, F.col("__cnt") * F.length("__line")).otherwise(F.lit(0))
+        ).alias("__dup_chars"),
+        F.sum(F.col("__cnt") * F.length("__line")).alias("__tot_chars"),
+    )
+    word_counts = (
+        base.select(id_col, F.explode("__words").alias("__word"))
+        .groupBy(id_col, "__word")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    word_stats = word_counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("__n_words"),
+        F.count("*").alias("__n_distinct_words"),
+        F.max("__cnt").alias("__top_word_n"),
+    )
+
+    def _frac(num, den):
+        # exact long/long division in double, 6dp, -0.0 -> +0.0
+        return F.round(
+            F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ) + F.lit(0.0)
+
+    return (
+        df.join(line_stats, id_col, "left")
+        .join(word_stats, id_col, "left")
+        .withColumns(
+            {
+                "n_lines": F.coalesce(F.col("__n_lines"), F.lit(0)).cast("long"),
+                "dup_line_frac": _frac(
+                    F.col("__n_lines") - F.col("__n_distinct_lines"), F.col("__n_lines")
+                ),
+                "dup_line_char_frac": _frac(F.col("__dup_chars"), F.col("__tot_chars")),
+                "top_word_frac": _frac(F.col("__top_word_n"), F.col("__n_words")),
+                "dup_word_frac": _frac(
+                    F.col("__n_words") - F.col("__n_distinct_words"), F.col("__n_words")
+                ),
+            }
+        )
+        .drop(
+            "__n_lines", "__n_distinct_lines", "__dup_chars", "__tot_chars",
+            "__n_words", "__n_distinct_words", "__top_word_n",
+        )
+    )
+
+
 def pack_windows(
     df: DataFrame,
     window: int = 2048,

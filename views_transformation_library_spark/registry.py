@@ -94,6 +94,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "frame_sample": multimodal.frame_sample_stub,
     "containment_pairs": dedup.containment_pairs,
     "normalize_text": text.normalize_text,
+    "repetition_stats": text.repetition_stats,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
     "replace_na": missing.replace_na,
