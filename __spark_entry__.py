@@ -232,6 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grid_lag_multi"] = lambda s, d: _r6(
         trees.grid_lag(_panel2(s, d), GRID_LAG_MULTI_THRESHOLD, 0, stride=GRID_STRIDE)
     )
+    # reference dfunctions-dict parity: two weight kernels in one pair
+    # aggregate (suffixed output names — the reference's own multi-weight
+    # labeling is broken, see grid_lag docstring)
+    q["grid_lag_weights"] = lambda s, d: _r6(
+        trees.grid_lag(
+            _panel(s, d), GRID_LAG_THRESHOLD, stride=GRID_STRIDE,
+            dfunctions={"invlog": trees.GRID_DFUNCTIONS[0],
+                        "invsq": trees.GRID_DFUNCTIONS[2]},
+        )
+    )
 
     # --- beyond-reference: text analysis (documents table)
     q["token_count"] = lambda s, d: text.token_count(_docs(s, d)).select(
@@ -725,21 +735,28 @@ FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
 
 def _grid_lag_oracle(
     threshold: float,
-    dopt: int,
+    dopt: int | dict[str, int],
     feats: tuple[str, ...] = ("value",),
     base: str | None = None,
     panel_cte: str = "panel",
 ) -> str:
     """Mesh oracle, one independent mesh chain per feature (the reference
-    computes a mesh per (timestep, feature), spatial_tree.py:540-541)."""
+    computes a mesh per (timestep, feature), spatial_tree.py:540-541).
+
+    ``dopt`` is either a single canned-kernel id (plain column names) or a
+    {weight_name: kernel_id} dict mirroring grid_lag's ``dfunctions``
+    (suffixed ``{feat}_{name}`` columns, all weights in one aggregate)."""
     _, units = _oracle_keys()
     geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
     p = geo.power
-    dfun = {
+    _DFUN_SQL = {
         0: "1.0 / ln(1.0 + {d})",
         1: "1.0 / {d}",
         2: "1.0 / ({d} * {d})",
-    }[dopt]
+    }
+    wmap = {None: _DFUN_SQL[dopt]} if isinstance(dopt, int) else {
+        wname: _DFUN_SQL[k] for wname, k in dopt.items()
+    }
     feat_sel = ", ".join(feats)
     ctes = [
         f"""
@@ -789,18 +806,24 @@ meshc_{c} AS (
 )"""
         )
         d = "sqrt(pow(t.ex + 0.5 - m.cx, 2) + pow(t.ey + 0.5 - m.cy, 2))"
-        w = dfun.format(d=d)
+        sums = ", ".join(
+            f"sum(m.val * {w.format(d=d)}) AS v_{wname or ''}"
+            for wname, w in wmap.items()
+        )
         ctes.append(
             f"""
 agg_{c} AS (
-  SELECT t.time_id, t.unit_id, sum(m.val * {w}) AS v
+  SELECT t.time_id, t.unit_id, {sums}
   FROM cells t JOIN meshc_{c} m ON m.mt = t.time_id
   WHERE NOT (m.lvl = {p} AND m.bx = t.ex AND m.by = t.ey)
   GROUP BY 1, 2
 )"""
         )
     outs = ", ".join(
-        f"round(coalesce(a_{c}.v, 0.0), 6) AS {c}" for c in feats
+        f"round(coalesce(a_{c}.v_{wname or ''}, 0.0), 6) AS "
+        + (c if wname is None else f"{c}_{wname}")
+        for c in feats
+        for wname in wmap
     )
     joins = " ".join(
         f"LEFT JOIN agg_{c} a_{c} ON a_{c}.time_id = p.time_id AND a_{c}.unit_id = p.unit_id"
@@ -1363,6 +1386,9 @@ GROUP BY 1, 2
     o["temporal_tree_expon"] = _temporal_tree_oracle(0.7, "expon", 8.0)
     o["spatial_tree_lag"] = _spatial_tree_oracle(0.9, 0)
     o["grid_lag"] = _grid_lag_oracle(GRID_LAG_THRESHOLD, 0)
+    o["grid_lag_weights"] = _grid_lag_oracle(
+        GRID_LAG_THRESHOLD, {"invlog": 0, "invsq": 2}
+    )
     o["grid_lag_multi"] = _grid_lag_oracle(
         GRID_LAG_MULTI_THRESHOLD, 0, feats=("a", "b"), base=PANEL2_SQL, panel_cte="panel2"
     )

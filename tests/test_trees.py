@@ -241,3 +241,24 @@ def test_grid_lag_multi_feature_independent_meshes(spark):
     }
     for u, (va, _) in res.items():
         assert va == pytest.approx(a_only[u]), u
+
+def test_grid_lag_weight_dict(spark):
+    """dfunctions-dict parity (reference get_grid_lag dfunctions,
+    spatial_tree.py:95-96): every weight function evaluated in the same
+    pair aggregate, suffixed output columns, each matching the equivalent
+    single-kernel run."""
+    pgids = [lat * 720 + lon for lat in range(4) for lon in range(4)]
+    rng = np.random.RandomState(3)
+    rows = [(1, p, float(rng.randint(1, 10))) for p in pgids]
+    df = make_panel(spark, rows)
+    out = trees.grid_lag(
+        df, 50.0,
+        dfunctions={"invlog": trees.GRID_DFUNCTIONS[0],
+                    "invsq": trees.GRID_DFUNCTIONS[2]},
+    )
+    assert set(out.columns) == {"time_id", "unit_id", "value_invlog", "value_invsq"}
+    got = {r["unit_id"]: (r["value_invlog"], r["value_invsq"]) for r in out.collect()}
+    for opt, idx in ((0, 0), (2, 1)):
+        single = {u: v for (u, _, v) in collect_panel(trees.grid_lag(df, 50.0, opt))}
+        for u, vals in got.items():
+            assert vals[idx] == pytest.approx(single[u]), (opt, u)

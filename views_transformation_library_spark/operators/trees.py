@@ -553,6 +553,15 @@ def _grid_mesh(nodevals: DataFrame, c: str, threshold: float, geo: SpatialTreeGe
     )
 
 
+# the reference's canned distance kernels (spatial_tree.py dfunction_option
+# family), as Column-expression builders usable in any weighted aggregate
+GRID_DFUNCTIONS = {
+    0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
+    1: lambda d: 1.0 / d,
+    2: lambda d: 1.0 / (d * d),
+}
+
+
 def grid_lag(
     df: DataFrame,
     threshold: float,
@@ -560,6 +569,7 @@ def grid_lag(
     split_criterion: str = "min",
     stride: int = PG_STRIDE,
     keep_grids: bool = False,
+    dfunctions: dict | None = None,
 ):
     """Adaptive-mesh lag (reference `get_grid_lag`, spatial_tree.py:82-115,
     478-591), one mesh per feature per timestep as in the reference's
@@ -577,6 +587,20 @@ def grid_lag(
     (feature, time_id, __lvl, __bx, __by) — the set-based equivalent of the
     reference's per-(time, feature) nodeid lists (`spatial_tree.py:492,545`).
 
+    ``dfunctions`` mirrors the reference's arbitrary weight-function dict
+    (`get_grid_lag`'s ``dfunctions``, spatial_tree.py:95-96): a mapping of
+    name → Column-expression builder (distance Column → weight Column, the
+    Spark-native re-expression of the reference's scalar callables; the
+    canned kernels are exported as ``GRID_DFUNCTIONS``). All weights for a
+    feature are computed in the SAME pair aggregate — extra weight
+    functions add agg expressions, not shuffles. Output columns are
+    ``{feature}_{name}`` (the reference's own multi-weight path is broken:
+    ``spatial_tree.py:577-586`` builds a dim2×nweight-wide array but
+    labels it with the original dim2 column names, so the DataFrame
+    constructor raises — suffixing follows the same documented policy as
+    tlags3d). When ``dfunctions`` is None, ``dfunction_option`` selects a
+    single canned kernel and column names are unchanged.
+
     Documented divergence: empty boxes are never mesh members (they hold
     value 0, so with the usual threshold >= 0 the reference excludes them
     too via its nleaf>0 check; a negative threshold would diverge).
@@ -584,11 +608,11 @@ def grid_lag(
     if split_criterion != "min":
         raise ValueError(f"unknown split criterion {split_criterion!r}; allowed: 'min'")
     feats = feature_cols(df)
-    dfun_sql = {
-        0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
-        1: lambda d: 1.0 / d,
-        2: lambda d: 1.0 / (d * d),
-    }[dfunction_option]
+    weights = (
+        dict(dfunctions)
+        if dfunctions is not None
+        else {None: GRID_DFUNCTIONS[dfunction_option]}
+    )
     # four plan branches reference the panel (pgid collect, box aggregates,
     # targets, output grid) — materialize it once
     df = materialize(df)
@@ -603,6 +627,7 @@ def grid_lag(
     targets = cells.select(TIME, UNIT, "__ex", "__ey")
     out = df.select(TIME, UNIT)
     mesh_frames = []
+    out_names: list[str] = []
     for c in feats:
         mesh = _grid_mesh(nodevals, c, threshold, geo)
         if keep_grids:
@@ -628,9 +653,14 @@ def grid_lag(
         d = F.sqrt(
             (F.col("__ex") + 0.5 - F.col("__cx")) ** 2 + (F.col("__ey") + 0.5 - F.col("__cy")) ** 2
         )
-        res = pairs.groupBy(TIME, UNIT).agg(F.sum(F.col("__val") * dfun_sql(d)).alias(c))
+        aggs = []
+        for wname, wfn in weights.items():
+            name = c if wname is None else f"{c}_{wname}"
+            aggs.append(F.sum(F.col("__val") * wfn(d)).alias(name))
+            out_names.append(name)
+        res = pairs.groupBy(TIME, UNIT).agg(*aggs)
         out = out.join(res, KEYS, "left")
-    out = out.na.fill(0.0, subset=feats)
+    out = out.na.fill(0.0, subset=out_names)
     if keep_grids:
         grids = mesh_frames[0]
         for m in mesh_frames[1:]:
