@@ -92,3 +92,59 @@ def test_dedup_stream(spark, tmp_path):
         q.stop()
     kept = sorted(r["doc_id"] for r in rows)
     assert kept == [1, 2]  # doc 3 dropped as an exact dup of doc 1
+
+
+def test_sessionize_stream(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "sess")
+    os.makedirs(src)
+    # batch 1: user 1 has two events 10 min apart (one open session);
+    # user 2 one event
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 10:00"]
+            ),
+            "user_id": [1, 1, 2],
+        }
+    ).to_parquet(src + "/b1.parquet", coerce_timestamps="us",
+                 allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: both sessions are open, watermark at 10:00
+        assert spark.sql("SELECT count(*) c FROM sess_out").collect()[0]["c"] == 0
+        # batch 2: user 1 reappears at 12:00 — explicit gap closes their
+        # first session; the watermark advance (11:50) times out user 2's
+        # open session (deadline 10:30)
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 12:00"]), "user_id": [1]}
+        ).to_parquet(src + "/b2.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:10:00", 2)
+    assert rows[(2, "2024-01-01 10:00:00")] == ("2024-01-01 10:00:00", 1)
+    # user 1's 12:00 session is still open (not emitted)
+    assert len(rows) == 2
