@@ -540,16 +540,14 @@ def _grid_mesh(nodevals: DataFrame, c: str, threshold: float, geo: SpatialTreeGe
     ).select(TIME, "__lvl", "__bx", "__by")
     mesh = candidates.join(blocked, [TIME, "__lvl", "__bx", "__by"], "left_anti")
     size = F.expr(f"cast(shiftright({geo.ncells}, __lvl) as double)")
-    return materialize(
-        mesh.select(
-            F.col(TIME).alias("__mt"),
-            "__lvl",
-            "__bx",
-            "__by",
-            "__val",
-            (F.col("__bx") * size + size / 2).alias("__cx"),
-            (F.col("__by") * size + size / 2).alias("__cy"),
-        )
+    return mesh.select(
+        F.col(TIME).alias("__mt"),
+        "__lvl",
+        "__bx",
+        "__by",
+        "__val",
+        (F.col("__bx") * size + size / 2).alias("__cx"),
+        (F.col("__by") * size + size / 2).alias("__cy"),
     )
 
 
@@ -628,8 +626,19 @@ def grid_lag(
     out = df.select(TIME, UNIT)
     mesh_frames = []
     out_names: list[str] = []
+    # Broadcast gate without running the mesh: Σ_t |mesh_t| <= Σ_l |boxes_l|
+    # ~= 4/3 |cells|, and |cells| is a free RDD count on the materialized
+    # panel. When that upper bound already fits, skip the per-feature
+    # checkpoint+count jobs entirely (they were ~2/3 of the sf0.1 runtime —
+    # driver job latency, not data). Only an inconclusive bound pays for an
+    # exact count, and only the multi-branch keep_grids path pays for a
+    # checkpoint.
+    mesh_bound = (4 * df.count()) // 3 + 1
     for c in feats:
         mesh = _grid_mesh(nodevals, c, threshold, geo)
+        if keep_grids or mesh_bound > 2_000_000:
+            # referenced from >1 branch, or needs an exact count: pin it
+            mesh = materialize(mesh)
         if keep_grids:
             mesh_frames.append(
                 mesh.select(
@@ -639,10 +648,12 @@ def grid_lag(
                 )
             )
         # the mesh is what the adaptive coarsening made small — broadcast it
-        # so the cells side never shuffles. Its size is data-dependent
-        # (bounded by the box count, not by it being a kernel), so decide at
-        # runtime: a count on a checkpointed frame is free.
-        mesh_side = F.broadcast(mesh) if mesh.count() <= 2_000_000 else mesh
+        # so the cells side never shuffles
+        mesh_side = (
+            F.broadcast(mesh)
+            if mesh_bound <= 2_000_000 or mesh.count() <= 2_000_000
+            else mesh
+        )
         pairs = targets.join(mesh_side, F.col(TIME) == F.col("__mt")).filter(
             ~(
                 (F.col("__lvl") == geo.power)

@@ -113,7 +113,13 @@ def panel_from_events(
     ).agg(
         F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("value")
     )
-    return densify(agg, fill=0.0)
+    # densify references the aggregate from THREE branches (times distinct,
+    # units distinct, the grid join) and Catalyst does not share the
+    # subplan: without pinning, every panel build re-runs the full events
+    # scan + aggregate 3x. The aggregate is panel-sized (times x active
+    # units), so one localCheckpoint is cheap and every downstream branch
+    # reads it instead of the 100 TB source.
+    return densify(materialize(agg), fill=0.0)
 
 
 NANOS_PER_DAY = 86_400_000_000_000
