@@ -605,7 +605,9 @@ def _null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.epoch_day(ev).alias(P.TIME),
         F.col("user_id").alias(P.UNIT),
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value"))
-    return P.densify(agg, fill=None)
+    # same 3-branch densify trap as panel_from_events: pin the aggregate so
+    # the events scan runs once, not thrice
+    return P.densify(P.materialize(agg), fill=None)
 
 
 def _sparse_null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

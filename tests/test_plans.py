@@ -77,3 +77,18 @@ def test_embedding_neardup_no_cartesian(spark):
     plan = plans.physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_panel_build_scans_events_once(spark):
+    """panel_from_events pins its aggregate before densify: the 3 densify
+    branches (times, units, grid join) must read the checkpointed aggregate,
+    not re-scan the events source — at 100 TB that is 1 scan vs 3."""
+    from views_transformation_library_spark import panel as P
+
+    pn = P.panel_from_events(spark, SF)
+    plan = plans.physical_plan(pn)
+    # the events file scan ran eagerly inside the checkpoint; the final plan
+    # must contain no parquet scan at all — its 3 branches all read the
+    # (panel-sized) checkpointed aggregate RDD instead
+    assert "events.parquet" not in plan
+    assert plan.count("Scan ExistingRDD") == 3
