@@ -27,6 +27,7 @@ from views_transformation_library_spark.operators import (
     missing,
     multimodal,
     relational,
+    sampling,
     scalar,
     similarity,
     spacetime,
@@ -284,6 +285,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_windows"] = lambda s, d: text.pack_windows(
         _docs(s, d), window=512, shard_size=100
     )
+    # deterministic data-mixing samplers: stratum = doc_id % 3 with per-
+    # stratum keep fractions; split = 10% hash holdout
+    q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
+        _docs(s, d).withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(3))),
+        {0: 0.5, 1: 0.25, 2: 1.0}, "stratum",
+    ).select("doc_id", "stratum")
+    q["split_holdout"] = lambda s, d: sampling.split_column(
+        _docs(s, d), holdout_fraction=0.1
+    ).select("doc_id", "split")
     # Gopher-style repetition rules; the synthetic docs have no newlines, so
     # the gate splits "lines" on the literal token ' line ' (occurs often) —
     # the \n default is covered by pytest fixtures with planted dup lines
@@ -1470,6 +1480,24 @@ SELECT doc_id,
              'https?://[^\s]+', '<URL>', 'g'),
            '[\x00-\x1F\x7F]', ' ', 'g'),
          '\s+', ' ', 'g'))) AS text_norm
+FROM documents
+"""
+    _B = 1 << 32
+    o["stratified_sample"] = f"""
+SELECT doc_id, doc_id % 3 AS stratum
+FROM documents
+WHERE CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT)
+      < CASE doc_id % 3
+          WHEN 0 THEN {int(0.5 * _B)}
+          WHEN 1 THEN {int(0.25 * _B)}
+          WHEN 2 THEN {int(1.0 * _B)}
+          ELSE 0 END
+"""
+    o["split_holdout"] = f"""
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT)
+                 < {int(0.1 * _B)}
+            THEN 'holdout' ELSE 'train' END AS split
 FROM documents
 """
     o["repetition_stats"] = r"""

@@ -395,3 +395,50 @@ def test_ivf_distributed_empty_and_init(spark, vectors):
         vectors, n_centroids=2, n_iters=1, init_centroids=seed_cents
     )
     assert len(cents) == 2
+
+
+def test_stratified_sample_deterministic_and_quota(spark):
+    from views_transformation_library_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.pmod("id", F.lit(2)).alias("stratum")
+    )
+    out1 = sampling.stratified_sample(df, {0: 0.5, 1: 0.0}, "stratum")
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    # stratum 1 fully dropped; stratum 0 roughly half kept
+    assert all(i % 2 == 0 for i in ids1)
+    assert 350 < len(ids1) < 650
+    # deterministic across runs and partitionings
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df.repartition(7), {0: 0.5, 1: 0.0}, "stratum"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # seed changes membership
+    ids3 = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df, {0: 0.5, 1: 0.0}, "stratum", seed=7
+        ).collect()
+    )
+    assert ids1 != ids3
+
+
+def test_split_column_stable_under_growth(spark):
+    from views_transformation_library_spark.operators import sampling
+
+    full = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    small = full.filter(F.col("doc_id") < 300)
+    lab_full = {
+        r["doc_id"]: r["split"] for r in sampling.split_column(full, 0.1).collect()
+    }
+    lab_small = {
+        r["doc_id"]: r["split"] for r in sampling.split_column(small, 0.1).collect()
+    }
+    # a document's split never changes when the corpus grows
+    assert all(lab_full[i] == lab_small[i] for i in lab_small)
+    n_hold = sum(1 for v in lab_full.values() if v == "holdout")
+    assert 50 < n_hold < 160  # ~10% of 1000
+    assert set(lab_full.values()) == {"train", "holdout"}

@@ -1,0 +1,76 @@
+"""Deterministic sampling for training-data pipelines (beyond-reference
+surface): stratified quota sampling (data mixing) and train/holdout
+splitting.
+
+Both are *hash-threshold* samplers, not `df.sample()`: a row's fate is a
+pure function of (id, seed), so results are reproducible across runs,
+engines, partitionings, and cluster sizes — the property a 100 TB corpus
+pipeline actually needs (rerunning a failed stage must not resample), and
+what makes the operators hash-oracle-checkable against DuckDB.
+
+The hash is the engine-portable md5→integer pipeline used by the minhash
+family: the first 8 hex chars of md5(id || ':' || seed) as a 32-bit
+integer, uniform on [0, 2^32). Keep a row iff its bucket < fraction·2^32.
+Pure column expressions — no UDFs, no shuffle; the filter runs inside the
+scan, and at 100 TB a 1 % sample never materializes the other 99 %.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Uniform [0, 2^32) bucket from md5 — identical in any engine with md5
+    (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS BIGINT))."""
+    key = F.concat(id_col.cast("string"), F.lit(f":{int(seed)}"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum quota sampling — the data-mixing step that up/down-weights
+    domains, languages, or quality tiers when composing a training corpus.
+
+    ``fractions``: {stratum_value: keep_fraction}; strata absent from the
+    map keep ``default_fraction``. The per-stratum threshold is folded into
+    ONE CASE expression (no join, no shuffle): keep iff
+    hash_bucket(id, seed) < fraction · 2^32. Expected kept rows per stratum
+    = fraction · |stratum|, exact in distribution and deterministic in
+    membership."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    thresh = F.lit(int(float(default_fraction) * _BUCKETS))
+    for val, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(val), F.lit(int(float(frac) * _BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def split_column(
+    df: DataFrame,
+    holdout_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/holdout labeling: 'holdout' iff
+    hash_bucket(id, seed) < fraction · 2^32, else 'train'.
+
+    A labeling (not a filter) so one pass feeds both sinks; the split is
+    stable under re-partitioning and incremental reruns — a document's
+    split never changes when the corpus grows, which is what keeps the
+    holdout uncontaminated across pipeline versions."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    cut = int(float(holdout_fraction) * _BUCKETS)
+    return df.withColumn(
+        out, F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
+    )

@@ -20,6 +20,7 @@ from .operators import (
     missing,
     multimodal,
     relational,
+    sampling,
     scalar,
     similarity,
     spacetime,
@@ -95,6 +96,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "containment_pairs": dedup.containment_pairs,
     "normalize_text": text.normalize_text,
     "repetition_stats": text.repetition_stats,
+    "stratified_sample": sampling.stratified_sample,
+    "split_column": sampling.split_column,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
     "replace_na": missing.replace_na,
