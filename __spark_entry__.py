@@ -285,6 +285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_windows"] = lambda s, d: text.pack_windows(
         _docs(s, d), window=512, shard_size=100
     )
+    # per-(source, lang) corpus accounting for data mixing
+    q["corpus_mix"] = lambda s, d: text.corpus_mix(_docs(s, d))
+    # semi-structured props extraction from the events table (read_events:
+    # the nanos-timestamp conf must be set even though ts is pruned)
+    q["parse_props"] = lambda s, d: relational.parse_json_fields(
+        P.read_events(s, d).select("event_id", "props"), "props", {"k": "long"}
+    ).select("event_id", "k")
     # deterministic data-mixing samplers: stratum = doc_id % 3 with per-
     # stratum keep fractions; split = 10% hash holdout
     q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
@@ -1481,6 +1488,23 @@ SELECT doc_id,
            '[\x00-\x1F\x7F]', ' ', 'g'),
          '\s+', ' ', 'g'))) AS text_norm
 FROM documents
+"""
+    o["corpus_mix"] = r"""
+WITH agg AS (
+  SELECT source, lang,
+         count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+         sum(length(text))::BIGINT AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       round(n_tokens * 1.0 / nullif(sum(n_tokens) OVER (), 0.0), 6) + 0.0
+         AS token_share
+FROM agg
+"""
+    o["parse_props"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
 """
     _B = 1 << 32
     o["stratified_sample"] = f"""

@@ -442,3 +442,42 @@ def test_split_column_stable_under_growth(spark):
     n_hold = sum(1 for v in lab_full.values() if v == "holdout")
     assert 50 < n_hold < 160  # ~10% of 1000
     assert set(lab_full.values()) == {"train", "holdout"}
+
+
+def test_corpus_mix(spark):
+    rows = [
+        (1, "a b c", "s1", "en"),
+        (2, "d e", "s1", "en"),
+        (3, "f g h i j", "s2", "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string, lang string"
+    )
+    out = {(r["source"], r["lang"]): r for r in text.corpus_mix(df).collect()}
+    assert out[("s1", "en")]["n_docs"] == 2
+    assert out[("s1", "en")]["n_tokens"] == 5
+    assert out[("s2", "de")]["n_tokens"] == 5
+    assert out[("s1", "en")]["token_share"] == 0.5
+    assert out[("s1", "en")]["n_chars"] == len("a b c") + len("d e")
+
+
+def test_parse_json_fields(spark):
+    from views_transformation_library_spark.operators import relational
+
+    rows = [
+        (1, '{"k": 7, "name": "x"}'),
+        (2, '{"name": "y"}'),   # k absent -> NULL
+        (3, 'not json'),        # malformed -> NULL
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema="event_id long, props string")
+    out = {
+        r["event_id"]: (r["k"], r["name"])
+        for r in relational.parse_json_fields(
+            df, "props", {"k": "long", "name": "string"}
+        ).collect()
+    }
+    assert out[1] == (7, "x")
+    assert out[2] == (None, "y")
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)

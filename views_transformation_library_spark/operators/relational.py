@@ -133,3 +133,27 @@ def topk_per_group(
     ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(group_col).orderBy(ob)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def parse_json_fields(
+    df: DataFrame,
+    col: str,
+    fields: dict[str, str],
+) -> DataFrame:
+    """Extract typed fields from a JSON-string column (semi-structured
+    event properties — the `props` column every event pipeline carries).
+
+    ``fields``: {json_key: spark_type}. `get_json_object` is a pure JVM
+    expression (one shared parse per row under codegen), so extraction
+    runs at scan speed and the projected fields push through column
+    pruning; rows where the key is absent or the document is malformed
+    yield NULL (never an error) — the tolerant semantics ingest needs.
+    For deeply nested / repeated access patterns prefer `from_json` with a
+    full schema; for k scalar fields this form avoids declaring one.
+    """
+    return df.withColumns(
+        {
+            name: F.get_json_object(F.col(col), f"$.{name}").cast(dtype)
+            for name, dtype in fields.items()
+        }
+    )

@@ -225,6 +225,36 @@ def repetition_stats(
     )
 
 
+def corpus_mix(
+    df: DataFrame,
+    strata_cols: list[str] | tuple[str, ...] = ("source", "lang"),
+    col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus accounting — the report that drives data-mixing
+    decisions (which sources/languages to up/down-weight, what fractions to
+    hand `sampling.stratified_sample`).
+
+    Output per stratum: n_docs, n_tokens (whitespace), n_chars, and
+    token_share = n_tokens / total tokens. Counts are LONG sums (exact,
+    order-independent — no double-sum flakiness); the share is one
+    long/long division rounded to 6dp with -0.0 canonicalized. The global
+    total comes from an unpartitioned window over the *aggregated* frame
+    (|strata| rows — a one-row exchange, not a global sort of the corpus).
+    """
+    toks = F.regexp_count(F.col(col), F.lit(r"\S+")).cast("long")
+    agg = df.groupBy(*strata_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length(col).cast("long")).alias("n_chars"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.round(
+        F.col("n_tokens").cast("double") / F.nullif(total.cast("double"), F.lit(0.0)),
+        6,
+    ) + F.lit(0.0)
+    return agg.withColumn("token_share", share)
+
+
 def pack_windows(
     df: DataFrame,
     window: int = 2048,

@@ -98,6 +98,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "repetition_stats": text.repetition_stats,
     "stratified_sample": sampling.stratified_sample,
     "split_column": sampling.split_column,
+    "corpus_mix": text.corpus_mix,
+    "parse_json_fields": relational.parse_json_fields,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
     "replace_na": missing.replace_na,
