@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_revenue"] = lambda s, d: _rollup_query(s, d)
     q["topk_orders_per_customer"] = lambda s, d: _topk_query(s, d)
     q["asof_join_orders"] = lambda s, d: _asof_query(s, d)
+    q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
 
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
@@ -543,6 +544,29 @@ def _splag_country_query(
             pn, edges, cent, kernel_inner=inner, kernel_width=width, kernel_power=power
         )
     )
+
+
+def _interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All events inside the first 6 hours of every 40th user's history —
+    a keyless points-in-intervals join, bucket-pruned (1-hour buckets)."""
+    ev = P.read_events(spark, sf_dir)
+    sec = (
+        F.expr("ts DIV 1000000000")
+        if dict(ev.dtypes).get("ts") in ("bigint", "long")
+        else F.unix_timestamp("ts")
+    ).cast("long")
+    pts = ev.select("event_id", sec.alias("ts_s"))
+    iv = (
+        ev.filter(F.col("user_id") % 40 == 0)
+        .select(F.col("user_id").alias("iv_id"), sec.alias("__s"))
+        .groupBy("iv_id")
+        .agg(F.min("__s").alias("start_s"))
+        .withColumn("end_s", F.col("start_s") + F.lit(21600))
+    )
+    out = relational.interval_join(
+        pts, iv, "ts_s", "start_s", "end_s", bucket_width=3600
+    )
+    return out.select("event_id", "iv_id", "ts_s", "start_s", "end_s")
 
 
 def _tick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1700,18 @@ rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
 l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
 SELECT l.event_id, l.user_id, rd.o_orderkey, rd.o_totalprice
 FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
+"""
+    o["interval_join_events"] = """
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+),
+iv AS (
+  SELECT user_id AS iv_id, min(epoch_us(ts) // 1000000) AS start_s
+  FROM events WHERE user_id % 40 = 0 GROUP BY 1
+),
+iv2 AS (SELECT iv_id, start_s, start_s + 21600 AS end_s FROM iv)
+SELECT p.event_id, i.iv_id, p.ts_s, i.start_s, i.end_s
+FROM pts p JOIN iv2 i ON p.ts_s BETWEEN i.start_s AND i.end_s
 """
 
     # flagship

@@ -77,13 +77,13 @@ def main():
     for name in HEADLINE:
         if name not in qs:
             continue
-        # best of 2 full runs per query: single-run local-mode timings
+        # best of 3 full runs per query: single-run local-mode timings
         # jitter by +/-30% (GC, JIT recompiles, VM host neighbours); the
         # minimum is the steady-state cost of the plan. Each run rebuilds
         # the query from scratch — nothing is cached between them beyond
         # what any repeated production job would share (code, page cache).
         best, n_rows = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             # checksum EVERY output column: a bare count() would let Catalyst

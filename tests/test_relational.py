@@ -75,3 +75,41 @@ def test_topk_per_group(spark):
     out = relational.topk_per_group(df, "g", "v", k=2)
     got = sorted((r["g"], r["rank"], r["v"]) for r in out.collect())
     assert got == [(1, 1, 30.0), (1, 2, 20.0), (2, 1, 5.0)]
+
+
+def test_interval_join_exact_and_bucketed(spark):
+    from views_transformation_library_spark import plans
+    from views_transformation_library_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 25), (4, 100), (5, 0)],
+        schema="pid long, ts_s long",
+    )
+    iv = spark.createDataFrame(
+        # second interval spans many buckets; boundaries inclusive both ends
+        [(10, 5, 10), (20, 8, 95)],
+        schema="iv_id long, start_s long, end_s long",
+    )
+    out = relational.interval_join(pts, iv, "ts_s", "start_s", "end_s", bucket_width=7)
+    pairs = sorted((r["pid"], r["iv_id"]) for r in out.collect())
+    assert pairs == [(1, 10), (2, 10), (2, 20), (3, 20)]
+    # pairs emitted exactly once even when an interval spans many buckets
+    assert len(pairs) == out.count()
+    # the whole point: an equi-join plan, not a nested loop over ranges
+    plan = plans.physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_keyed(spark):
+    from views_transformation_library_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(1, 5, "a"), (2, 5, "b")], schema="pid long, ts_s long, k string"
+    )
+    iv = spark.createDataFrame(
+        [(10, 0, 9, "a")], schema="iv_id long, start_s long, end_s long, k string"
+    )
+    out = relational.interval_join(
+        pts, iv, "ts_s", "start_s", "end_s", bucket_width=4, key_col="k"
+    )
+    assert [(r["pid"], r["iv_id"]) for r in out.collect()] == [(1, 10)]

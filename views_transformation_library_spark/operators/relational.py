@@ -157,3 +157,43 @@ def parse_json_fields(
             for name, dtype in fields.items()
         }
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Points-in-intervals join: every (point, interval) pair with
+    start <= ts <= end (inclusive), as an EQUI-join — never the
+    BroadcastNestedLoopJoin Spark plans for a bare range predicate.
+
+    Bucket pruning: each interval explodes into the coarse time buckets it
+    overlaps (`sequence(start div B, end div B)`); each point maps to its
+    single bucket. The equi-join on bucket (plus ``key_col`` when the
+    schema has a shared key) touches only co-bucketed pairs, then the exact
+    range filter runs on that candidate set. A point lives in exactly one
+    bucket and an interval appears once per bucket, so pairs are emitted
+    exactly once — no distinct needed. Candidates scale as
+    Σ_intervals (length/B + 1) × (points per bucket): pick ``bucket_width``
+    near the median interval length so each interval explodes into O(1)
+    buckets and each bucket holds a bounded point set (the standard
+    interval-indexing trade-off). All timestamp math is integer (epoch
+    units) — no doubles anywhere near the join keys.
+    """
+    b = int(bucket_width)
+    pt = points.withColumn("__bk", F.expr(f"{ts_col} DIV {b}"))
+    iv = intervals.withColumn(
+        "__bk",
+        F.explode(F.sequence(F.expr(f"{start_col} DIV {b}"), F.expr(f"{end_col} DIV {b}"))),
+    )
+    on = ["__bk"] if key_col is None else ["__bk", key_col]
+    return (
+        pt.join(iv, on)
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__bk")
+    )

@@ -100,6 +100,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "split_column": sampling.split_column,
     "corpus_mix": text.corpus_mix,
     "parse_json_fields": relational.parse_json_fields,
+    "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
     "replace_na": missing.replace_na,
