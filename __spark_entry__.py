@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-(source, lang) corpus accounting for data mixing
     q["corpus_mix"] = lambda s, d: text.corpus_mix(_docs(s, d))
+    q["vocab_top_terms"] = lambda s, d: text.vocab_top_terms(_docs(s, d), n=50)
     # semi-structured props extraction from the events table (read_events:
     # the nanos-timestamp conf must be set even though ts is pruned)
     q["parse_props"] = lambda s, d: relational.parse_json_fields(
@@ -1525,6 +1526,16 @@ SELECT source, lang, n_docs, n_tokens, n_chars,
        round(n_tokens * 1.0 / nullif(sum(n_tokens) OVER (), 0.0), 6) + 0.0
          AS token_share
 FROM agg
+"""
+    o["vocab_top_terms"] = """
+WITH terms AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*)::BIGINT AS term_count FROM terms GROUP BY 1)
+SELECT term, term_count,
+       CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INT) AS rank
+FROM counts QUALIFY rank <= 50
 """
     o["parse_props"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -481,3 +481,15 @@ def test_parse_json_fields(spark):
     assert out[2] == (None, "y")
     assert out[3] == (None, None)
     assert out[4] == (None, None)
+
+
+def test_vocab_top_terms(spark):
+    rows = [(1, "aa bb aa"), (2, "aa cc BB")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = [(r["term"], r["term_count"], r["rank"])
+           for r in text.vocab_top_terms(df, n=2).orderBy("rank").collect()]
+    # 'aa' 3x; 'bb' and 'cc' tie at 2... bb appears twice (case-folded), cc once
+    assert out == [("aa", 3, 1), ("bb", 2, 2)]
+    # full vocab when n exceeds it, ties broken by term
+    all_terms = [r["term"] for r in text.vocab_top_terms(df, n=10).orderBy("rank").collect()]
+    assert all_terms == ["aa", "bb", "cc"]

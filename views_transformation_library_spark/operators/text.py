@@ -225,6 +225,38 @@ def repetition_stats(
     )
 
 
+def vocab_top_terms(
+    df: DataFrame,
+    n: int = 1000,
+    col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``n`` most frequent terms (lowercase
+    [a-z0-9]+ runs) with counts and rank — the counting pass tokenizer
+    training starts from (BPE seed vocab, frequency cutoffs, stopword
+    discovery).
+
+    Plan: explode terms → ONE hash aggregate (map-side partial combine
+    collapses each task to its distinct terms, so shuffle volume is
+    |vocab| per task, not |tokens|) → global top-n. The top-n is a single
+    TakeOrdered-style sort-limit on the aggregated frame (|distinct terms|
+    rows — millions, not the corpus); rank ties break deterministically by
+    term. Counts are LONG-exact; no floats anywhere.
+    """
+    terms = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count("*").alias("term_count"))
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term"))
+    # rank AFTER a sort-limit prefilter would be wrong on ties at the cut;
+    # the single-partition window runs over the aggregated vocab only
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n))
+    )
+
+
 def corpus_mix(
     df: DataFrame,
     strata_cols: list[str] | tuple[str, ...] = ("source", "lang"),

@@ -99,6 +99,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "stratified_sample": sampling.stratified_sample,
     "split_column": sampling.split_column,
     "corpus_mix": text.corpus_mix,
+    "vocab_top_terms": text.vocab_top_terms,
     "parse_json_fields": relational.parse_json_fields,
     "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
