@@ -493,3 +493,27 @@ def test_vocab_top_terms(spark):
     # full vocab when n exceeds it, ties broken by term
     all_terms = [r["term"] for r in text.vocab_top_terms(df, n=10).orderBy("rank").collect()]
     assert all_terms == ["aa", "bb", "cc"]
+
+
+def test_parse_json_fields_wrong_typed_value_is_null(spark):
+    # ANSI mode: plain cast() would throw CAST_INVALID_INPUT; the operator
+    # must yield NULL for values that don't cast
+    from views_transformation_library_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, '{"k": "abc"}'), (2, '{"k": 7}')], schema="event_id long, props string"
+    )
+    out = {
+        r["event_id"]: r["k"]
+        for r in relational.parse_json_fields(df, "props", {"k": "long"}).collect()
+    }
+    assert out == {1: None, 2: 7}
+
+
+def test_interval_join_rejects_bad_bucket_width(spark):
+    from views_transformation_library_spark.operators import relational
+
+    pts = spark.createDataFrame([(1, 5)], schema="pid long, ts_s long")
+    iv = spark.createDataFrame([(1, 0, 9)], schema="iv_id long, start_s long, end_s long")
+    with pytest.raises(ValueError):
+        relational.interval_join(pts, iv, "ts_s", "start_s", "end_s", bucket_width=0)

@@ -148,3 +148,55 @@ def test_sessionize_stream(spark, tmp_path):
     assert rows[(2, "2024-01-01 10:00:00")] == ("2024-01-01 10:00:00", 1)
     # user 1's 12:00 session is still open (not emitted)
     assert len(rows) == 2
+
+
+def test_sessionize_stream_out_of_order_event(spark, tmp_path):
+    """An in-watermark event that PRECEDES the open session must split into
+    its own earlier session (or lower the start), never be folded into a
+    session that started after it."""
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "sess_ooo")
+    os.makedirs(src)
+    # watermark horizon (2h) far exceeds the gap (30m): late events stay
+    # acceptable long after they could extend any open session
+    pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:00"]), "user_id": [1]}
+    ).to_parquet(src + "/b1.parquet", coerce_timestamps="us",
+                 allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a 10:30 event for the same user — 1.5h BEFORE the open
+        # session, inside the watermark horizon. It must become its own
+        # session; 14:00 advances the watermark (12:00) past both deadlines
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 14:00"]),
+             "user_id": [1, 1]}
+        ).to_parquet(src + "/b2.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = sorted(
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_ooo_out").collect()
+        )
+    finally:
+        q.stop()
+    assert ("2024-01-01 10:30:00", "2024-01-01 10:30:00", 1) in rows
+    assert ("2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in rows

@@ -146,14 +146,17 @@ def parse_json_fields(
     ``fields``: {json_key: spark_type}. `get_json_object` is a pure JVM
     expression (one shared parse per row under codegen), so extraction
     runs at scan speed and the projected fields push through column
-    pruning; rows where the key is absent or the document is malformed
-    yield NULL (never an error) — the tolerant semantics ingest needs.
-    For deeply nested / repeated access patterns prefer `from_json` with a
-    full schema; for k scalar fields this form avoids declaring one.
+    pruning; rows where the key is absent, the document is malformed, OR
+    the value does not cast to the requested type yield NULL (never an
+    error) — the tolerant semantics ingest needs. The cast must be
+    try_cast: plain cast() throws CAST_INVALID_INPUT under the ANSI mode
+    this Spark 4 build enables by default. For deeply nested / repeated
+    access patterns prefer `from_json` with a full schema; for k scalar
+    fields this form avoids declaring one.
     """
     return df.withColumns(
         {
-            name: F.get_json_object(F.col(col), f"$.{name}").cast(dtype)
+            name: F.get_json_object(F.col(col), f"$.{name}").try_cast(dtype)
             for name, dtype in fields.items()
         }
     )
@@ -186,6 +189,8 @@ def interval_join(
     units) — no doubles anywhere near the join keys.
     """
     b = int(bucket_width)
+    if b <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width!r}")
     pt = points.withColumn("__bk", F.expr(f"{ts_col} DIV {b}"))
     iv = intervals.withColumn(
         "__bk",

@@ -288,20 +288,23 @@ def train_ivf_centroids_distributed(
             base.select(nearest.alias("__b"), "__v")
             .select("__b", F.posexplode("__v").alias("__dim", "__x"))
             .groupBy("__b", "__dim")
+            # count the VALUE, not the row: null elements are skipped by the
+            # sum, so dividing by a row count would dilute that dimension's
+            # mean (and per-bucket counts can differ across dims)
             .agg(
                 F.sum(F.col("__x").cast("double")).alias("__s"),
-                F.count("*").alias("__n"),
+                F.count("__x").alias("__n"),
             )
             .collect()
         )
-        sums: dict[int, dict[int, float]] = {}
-        counts: dict[int, int] = {}
+        sums: dict[int, dict[int, tuple]] = {}
         for r in stats:
-            sums.setdefault(r["__b"], {})[r["__dim"]] = r["__s"]
-            counts[r["__b"]] = r["__n"]
+            sums.setdefault(r["__b"], {})[r["__dim"]] = (r["__s"], r["__n"])
         for c, dims in sums.items():
-            n = counts[c]
-            centroids[c] = [round(dims[i] / n, 9) for i in sorted(dims)]
+            centroids[c] = [
+                round(s / n, 9) if n else centroids[c][i]  # all-null dim: keep
+                for i, (s, n) in sorted(dims.items())
+            ]
     return centroids
 
 

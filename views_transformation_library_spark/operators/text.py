@@ -237,10 +237,12 @@ def vocab_top_terms(
 
     Plan: explode terms → ONE hash aggregate (map-side partial combine
     collapses each task to its distinct terms, so shuffle volume is
-    |vocab| per task, not |tokens|) → global top-n. The top-n is a single
-    TakeOrdered-style sort-limit on the aggregated frame (|distinct terms|
-    rows — millions, not the corpus); rank ties break deterministically by
-    term. Counts are LONG-exact; no floats anywhere.
+    |vocab| per task, not |tokens|) → distributed sort-limit (TakeOrdered:
+    each partition keeps its own top-n, the driver merges — the web-scale
+    vocab of typos/hashes/URLs never lands in one task). The ordering
+    (count desc, term) is TOTAL because terms are unique, so the limit is
+    deterministic including ties at the cut; row_number then ranks only
+    the n retained rows. Counts are LONG-exact; no floats anywhere.
     """
     terms = df.select(
         F.explode(
@@ -248,13 +250,9 @@ def vocab_top_terms(
         ).alias("term")
     )
     counts = terms.groupBy("term").agg(F.count("*").alias("term_count"))
+    top = counts.orderBy(F.col("term_count").desc(), F.col("term")).limit(int(n))
     w = Window.orderBy(F.col("term_count").desc(), F.col("term"))
-    # rank AFTER a sort-limit prefilter would be wrong on ties at the cut;
-    # the single-partition window runs over the aggregated vocab only
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(n))
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def corpus_mix(

@@ -43,20 +43,30 @@ def _make_update(gap_us: int):
             state.remove()
         else:
             all_pdfs = [p for p in pdfs if len(p)]
-            cur = state.get if state.exists else None
+            # the open session participates in the sweep as an interval, so
+            # an in-watermark event that precedes it (out-of-order arrival,
+            # e.g. watermark > gap) merges or splits correctly instead of
+            # being folded into a session that started after it
+            intervals: list[tuple[int, int, int]] = (
+                [state.get] if state.exists else []
+            )
             if all_pdfs:
-                # one sorted pass over the whole group: Arrow may split a
-                # key's batch into chunks in shuffle order
                 pdf = pd.concat(all_pdfs)
-                ts_us = sorted(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
-                for t in ts_us:
-                    if cur is None:
-                        cur = (t, t, 1)
-                    elif t - cur[1] > gap_us:
-                        closed.append((user, *cur))
-                        cur = (t, t, 1)
-                    else:
-                        cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # NULL event times arrive as NaT (they pass the engine's
+                # late-row predicate) — drop them before they poison state
+                ts = pd.to_datetime(pdf["ts"]).dropna()
+                intervals.extend((int(t.value) // 1000,) * 2 + (1,) for t in ts)
+            # gap-rule sessionization == interval merging on the start-sorted
+            # set (single sweep; Arrow chunk order is irrelevant)
+            cur = None
+            for s_us, e_us, n in sorted(intervals):
+                if cur is None:
+                    cur = (s_us, e_us, n)
+                elif s_us - cur[1] > gap_us:
+                    closed.append((user, *cur))
+                    cur = (s_us, e_us, n)
+                else:
+                    cur = (cur[0], max(cur[1], e_us), cur[2] + n)
             if cur is not None:
                 state.update(cur)
                 # close when no in-horizon event can extend the session
