@@ -102,3 +102,66 @@ def test_decay_monotone_and_unit_at_zero(spark, vals, hl):
     for (_, t, v) in out:
         x = abs(vals[t])
         assert v == pytest.approx(2 ** (-x / hl))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    pts=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=50),
+                  st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=6,
+    ),
+    b=st.integers(min_value=1, max_value=17),
+)
+def test_interval_join_matches_bruteforce(spark, pts, ivs, b):
+    """Bucket pruning is an optimization, never a semantics change: for any
+    bucket width the result equals the brute-force range predicate —
+    including negative timestamps (truncating DIV is monotone)."""
+    from views_transformation_library_spark.operators import relational
+
+    p = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], schema="pid long, ts_s long"
+    )
+    iv = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(ivs)],
+        schema="iv_id long, start_s long, end_s long",
+    )
+    got = sorted(
+        (r["pid"], r["iv_id"])
+        for r in relational.interval_join(p, iv, "ts_s", "start_s", "end_s", b).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, w) in enumerate(ivs)
+        if s <= t <= s + w
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=30), min_size=1, max_size=5
+    )
+)
+def test_repetition_stats_matches_python(spark, texts):
+    """dup-line/word fractions agree with a direct python computation."""
+    from views_transformation_library_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    import re
+
+    for i, t in enumerate(texts):
+        lines = [s.strip() for s in t.split("\n")]
+        lines = [s for s in lines if s]
+        words = re.findall("[a-z0-9]+", t.lower())
+        assert out[i]["n_lines"] == len(lines)
+        exp_dlf = round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0
+        assert out[i]["dup_line_frac"] == pytest.approx(exp_dlf)
+        exp_dwf = round(1 - len(set(words)) / len(words), 6) if words else 0.0
+        assert out[i]["dup_word_frac"] == pytest.approx(exp_dwf)
