@@ -92,3 +92,16 @@ def test_panel_build_scans_events_once(spark):
     # (panel-sized) checkpointed aggregate RDD instead
     assert "events.parquet" not in plan
     assert plan.count("Scan ExistingRDD") == 3
+
+
+def test_vocab_top_terms_is_takeordered(spark):
+    """The top-n must be a distributed TakeOrdered (per-partition top-n,
+    driver merge), never an unpartitioned window sort over the full vocab."""
+    from views_transformation_library_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b d e")], schema="doc_id long, text string"
+    )
+    out = text.vocab_top_terms(df, n=3)
+    plan = plans.physical_plan(out)
+    assert "TakeOrderedAndProject" in plan
