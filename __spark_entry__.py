@@ -27,6 +27,7 @@ from views_transformation_library_spark.operators import (
     missing,
     multimodal,
     relational,
+    retrieval,
     sampling,
     scalar,
     similarity,
@@ -311,6 +312,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_word_frac", "dup_word_frac",
     )
+    # PII masking: all five sentinel kinds in PII_PATTERNS order
+    q["mask_pii"] = lambda s, d: text.mask_pii(_docs(s, d)).select(
+        "doc_id", "text_masked"
+    )
+    # composite Gopher-style quality filter incl. the repetition rules
+    # (same ' line ' separator convention as repetition_stats); booleans
+    # surfaced as INT so the hash gate is type-stable across engines
+    q["gopher_filter"] = lambda s, d: text.gopher_filter(
+        _docs(s, d), min_tokens=40, max_tokens=100_000,
+        min_word_len=3.0, max_word_len=10.0, max_symbol_ratio=0.1,
+        min_alpha_word_frac=0.8, min_stopword_hits=2,
+        max_dup_line_frac=0.5, max_top_word_frac=0.1, line_sep=" line ",
+    ).select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "stopword_hits",
+        *[F.col(c).cast("int").alias(c) for c in (
+            "ok_tokens", "ok_word_len", "ok_symbol", "ok_alpha",
+            "ok_stopwords", "ok_dup_lines", "ok_top_word", "keep")],
+    )
+    # BM25 keyword retrieval (fixed-order term sum, rank on rounded score)
+    q["bm25_topk"] = lambda s, d: retrieval.bm25_topk(
+        _docs(s, d), BM25_TERMS, k=25
+    )
 
     # --- beyond-reference: similarity search (embeddings table)
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -376,15 +400,24 @@ DRIVER_PRIORITY = [
     "extrapolate", "list_totally_missing",
     "fill_with_group_and_global_means", "fill_groups_with_time_means",
     "splag4d", "splag_country",
-    "splag_country_weighted", "spacetime_distances", "spacetime_weights",
-    "fourier_lag", "fourier_lag_3d", "impute_mice", "temporal_tree_lag",
+    "spacetime_distances", "spacetime_weights",
+    "fourier_lag", "impute_mice", "temporal_tree_lag",
     "spatial_tree_lag", "grid_lag", "grid_lag_multi",
     "flagship_decay_time_since",
     # beyond-reference flagships: one per family (text, exact dedup,
-    # minhash LSH, ANN top-k, exact blocked near-dup, relational)
+    # minhash LSH, ANN top-k, exact blocked near-dup, relational,
+    # quality filtering, retrieval). splag_country_weighted and
+    # fourier_lag_3d yielded their slots (parameter variants of queries
+    # that keep driver rows; both still checked in LOCAL_ORACLE_r{N}.json,
+    # and fourier_lag_3d's driver row was rows-only anyway) to the r3
+    # gopher_filter/bm25 flagships.
     "token_count", "exact_dedup", "minhash_lsh", "cosine_topk",
-    "embedding_neardup", "tpch_q1",
+    "embedding_neardup", "tpch_q1", "gopher_filter", "bm25_topk",
 ]
+
+# fixed query-term set for the BM25 gate (high-frequency terms in the
+# synthetic corpus so tf/df exercise the formula non-trivially)
+BM25_TERMS = ["hash", "join", "scan"]
 
 
 EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
@@ -1591,6 +1624,72 @@ FROM documents d
 LEFT JOIN ls ON ls.doc_id = d.doc_id
 LEFT JOIN ws ON ws.doc_id = d.doc_id
 """
+    o["mask_pii"] = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+  '\+[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM documents
+"""
+    o["gopher_filter"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+         (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))::BIGINT AS n_alpha,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b'))::BIGINT AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         round(coalesce(word_chars * 1.0 / nullif(n_words, 0), 0.0), 6) + 0.0 AS mean_word_len,
+         round(coalesce(n_sym * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS symbol_ratio,
+         round(coalesce(n_alpha * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS alpha_word_frac,
+         n_stop AS stopword_hits
+  FROM base
+),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split_regex(text, ' line ')) AS t(l)
+  WHERE trim(l) <> ''
+),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+ls AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS nd FROM lc GROUP BY 1),
+words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+),
+wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_n FROM wc GROUP BY 1),
+rep AS (
+  SELECT d.doc_id,
+         round(coalesce((ls.n_lines - ls.nd) * 1.0 / nullif(ls.n_lines, 0), 0.0), 6) + 0.0 AS dup_line_frac,
+         round(coalesce(ws.top_n * 1.0 / nullif(ws.n_words, 0), 0.0), 6) + 0.0 AS top_word_frac
+  FROM documents d
+  LEFT JOIN ls ON ls.doc_id = d.doc_id
+  LEFT JOIN ws ON ws.doc_id = d.doc_id
+)
+SELECT r.doc_id, r.n_tokens, r.mean_word_len, r.symbol_ratio, r.alpha_word_frac, r.stopword_hits,
+       (r.n_tokens >= 40 AND r.n_tokens <= 100000)::INT AS ok_tokens,
+       (r.mean_word_len >= 3.0 AND r.mean_word_len <= 10.0)::INT AS ok_word_len,
+       (r.symbol_ratio <= 0.1)::INT AS ok_symbol,
+       (r.alpha_word_frac >= 0.8)::INT AS ok_alpha,
+       (r.stopword_hits >= 2)::INT AS ok_stopwords,
+       coalesce(rep.dup_line_frac <= 0.5, TRUE)::INT AS ok_dup_lines,
+       coalesce(rep.top_word_frac <= 0.1, TRUE)::INT AS ok_top_word,
+       (ok_tokens = 1 AND ok_word_len = 1 AND ok_symbol = 1 AND ok_alpha = 1
+        AND ok_stopwords = 1 AND ok_dup_lines = 1 AND ok_top_word = 1)::INT AS keep
+FROM r JOIN rep ON rep.doc_id = r.doc_id
+"""
+    o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

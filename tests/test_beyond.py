@@ -517,3 +517,127 @@ def test_interval_join_rejects_bad_bucket_width(spark):
     iv = spark.createDataFrame([(1, 0, 9)], schema="iv_id long, start_s long, end_s long")
     with pytest.raises(ValueError):
         relational.interval_join(pts, iv, "ts_s", "start_s", "end_s", bucket_width=0)
+
+
+# ---------------------------------------------------------------------------
+# r3: PII masking, quality filter, BM25 retrieval
+
+def test_mask_pii_all_kinds(spark):
+    rows = [
+        (1, "mail a.b+c@ex.org visit https://ex.com/x?y=z@w ip 10.0.0.1 "
+            "ssn 123-45-6789 tel +1 (555) 123-4567 end"),
+        (2, "clean text, no identifiers at all"),
+        (3, "not-an-ip 1.2.3.4.5 not-a-ssn 12-34-5678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_masked"] for r in text.mask_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> visit <URL> ip <IP> ssn <ID> tel <PHONE> end"
+    assert out[2] == rows[1][1]
+    # dotted quintuple: the leading quad still matches (documented leftmost
+    # semantics), the SSN-shaped pattern needs exactly 3-2-4
+    assert out[3] == "not-an-ip <IP>.5 not-a-ssn 12-34-5678"
+
+
+def test_mask_pii_kind_subset_and_validation(spark):
+    df = spark.createDataFrame([(1, "a@b.co at 10.0.0.1")], "doc_id long, text string")
+    only_ip = text.mask_pii(df, kinds=["ip"]).collect()[0]["text_masked"]
+    assert only_ip == "a@b.co at <IP>"
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        text.mask_pii(df, kinds=["ip", "dna"])
+
+
+def test_gopher_filter_rules(spark):
+    good = "the quick brown fox jumps over the lazy dog and it runs far " * 5
+    rows = [
+        (1, good),                                # passes everything
+        (2, "short text only"),                   # too few tokens
+        (3, "x " * 80),                           # mean word len < 3
+        (4, ("### " * 20) + good),                # symbol soup
+        (5, ("123 456 789 " * 30) + "the it is"), # mostly non-alpha tokens
+        (6, "lorem ipsum dolor sit amet " * 12),  # no stopword hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_filter(df, min_tokens=40, max_tokens=1000).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["ok_tokens"]
+    assert not out[3]["ok_word_len"]
+    assert not out[4]["ok_symbol"]
+    assert not out[5]["ok_alpha"]
+    assert not out[6]["ok_stopwords"]
+    assert all(not out[i]["keep"] for i in (2, 3, 4, 5, 6))
+
+
+def test_gopher_filter_repetition_rules(spark):
+    dup = ("unique words here the and of it\n" + "same line again\n" * 20) * 3
+    fresh = (
+        "the gentle river winds through ancient valleys and it carries "
+        "stories of distant mountains for every village along the way "
+        "while farmers tend their fields in the morning light"
+    )
+    df = spark.createDataFrame([(1, dup), (2, fresh)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_filter(
+            df, min_tokens=10, max_dup_line_frac=0.3, max_top_word_frac=0.5
+        ).collect()
+    }
+    assert not out[1]["ok_dup_lines"] and not out[1]["keep"]
+    assert out[2]["ok_dup_lines"] and out[2]["keep"]
+
+
+def test_bm25_against_plain_python(spark):
+    import math
+
+    rows = [
+        (1, "spark shuffle join join join"),
+        (2, "broadcast join avoids shuffle"),
+        (3, "sort merge join shuffles both sides of the join"),
+        (4, "no relevant terms whatsoever"),
+        (5, "join"),
+    ]
+    from views_transformation_library_spark.operators import retrieval
+
+    terms = ["join", "shuffle"]
+    k1, b = 1.2, 0.75
+    got = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in retrieval.bm25_topk(
+            spark.createDataFrame(rows, "doc_id long, text string"), terms, k=10
+        ).collect()
+    }
+    # plain-python mirror (same fixed term order, same fp operation order)
+    import re
+
+    toks = {i: re.findall("[a-z0-9]+", t.lower()) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not any(v.count(x) for x in terms):
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s = s + idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * len(v) / avgdl))
+        if any(v.count(x) for x in terms):
+            scores[i] = round(s, 6) + 0.0
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert set(got) == set(scores)
+    for rank, (i, sc) in enumerate(expect, start=1):
+        assert got[i][1] == rank
+        assert got[i][0] == pytest.approx(sc, abs=1e-9)
+
+
+def test_bm25_validates_terms(spark):
+    from views_transformation_library_spark.operators import retrieval
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.bm25_topk(df, [])
+    with pytest.raises(ValueError, match="not a lowercase"):
+        retrieval.bm25_topk(df, ["Bad Term"])

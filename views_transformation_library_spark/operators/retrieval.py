@@ -1,0 +1,210 @@
+"""Keyword retrieval over the documents table (beyond-reference surface):
+TF-IDF / BM25 scoring and top-k search.
+
+Why it belongs in a training-data engine: targeted corpus slicing ("all
+docs about X"), contamination auditing, and retrieval-based quality checks
+all reduce to scoring a 100 TB corpus against a small term set — a scan +
+one bounded aggregation, never an index build.
+
+Scale design: the only shuffled object is the matched postings set
+(docs containing >= 1 query term), aggregated per doc with map-side
+combine; document frequencies and corpus stats are LONG-exact side
+aggregates broadcast into the scoring expression. The per-doc score is a
+FIXED-ORDER (left-associated) sum over the query terms — never a
+hash-aggregate double sum — so results are bit-reproducible run to run
+and match the DuckDB oracle exactly (CLAUDE.md float-parity rules); the
+final ranking orders on the 6dp-rounded score with doc_id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _validate_terms(query_terms: list[str]) -> list[str]:
+    import re
+
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in terms:
+        if not re.fullmatch("[a-z0-9]+", t):
+            raise ValueError(f"query term {t!r} is not a lowercase [a-z0-9]+ token")
+    return terms
+
+
+def term_frequencies(
+    df: DataFrame,
+    query_terms: list[str],
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc term-frequency columns ``tf_<term>`` (LONG) for each query
+    term, plus ``doc_len`` (total [a-z0-9]+ tokens). Docs with zero hits
+    across all terms are dropped (they can never score).
+
+    One explode + one hash aggregate over the *matched* tokens only —
+    the filter on term membership happens before the shuffle, so shuffle
+    volume is O(matching tokens), not O(corpus tokens).
+    """
+    terms = _validate_terms(query_terms)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0)).alias(
+            "__term"
+        ),
+    ).filter(F.col("__term").isin(terms))
+    tf = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__term") == t, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    doc_len = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("doc_len"),
+    )
+    return tf.join(doc_len, id_col)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents for a bag-of-terms query (Robertson/Sparck
+    Jones weighting, the Okapi formula used by Lucene/Elasticsearch):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )
+
+    Determinism: tf/df/N/dl are LONG-exact; avgdl is one long/long
+    division; the per-doc sum is left-associated over the fixed term
+    order. Ranking is on round(score, 6) DESC with doc_id tie-breaks.
+    Output: (doc_id, bm25, rank), rank <= k.
+
+    Plan: matched-postings aggregate (term_frequencies) + two tiny side
+    aggregates (corpus N/avgdl: 1 row; per-term df: <= |terms| rows)
+    crossed in as broadcast literals via a 1-row cross join — no
+    driver collect, no action before the final top-k. Top-k runs as a
+    rank-filter window over the scored (matched) docs ordered by the
+    rounded score — matched docs only, so the window input is bounded by
+    the postings, not the corpus.
+    """
+    terms = _validate_terms(query_terms)
+    tf = term_frequencies(df, terms, col=col, id_col=id_col)
+
+    # corpus stats: one row (N, avgdl); per-term df: |terms| rows pivoted
+    # to one row — both broadcast into the scoring projection
+    stats = df.agg(
+        F.count("*").cast("long").alias("__n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0)).cast(
+                "long"
+            )
+        ).alias("__tot_len"),
+    ).withColumn(
+        "__avgdl",
+        F.col("__tot_len").cast("double") / F.nullif(F.col("__n_docs").cast("double"), F.lit(0.0)),
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfreq))
+
+    score = None
+    for t in terms:
+        tf_t = F.col(f"tf_{t}").cast("double")
+        df_t = F.col(f"df_{t}").cast("double")
+        n = F.col("__n_docs").cast("double")
+        idf = F.log((n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)) + F.lit(1.0))
+        denom = tf_t + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("doc_len").cast("double") / F.col("__avgdl")
+        )
+        part = idf * tf_t * F.lit(float(k1) + 1.0) / denom
+        score = part if score is None else score + part  # left-associated
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.select(F.col(id_col), (F.round(score, 6) + F.lit(0.0)).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL mirroring bm25_topk op-for-op (same fixed-order
+    arithmetic, same rounding, same tie-breaks) for the oracle gate."""
+    terms = _validate_terms(query_terms)
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}" for t in terms
+    )
+    parts = []
+    for t in terms:
+        idf = f"ln((s.n_docs::DOUBLE - df_{t}::DOUBLE + 0.5) / (df_{t}::DOUBLE + 0.5) + 1.0)"
+        denom = f"(tf_{t}::DOUBLE + {float(k1)!r} * ((1.0 - {float(b)!r}) + {float(b)!r} * doc_len::DOUBLE / s.avgdl))"
+        parts.append(f"{idf} * tf_{t}::DOUBLE * {float(k1) + 1.0!r} / {denom}")
+    score = " + ".join(parts)  # SQL '+' is left-associative, matching Spark
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')) AS t
+  FROM {table}
+),
+tf0 AS (
+  SELECT {id_col},
+         {tf_cols}
+  FROM toks WHERE t IN ({", ".join(f"'{t}'" for t in terms)})
+  GROUP BY {id_col}
+),
+dl AS (
+  SELECT {id_col}, len(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}'))::BIGINT AS doc_len
+  FROM {table}
+),
+tf AS (SELECT tf0.*, dl.doc_len FROM tf0 JOIN dl USING ({id_col})),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')))::BIGINT AS tot_len,
+         sum(len(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')))::DOUBLE
+           / nullif(count(*)::DOUBLE, 0.0) AS avgdl
+  FROM {table}
+),
+d AS (
+  SELECT {df_cols}
+  FROM tf
+),
+scored AS (
+  SELECT tf.{id_col}, round({score}, 6) + 0.0 AS bm25
+  FROM tf CROSS JOIN s CROSS JOIN d
+)
+SELECT {id_col}, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {int(k)}
+"""

@@ -133,6 +133,133 @@ def normalize_text(
     return df.withColumn(out, c)
 
 
+# (name, Java/RE2-portable pattern, replacement sentinel) applied in order:
+# URLs first (an email-shaped substring inside a URL must not split it),
+# then emails, dotted quads, SSN-shaped ids, and last international-format
+# phones (required leading '+' keeps the pattern unambiguous — a bare
+# digit-run phone matcher would eat ids/quantities and is locale-dependent).
+# No backrefs/lookaround anywhere so Java regex and RE2 agree exactly.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+[0-9][0-9 ()\-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def mask_pii(
+    df: DataFrame,
+    col: str = "text",
+    out: str = "text_masked",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """PII masking for training corpora: replace URLs, emails, IPv4
+    addresses, SSN-shaped ids, and +international phone numbers with fixed
+    sentinels (PII_PATTERNS, in that order).
+
+    Pure chained regexp_replace — JVM-side, whole-stage codegen, scan
+    speed; every pattern is RE2-portable so the op is oracle-checkable
+    and reproducible across engines. ``kinds`` selects a subset (subset
+    of {'url','email','ip','id','phone'}), default all.
+    """
+    selected = PII_PATTERNS if kinds is None else [p for p in PII_PATTERNS if p[0] in kinds]
+    if kinds is not None:
+        unknown = set(kinds) - {p[0] for p in PII_PATTERNS}
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    c = F.col(col)
+    for _, pat, repl in selected:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out, c)
+
+
+def gopher_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float | None = None,
+    max_top_word_frac: float | None = None,
+    line_sep: str = r"\n",
+) -> DataFrame:
+    """Composite Gopher-style quality filter (Rae et al. 2021, table A1
+    family): one boolean rule per signal plus the conjunction ``keep``.
+
+    Row-level rules are pure column expressions (scan speed, no shuffle):
+
+      ok_tokens     min_tokens <= whitespace tokens <= max_tokens
+      ok_word_len   mean [a-z0-9]+ word length in [min_word_len, max_word_len]
+                    (word-char total via one regexp strip — exact int/int)
+      ok_symbol     ('#' + '...') occurrences / tokens <= max_symbol_ratio
+      ok_alpha      fraction of tokens containing a letter >= min_alpha_word_frac
+      ok_stopwords  >= min_stopword_hits hits on the en stopword list
+
+    When ``max_dup_line_frac`` / ``max_top_word_frac`` are set, the
+    repetition rules join in `repetition_stats` (explode + two hash
+    aggregates — the only shuffling part, linear in corpus size with
+    map-side combine). All ratios are single int/int divisions rounded to
+    6dp with -0.0 canonicalized (no double-sum order dependence anywhere).
+    """
+    c = F.col(col)
+    n_tok = F.regexp_count(c, F.lit(r"\S+")).cast("long")
+    word_chars = F.length(F.regexp_replace(F.lower(c), r"[^a-z0-9]", "")).cast("long")
+    n_words = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)).cast("long")
+    n_sym = (F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\."))).cast("long")
+    n_alpha_tok = F.regexp_count(c, F.lit(r"\S*[A-Za-z]\S*")).cast("long")
+    n_stop = _stopword_hits(c, LANG_STOPWORDS["en"]).cast("long")
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ) + F.lit(0.0)
+
+    mean_wl = _ratio(word_chars, n_words)
+    sym_ratio = _ratio(n_sym, n_tok)
+    alpha_frac = _ratio(n_alpha_tok, n_tok)
+    out = df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_word_len": mean_wl,
+            "symbol_ratio": sym_ratio,
+            "alpha_word_frac": alpha_frac,
+            "stopword_hits": n_stop,
+            "ok_tokens": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+            "ok_word_len": (mean_wl >= min_word_len) & (mean_wl <= max_word_len),
+            "ok_symbol": sym_ratio <= max_symbol_ratio,
+            "ok_alpha": alpha_frac >= min_alpha_word_frac,
+            "ok_stopwords": n_stop >= min_stopword_hits,
+        }
+    )
+    keep = (
+        F.col("ok_tokens") & F.col("ok_word_len") & F.col("ok_symbol")
+        & F.col("ok_alpha") & F.col("ok_stopwords")
+    )
+    if max_dup_line_frac is not None or max_top_word_frac is not None:
+        rep = repetition_stats(
+            df.select(id_col, col), col=col, id_col=id_col, line_sep=line_sep
+        ).select(id_col, "dup_line_frac", "top_word_frac")
+        out = out.join(rep, id_col, "left")
+        if max_dup_line_frac is not None:
+            out = out.withColumn(
+                "ok_dup_lines", F.coalesce(F.col("dup_line_frac") <= max_dup_line_frac, F.lit(True))
+            )
+            keep = keep & F.col("ok_dup_lines")
+        if max_top_word_frac is not None:
+            out = out.withColumn(
+                "ok_top_word", F.coalesce(F.col("top_word_frac") <= max_top_word_frac, F.lit(True))
+            )
+            keep = keep & F.col("ok_top_word")
+    return out.withColumn("keep", keep)
+
+
 def repetition_stats(
     df: DataFrame,
     col: str = "text",
