@@ -359,6 +359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train_distributed=True,
     )
 
+    # SemDeDup-style semantic dedup: k-means clusters + greedy in-cluster
+    # prune; keep flag as INT for a type-stable hash gate
+    q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
+        _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
+        n_clusters=SEMANTIC_DEDUP_CLUSTERS,
+    ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
+
     # --- beyond-reference: multimodal plumbing (documents as binary)
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.attach_binary(_docs(s, d))
@@ -418,6 +425,71 @@ DRIVER_PRIORITY = [
 # fixed query-term set for the BM25 gate (high-frequency terms in the
 # synthetic corpus so tf/df exercise the formula non-trivially)
 BM25_TERMS = ["hash", "join", "scan"]
+
+# semantic-dedup gate params: few clusters + permissive threshold so the
+# sf0.01 embeddings yield a real mix of kept/dropped rows
+SEMANTIC_DEDUP_THRESHOLD = 0.3
+SEMANTIC_DEDUP_CLUSTERS = 8
+
+
+def _semantic_centroids() -> list[list[float]]:
+    """Replicate the Spark query's k-means centroids for the oracle: at the
+    oracle SF the trainer's derived sample_mod is 1 (n << sample_cap), so
+    its driver sample is ALL vectors in vec_id order — the same matrix,
+    fed through the same shared numpy core (similarity.lloyd_kmeans),
+    yields bit-identical centroids."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return similarity.lloyd_kmeans(X, SEMANTIC_DEDUP_CLUSTERS)
+
+
+def _semantic_dedup_oracle() -> str:
+    cents = _semantic_centroids()
+    vals = ",\n    ".join(
+        f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
+        "for i in generate_series(1, len(e.embedding))])"
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {vals}
+),
+d AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+nrm AS (
+  SELECT vec_id, sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT bb.vec_id
+  FROM asg a
+  JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings aa ON aa.vec_id = a.vec_id
+  JOIN embeddings bb ON bb.vec_id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE round({_DOT.format(a='aa', b='bb')}
+              / nullif(na.nv * nb.nv, 0.0), 6) >= {SEMANTIC_DEDUP_THRESHOLD}
+)
+SELECT asg.vec_id, asg.cid::INT AS cluster,
+       (dropped.vec_id IS NULL)::INT AS keep
+FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
+"""
 
 
 EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
@@ -1690,6 +1762,7 @@ SELECT r.doc_id, r.n_tokens, r.mean_word_len, r.symbol_ratio, r.alpha_word_frac,
 FROM r JOIN rep ON rep.doc_id = r.doc_id
 """
     o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
+    o["semantic_dedup"] = _semantic_dedup_oracle()
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

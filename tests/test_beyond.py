@@ -641,3 +641,62 @@ def test_bm25_validates_terms(spark):
         retrieval.bm25_topk(df, [])
     with pytest.raises(ValueError, match="not a lowercase"):
         retrieval.bm25_topk(df, ["Bad Term"])
+
+
+# ---------------------------------------------------------------------------
+# r3: semantic dedup (SemDeDup-style)
+
+def test_semantic_dedup_planted_duplicates(vectors):
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(vectors, threshold=0.99, n_clusters=4).collect()
+    }
+    assert len(out) == 22
+    # planted near-dup pair (100, 101): same cluster, greedy keeps the
+    # smaller id
+    assert out[100]["cluster"] == out[101]["cluster"]
+    assert out[100]["keep"] and not out[101]["keep"]
+    # random gaussians are far below 0.99 cosine: all kept
+    assert all(out[i]["keep"] for i in range(20))
+
+
+def test_semantic_dedup_differential_brute_force(vectors):
+    n_clusters, t = 4, 0.3
+    cents = similarity.train_ivf_centroids(vectors, n_clusters)
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in similarity.semantic_dedup(
+            vectors, threshold=t, n_clusters=n_clusters, centroids=cents
+        ).collect()
+    }
+    pdf = vectors.toPandas().set_index("vec_id")["embedding"].map(
+        lambda v: np.asarray(list(v), dtype=np.float64)
+    )
+    C = np.array(cents)
+    assign = {
+        i: int(np.argmin(((v - C) ** 2).sum(axis=1))) for i, v in pdf.items()
+    }
+    dropped = set()
+    ids = sorted(pdf.index)
+    for bi, b in enumerate(ids):
+        for a in ids[:bi]:
+            if assign[a] != assign[b]:
+                continue
+            cos = float(pdf[a] @ pdf[b] / (np.linalg.norm(pdf[a]) * np.linalg.norm(pdf[b])))
+            if round(cos, 6) >= t:
+                dropped.add(b)
+                break
+    for i in ids:
+        assert got[i][0] == assign[i], f"cluster mismatch for {i}"
+        assert got[i][1] == (i not in dropped), f"keep mismatch for {i}"
+
+
+def test_semantic_dedup_zero_norm_and_empty(spark):
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"] for r in
+           similarity.semantic_dedup(df, threshold=0.9, n_clusters=2).collect()}
+    assert out[1]  # zero-norm: undefined cosine, always kept
+    assert out[2] and not out[3]  # exact dup dropped, keep-first-by-id
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.semantic_dedup(empty).count() == 0

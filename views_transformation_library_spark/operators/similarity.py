@@ -189,6 +189,25 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     return acc
 
 
+def lloyd_kmeans(
+    X: "np.ndarray", n_centroids: int, n_iters: int = 5, seed: int = 42
+) -> list[list[float]]:
+    """Pure-numpy deterministic Lloyd's k-means core, shared by the Spark
+    driver-sample trainer and the DuckDB-oracle centroid replication (the
+    oracle re-derives identical centroids from the same rows in id order).
+    Empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -217,16 +236,7 @@ def train_ivf_centroids(
         .sort_values(id_col)
     )
     X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    for _ in range(n_iters):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = X[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids.tolist()
+    return lloyd_kmeans(X, n_centroids, n_iters=n_iters, seed=seed)
 
 
 def train_ivf_centroids_distributed(
@@ -379,6 +389,110 @@ def ivf_topk(
     )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     return _score_and_rank(pairs, k)
+
+
+def _d2_mul_expr(vec_col: str, centroid: list[float]):
+    """Squared L2 distance to a centroid literal via (x-y)*(x-y)
+    multiplication folds — NOT pow(x, 2): Java Math.pow and DuckDB's power
+    can differ in the last ulp, and cluster assignment ties must agree
+    bit-exactly with the oracle."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            lit_c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def nearest_cluster_expr(vec_col: str, centroids: list[list[float]]):
+    """Nearest-centroid id as a pure column expression (runs inside the
+    scan); ties on distance break to the lower centroid id."""
+    entries = [
+        F.struct(_d2_mul_expr(vec_col, c).alias("d2"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_sort(F.array(*entries))[0]["c"]
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    n_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    within each cluster drop every vector that has a *smaller-id* neighbor
+    with cosine >= threshold (greedy keep-first-by-id — deterministic; the
+    paper's keep-farthest-from-centroid rule is a per-group argmax over the
+    same candidate pairs and is noted as a variant).
+
+    Output: (vec_id, cluster, keep) for EVERY input vector — keep=false
+    marks semantic duplicates to discard. Cosines are 6dp-rounded before
+    the threshold compare (engine-parity rule); zero-norm vectors have
+    undefined cosine and are always kept.
+
+    Scale design: this is the SemDeDup bargain — candidate pairs are
+    confined to clusters, so pair work is sum_i |c_i|^2 instead of N^2;
+    n_clusters should grow ~N/10^4 at corpus scale so mean cluster size
+    stays bounded, and the cluster-id equi-join shuffles each vector once.
+    Assignment is a centroid-literal column expression in the scan (no
+    join); the assignment table is materialized once and feeds both
+    self-join branches (Catalyst would otherwise re-run scan+assign per
+    branch). A pathological hot cluster degrades to |c|^2 *work* but stays
+    a hash-partitioned equi-join, never a broadcast explosion.
+    """
+    if vectors.first() is None:
+        id_type = dict(vectors.dtypes).get(id_col, "bigint")
+        return vectors.sparkSession.createDataFrame(
+            [], schema=f"{id_col} {id_type}, cluster int, keep boolean"
+        )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_clusters, n_iters=n_iters, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+    assigned = materialize(
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col)).alias("__n"),
+            nearest_cluster_expr(vec_col, centroids).cast("int").alias("__cl"),
+        )
+    )
+    a = assigned.select(
+        F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), F.col("__cl").alias("__cla"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), F.col("__cl").alias("__clb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    dropped = (
+        a.join(b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb")))
+        .filter(F.round(cos, 6) >= float(threshold))
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(1)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias("cluster"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )
 
 
 def lsh_topk(
