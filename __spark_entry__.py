@@ -26,6 +26,7 @@ from views_transformation_library_spark.operators import (
     fourier,
     missing,
     multimodal,
+    profiling,
     relational,
     retrieval,
     sampling,
@@ -370,6 +371,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.attach_binary(_docs(s, d))
     ).select("media_id", "n_bytes", F.round("feat1", 6).alias("feat1"))
+
+    # exact column profile over lineitem money columns (DECIMAL-exact sums)
+    q["profile_lineitem"] = lambda s, d: profiling.profile(
+        s.read.parquet(f"{d}/lineitem.parquet"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    # sketch-tier profile: HLL distinct + approx quantiles (rows-only gate;
+    # closeness vs the exact tier is pytest-checked)
+    q["profile_approx_lineitem"] = lambda s, d: profiling.profile_approx(
+        s.read.parquet(f"{d}/lineitem.parquet"),
+        ["l_quantity", "l_extendedprice"],
+    )
 
     # --- relational surface (§2.5) over the star schema
     q["tpch_q1"] = lambda s, d: _tpch_q1(s, d)
@@ -1763,6 +1776,19 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
 """
     o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
     o["semantic_dedup"] = _semantic_dedup_oracle()
+    o["profile_lineitem"] = " UNION ALL ".join(
+        f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       round(min({c})::DOUBLE, 6) + 0.0 AS min_val,
+       round(max({c})::DOUBLE, 6) + 0.0 AS max_val,
+       round(CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS sum_val,
+       round(CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)
+             / nullif(count({c})::DOUBLE, 0.0), 6) + 0.0 AS mean_val
+FROM lineitem"""
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    )
     o["simhash"] = _SIMHASH_SQL + """
 SELECT doc AS doc_id, simhash FROM sig
 """

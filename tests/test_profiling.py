@@ -1,0 +1,65 @@
+"""Column profiling: exact tier vs hand counts, sketch tier vs exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from views_transformation_library_spark.operators import profiling
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        (1, 10.25, None),
+        (2, 10.25, 5.0),
+        (3, -3.50, 5.0),
+        (4, None, 7.5),
+        (5, 0.00, 7.5),
+    ]
+    return spark.createDataFrame(rows, "id long, a double, b double")
+
+
+def test_profile_exact(frame):
+    out = {r["column"]: r for r in profiling.profile(frame, ["a", "b"]).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n"] == 5 and a["n_null"] == 1 and a["n_distinct"] == 3
+    assert a["min_val"] == -3.5 and a["max_val"] == 10.25
+    assert a["sum_val"] == 17.0 and a["mean_val"] == 4.25
+    assert b["n_null"] == 1 and b["n_distinct"] == 2
+    assert b["sum_val"] == 25.0 and b["mean_val"] == 6.25
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, x double")
+    r = profiling.profile(df, ["x"]).collect()[0]
+    assert r["n"] == 2 and r["n_null"] == 2 and r["n_distinct"] == 0
+    assert r["min_val"] is None and r["sum_val"] is None and r["mean_val"] is None
+
+
+def test_profile_validation(frame):
+    with pytest.raises(ValueError, match="non-empty"):
+        profiling.profile(frame, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        profiling.profile(frame, ["a", "zz"])
+
+
+def test_profile_approx_close_to_exact(spark):
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    exact = {r["column"]: r for r in profiling.profile(df, ["v"]).collect()}
+    approx = {
+        r["column"]: r for r in profiling.profile_approx(df, ["v"], rsd=0.02).collect()
+    }
+    e, s = exact["v"], approx["v"]
+    assert s["n"] == e["n"] and s["n_null"] == e["n_null"]
+    # HLL++ rsd is a standard deviation, not a hard bound: allow 3 sigma
+    assert abs(s["approx_distinct"] - e["n_distinct"]) <= 3 * 0.02 * e["n_distinct"]
+    assert s["min_val"] == e["min_val"] and s["max_val"] == e["max_val"]
+    # median of id % 997 over 10k rows is ~498
+    assert abs(s["q_50"] - 498.0) < 30
+
+
+def test_profile_single_aggregate_plan(frame):
+    """The sketch tier must stay ONE ordinary hash aggregate — no Expand."""
+    plan = profiling.profile_approx(frame, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
