@@ -360,6 +360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train_distributed=True,
     )
 
+    # product-quantization ADC top-k with exact rerank of the k*4 ADC
+    # candidates (approx candidate set -> rows-only gate; recall is
+    # pytest-checked against cosine_topk)
+    q["pq_topk"] = lambda s, d: similarity.pq_topk(
+        _embs(s, d), _queries(s, d), k=10, m=8, k_codes=16, rerank=4
+    )
     # SemDeDup-style semantic dedup: k-means clusters + greedy in-cluster
     # prune; keep flag as INT for a type-stable hash gate
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(

@@ -700,3 +700,83 @@ def test_semantic_dedup_zero_norm_and_empty(spark):
     assert out[2] and not out[3]  # exact dup dropped, keep-first-by-id
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.semantic_dedup(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r3: product quantization
+
+@pytest.fixture()
+def pq_vectors(spark):
+    # clustered data so PQ recall is meaningful: 4 gaussian blobs in 16-dim
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + 0.3 * rng.randn(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_shapes_and_determinism(pq_vectors):
+    books = similarity.train_pq_codebooks(pq_vectors, m=4, k_codes=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    out1 = similarity.pq_encode(pq_vectors, books).orderBy("vec_id").collect()
+    out2 = similarity.pq_encode(pq_vectors, books).orderBy("vec_id").collect()
+    assert [r["pq_codes"] for r in out1] == [r["pq_codes"] for r in out2]
+    assert all(len(r["pq_codes"]) == 4 for r in out1)
+    assert all(0 <= c < 8 for r in out1 for c in r["pq_codes"])
+
+
+def _recall_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_pq_topk_recall_vs_exact(pq_vectors):
+    queries = pq_vectors.filter(F.col("vec_id") % 40 == 0)
+    exact_sets = _recall_sets(similarity.cosine_topk(pq_vectors, queries, k=10).collect())
+    approx_sets = _recall_sets(
+        similarity.pq_topk(pq_vectors, queries, k=10, m=4, k_codes=16).collect()
+    )
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # pure ADC shuffles ranks among near-identical in-blob neighbours —
+    # modest recall is the documented trade without reranking
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_pq_topk_rerank_recovers_exact_recall(pq_vectors):
+    queries = pq_vectors.filter(F.col("vec_id") % 40 == 0)
+    exact_sets = _recall_sets(similarity.cosine_topk(pq_vectors, queries, k=10).collect())
+    rer = similarity.pq_topk(
+        pq_vectors, queries, k=10, m=4, k_codes=16, rerank=4
+    ).collect()
+    rer_sets = _recall_sets(rer)
+    recalls = [
+        len(exact_sets[q] & rer_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # reranked output carries the EXACT cosine for every kept pair
+    pdf = pq_vectors.toPandas().set_index("vec_id")["embedding"].map(
+        lambda v: np.asarray(list(v), dtype=np.float64)
+    )
+    for r in rer:
+        a, b = pdf[r["query_id"]], pdf[r["neighbor_id"]]
+        want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        assert r["cosine"] == pytest.approx(want, abs=2e-6)
+
+
+def test_pq_zero_norm_and_validation(spark, pq_vectors):
+    rows = [(1, [0.0] * 16), (2, [1.0] + [0.0] * 15), (3, [0.9] + [0.1] * 15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.train_pq_codebooks(df, m=4, k_codes=2)
+    enc = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(df, books).collect()}
+    assert enc[1] is None  # zero-norm: no direction to encode
+    out = similarity.pq_topk(df, df.filter(F.col("vec_id") == 2), k=5, codebooks=books)
+    assert 1 not in {r["neighbor_id"] for r in out.collect()}
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(pq_vectors, m=5)

@@ -495,6 +495,222 @@ def semantic_dedup(
     )
 
 
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 5,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector is split into
+    ``m`` contiguous subspaces and each gets its own ``k_codes``-centroid
+    k-means codebook, trained per subspace on the same bounded id-hash
+    driver sample as `train_ivf_centroids` (≤ ~sample_cap rows at any
+    table size). Returns m codebooks of k_codes × (dim/m) floats.
+
+    ``normalize=True`` trains on unit vectors (zero-norm rows dropped) so
+    PQ distances are monotone in cosine — the convention `pq_topk` uses.
+    """
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = max(1, -(-n // sample_cap))
+    pdf = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if normalize:
+        norms = np.linalg.norm(X, axis=1)
+        X = X[norms > 0] / norms[norms > 0, None]
+    sub = dim // m
+    return [
+        lloyd_kmeans(X[:, s * sub : (s + 1) * sub], k_codes, n_iters=n_iters, seed=seed + s)
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish code ids (array<int>) —
+    nearest codebook entry per subspace, ties to the lower code id.
+
+    Pure column expressions over codebook literals: encoding runs inside
+    the scan, no join/shuffle — at 100 TB this is the compression pass
+    that shrinks a 64-dim float column ~32× for candidate scoring.
+    Zero-norm vectors encode as NULL codes when ``normalize`` (undefined
+    direction), and are dropped by `pq_topk`.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    if normalize:
+        nrm = _norm(vec)
+        unit = F.when(
+            nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
+        ).otherwise(F.lit(None))
+    else:
+        unit = F.transform(vec, lambda x: x.cast("double"))
+    enc = vectors.withColumn("__unit", unit)
+    codes = F.array(
+        *[
+            nearest_cluster_expr_on(
+                F.slice(F.col("__unit"), s * sub + 1, sub), codebooks[s]
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    # NULL unit (zero-norm) -> NULL codes outright: struct comparisons over
+    # NULL d2 inside array_sort have engine-defined null ordering
+    codes = F.when(F.col("__unit").isNotNull(), codes).otherwise(F.lit(None))
+    return enc.withColumn(out, codes).drop("__unit")
+
+
+def nearest_cluster_expr_on(arr, centroids: list[list[float]]):
+    """`nearest_cluster_expr` over an arbitrary array expression (used for
+    subspace slices)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(arr, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d2.alias("d2"), F.lit(i).alias("c")))
+    return F.array_sort(F.array(*entries))[0]["c"]
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    vectors are scored through their codes only — the query builds an
+    m × k_codes distance table against the codebooks and each candidate's
+    distance is the sum of m table lookups, never a full-vector dot.
+
+    Everything is unit-normalized, so ADC L2² = 2 − 2·cosine and the
+    output `approx_cosine = 1 − d²/2` ranks identically to cosine.
+
+    Plan shape (fully distributed, no driver scoring): encode in the scan
+    → posexplode the m codes → broadcast-join the (query, subspace, code,
+    partial d²) table (|queries|·m·k_codes rows, driver-built from
+    codebook literals) → hash-aggregate the m partials per (query,
+    vector) → rank. Shuffle volume is |vectors|·m skinny rows with
+    map-side combine; the ADC table broadcast replaces any per-pair
+    vector math. Output: (query_id, neighbor_id, approx_cosine, rank) —
+    approximate by construction (rows-only gate; recall is pytest-checked
+    against `cosine_topk`).
+
+    ``rerank=r`` adds the standard refinement stage (IVFADC+R, Jégou et
+    al. 2011 §V): ADC keeps k·r candidates, then ONLY those re-score with
+    exact cosine against the raw vectors (a candidate-sized join — the
+    full-vector math never touches the other N - k·r rows) and the final
+    top-k ranks on the exact score (output column `cosine`). This is how
+    a production pipeline trades a tiny candidate join for near-exact
+    recall at PQ scan cost.
+    """
+    if vectors.first() is None:
+        return _empty_topk(vectors, id_col).withColumnRenamed("cosine", "approx_cosine")
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    m = len(codebooks)
+    spark = vectors.sparkSession
+
+    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    cand = (
+        enc.filter(~F.exists(F.col("pq_codes"), lambda c: c.isNull()))
+        .select(F.col(id_col).alias("neighbor_id"), F.posexplode("pq_codes"))
+        .withColumnsRenamed({"pos": "__sub", "col": "__code"})
+    )
+
+    # ADC tables: per query, the distance from its subspace slice to every
+    # codebook entry — |queries| × m × k_codes rows, built driver-side from
+    # the (small, documented) query set and broadcast
+    qrows = queries.select(id_col, vec_col).collect()
+    table = []
+    for r in qrows:
+        qv = np.asarray(list(r[vec_col]), dtype=np.float64)
+        nrm = float(np.linalg.norm(qv))
+        if nrm == 0.0:
+            continue
+        qv = qv / nrm
+        sub = len(qv) // m
+        for s, book in enumerate(codebooks):
+            qs = qv[s * sub : (s + 1) * sub]
+            for ci, c in enumerate(book):
+                d2 = float(((qs - np.asarray(c)) ** 2).sum())
+                table.append((r[id_col], s, ci, d2))
+    adc = spark.createDataFrame(
+        table, schema=f"query_id {dict(queries.dtypes).get(id_col, 'bigint')}, "
+                      "__sub int, __code int, __d2 double"
+    )
+    scored = (
+        cand.join(F.broadcast(adc), ["__sub", "__code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("__dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.lit(1.0) - F.col("__dist") / F.lit(2.0), 6).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    n_keep = int(k) if rerank is None else int(k) * int(rerank)
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= n_keep
+    )
+    if rerank is None:
+        return ranked
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vv"),
+        _norm(F.col(vec_col)).alias("__vn"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    cand2 = (
+        ranked.select("query_id", "neighbor_id")
+        .join(v, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+    )
+    return _score_and_rank(cand2, k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
