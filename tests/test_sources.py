@@ -30,3 +30,36 @@ def test_partitioned_parquet_write_prunes(spark, tmp_path):
     # partition pruning: only the dt=a directory is in the scan
     plan = plans.physical_plan(back)
     assert "dt=b" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count must
+    sort-merge-join with no Exchange on either side — the co-location
+    contract write_bucketed exists for."""
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    sources.write_bucketed(left, "t_bl", 4, ["k"], sort_by=["k"],
+                           path=str(tmp_path / "bl"))
+    sources.write_bucketed(right, "t_br", 4, ["k"], sort_by=["k"],
+                           path=str(tmp_path / "br"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bl").join(spark.table("t_br"), "k")
+            plan = plans.physical_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # groupBy on the bucket key also skips its shuffle
+        agg = spark.table("t_bl").groupBy("k").agg(F.sum("a"))
+        assert "Exchange" not in plans.physical_plan(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")

@@ -9,5 +9,6 @@ from .tables import (  # noqa: F401
     read_stream_parquet,
     read_table,
     read_tables,
+    write_bucketed,
     write_parquet,
 )

@@ -95,6 +95,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_by: list[str],
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table sink (`bucketBy` + `saveAsTable` — bucketing
+    metadata lives in the catalog, so it needs a table name, not a bare
+    path; pass ``path`` to pin the files outside the warehouse dir).
+
+    This is the co-located-join primitive at 100 TB: two tables bucketed
+    into the same bucket count on the join key sort-merge-join with ZERO
+    Exchange on either side (pinned in tests/test_sources.py), and
+    aggregations keyed on the bucket columns skip their shuffle too.
+    ``sort_by`` additionally orders rows within each bucket file so the
+    merge phase streams without sorting.
+    """
+    writer = df.write.mode(mode).bucketBy(int(buckets), *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def read_stream_parquet(
     spark: SparkSession, path: str, schema: StructType | str, **options
 ) -> DataFrame:
