@@ -87,7 +87,7 @@ def test_panel_build_scans_events_once(spark):
 
     pn = P.panel_from_events(spark, SF)
     plan = plans.physical_plan(pn)
-    # the events file scan ran eagerly inside the checkpoint; the final plan
+    # the aggregate is checkpointed (lazily) before densify; the final plan
     # must contain no parquet scan at all — its 3 branches all read the
     # (panel-sized) checkpointed aggregate RDD instead
     assert "events.parquet" not in plan

@@ -59,19 +59,25 @@ def materialize(df: DataFrame) -> DataFrame:
     plan branches (self-joins, driver-side key collects + the main plan) do
     not re-run the upstream build per branch.
 
-    ``localCheckpoint`` computes the frame eagerly, stores the blocks on the
-    executors, and truncates lineage — Catalyst does not reuse a duplicated
-    upstream subplan across self-join branches, so without this a panel built
-    from an aggregation pipeline is recomputed for every branch (measured 2-4
-    full rebuilds per operator at sf0.1). Panels are bounded by |T| x |U|
-    rows per feature, so the stored footprint is small relative to the fact
-    data even at 100 TB input; on a cluster, a bucketed persisted panel
+    ``localCheckpoint`` stores the frame's blocks on the executors and
+    truncates lineage — Catalyst does not reuse a duplicated upstream subplan
+    across self-join branches, so without this a panel built from an
+    aggregation pipeline is recomputed for every branch (measured 2-4 full
+    rebuilds per operator at sf0.1). ``eager=False``: the blocks materialize
+    inside the FIRST job that touches the frame (usually a broadcast-distinct
+    subquery) instead of a dedicated blocking job — same once-per-branch
+    compute, one less job launch per panel build (r3 A/B: lazy ≥ eager on
+    every multi-branch query, tools/exp_panel_pin.py). Lineage is truncated
+    at plan-build time either way, so iterative consumers (grid_lag) still
+    cannot OOM the analyzer. Panels are bounded by |T| x |U| rows per
+    feature, so the stored footprint is small relative to the fact data even
+    at 100 TB input; on a cluster, a bucketed persisted panel
     (``write_bucketed``) serves the same role across *jobs*, this serves it
     across *branches within one job*. Streaming frames pass through unchanged
     (checkpointing is a batch concept)."""
     if df.isStreaming:
         return df
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def densify(df: DataFrame, fill: float | None = 0.0) -> DataFrame:
