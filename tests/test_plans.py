@@ -94,6 +94,25 @@ def test_panel_build_scans_events_once(spark):
     assert plan.count("Scan ExistingRDD") == 3
 
 
+def test_bm25_topk_is_takeordered(spark):
+    """The BM25 top-k must be a distributed TakeOrdered over the scored
+    set — an unpartitioned rank window there would pull every matched
+    doc into one task (the 100 TB killer when a query term is common).
+    The only Window allowed is the rank over the <= k survivors."""
+    from views_transformation_library_spark.operators import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "spark window"), (3, "pandas udf")],
+        schema="doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(df, ["spark", "join"], k=2)
+    plan = plans.physical_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # the rank window must sit ABOVE the limit (GlobalLimit/TakeOrdered),
+    # never directly over the scored aggregate
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_vocab_top_terms_is_takeordered(spark):
     """The top-n must be a distributed TakeOrdered (per-partition top-n,
     driver merge), never an unpartitioned window sort over the full vocab."""

@@ -96,10 +96,14 @@ def bm25_topk(
     Plan: matched-postings aggregate (term_frequencies) + two tiny side
     aggregates (corpus N/avgdl: 1 row; per-term df: <= |terms| rows)
     crossed in as broadcast literals via a 1-row cross join — no
-    driver collect, no action before the final top-k. Top-k runs as a
-    rank-filter window over the scored (matched) docs ordered by the
-    rounded score — matched docs only, so the window input is bounded by
-    the postings, not the corpus.
+    driver collect, no action before the final top-k. Top-k is a
+    distributed TakeOrderedAndProject (per-partition top-k, driver
+    merge — the vocab_top_terms pattern): `orderBy(...).limit(k)` over
+    the scored docs, then `row_number` over only the k survivors. No
+    task ever holds more than k rows for the ranking, even when a query
+    term is frequent and matches billions of docs (an unpartitioned
+    rank window over the full match set — the r2 shape — would pull
+    them all into one task).
     """
     terms = _validate_terms(query_terms)
     tf = term_frequencies(df, terms, col=col, id_col=id_col)
@@ -140,12 +144,15 @@ def bm25_topk(
         part = idf * tf_t * F.lit(float(k1) + 1.0) / denom
         score = part if score is None else score + part  # left-associated
 
-    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
-    return (
+    topk = (
         scored.select(F.col(id_col), (F.round(score, 6) + F.lit(0.0)).alias("bm25"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(int(k))
     )
+    # rank the <= k survivors: the window input is bounded by the constant
+    # k, so the single-partition sort is O(k), independent of data size
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def bm25_oracle_sql(
