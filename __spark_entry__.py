@@ -372,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
         n_clusters=SEMANTIC_DEDUP_CLUSTERS,
     ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
+    # the paper's keep-farthest-from-centroid representative rule
+    # (local-only oracle row; the min_id flagship holds the driver slot)
+    q["semantic_dedup_far"] = lambda s, d: similarity.semantic_dedup(
+        _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
+        n_clusters=SEMANTIC_DEDUP_CLUSTERS, keep="farthest",
+    ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
 
     # --- beyond-reference: multimodal plumbing (documents as binary)
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
@@ -469,7 +475,7 @@ def _semantic_centroids() -> list[list[float]]:
     return similarity.lloyd_kmeans(X, SEMANTIC_DEDUP_CLUSTERS)
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_dedup_oracle(keep: str = "min_id") -> str:
     cents = _semantic_centroids()
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
@@ -477,6 +483,20 @@ def _semantic_dedup_oracle() -> str:
     d2 = (
         "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
         "for i in generate_series(1, len(e.embedding))])"
+    )
+    loser = (
+        "bb.vec_id"
+        if keep == "min_id"
+        # keep-farthest: the pair member nearer its (shared) centroid is
+        # dropped; equal distances drop the higher id — mirrors Spark
+        else "CASE WHEN da.d2 >= db.d2 THEN b.vec_id ELSE a.vec_id END"
+    )
+    dist_joins = (
+        ""
+        if keep == "min_id"
+        else """
+  JOIN d da ON da.vec_id = a.vec_id AND da.cid = a.cid
+  JOIN d db ON db.vec_id = b.vec_id AND db.cid = b.cid"""
     )
     return f"""
 WITH cents(cid, c) AS (VALUES
@@ -495,13 +515,13 @@ nrm AS (
   FROM embeddings
 ),
 dropped AS (
-  SELECT DISTINCT bb.vec_id
+  SELECT DISTINCT {loser} AS vec_id
   FROM asg a
   JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
   JOIN embeddings aa ON aa.vec_id = a.vec_id
   JOIN embeddings bb ON bb.vec_id = b.vec_id
   JOIN nrm na ON na.vec_id = a.vec_id
-  JOIN nrm nb ON nb.vec_id = b.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id{dist_joins}
   WHERE round({_DOT.format(a='aa', b='bb')}
               / nullif(na.nv * nb.nv, 0.0), 6) >= {SEMANTIC_DEDUP_THRESHOLD}
 )
@@ -538,8 +558,8 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = P.read_events(spark, sf_dir)
-    # truncate to microseconds: DuckDB reads the nano-parquet at us precision
-    ev_us = ev.select("user_id", F.expr("ts DIV 1000").alias("ts"))
+    # microsecond ticks on both engines, whatever ts's physical type
+    ev_us = ev.select("user_id", P.epoch_micros(ev).alias("ts"))
     out = relational.sessionize(ev_us, gap_minutes=30, ts_unit="us")
     return out.select(
         "unit_id", "session_id", "n_events", F.col("duration_ticks").alias("duration_us")
@@ -575,10 +595,11 @@ def _topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event joined to the customer's latest order at or before the
     event time (microsecond precision on both engines)."""
-    ev = P.read_events(spark, sf_dir).select(
+    ev0 = P.read_events(spark, sf_dir)
+    ev = ev0.select(
         "event_id",
         F.col("user_id").alias("k"),
-        F.expr("ts DIV 1000").alias("ets"),
+        P.epoch_micros(ev0).alias("ets"),
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rd = (
@@ -1782,6 +1803,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
 """
     o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
     o["semantic_dedup"] = _semantic_dedup_oracle()
+    o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
     o["profile_lineitem"] = " UNION ALL ".join(
         f"""
 SELECT '{c}' AS "column", count(*)::BIGINT AS n,

@@ -691,6 +691,31 @@ def test_semantic_dedup_differential_brute_force(vectors):
         assert got[i][1] == (i not in dropped), f"keep mismatch for {i}"
 
 
+def test_semantic_dedup_keep_farthest(spark):
+    """keep='farthest' keeps the duplicate FARTHER from the cluster
+    centroid (the paper's rule), flipping the min_id winner when the
+    lower-id member is the nearer one."""
+    # centroid of cluster A lands near the origin-side pair member: id 1
+    # is close to the centroid, id 2 is the same direction but farther out
+    rows = [
+        (1, [1.0, 0.0]), (2, [4.0, 0.0]),  # cosine 1.0 duplicates
+        (3, [0.0, 1.0]), (4, [0.0, 1.1]),  # second cluster duplicates
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.5, 0.0], [0.0, 1.0]]  # fixed centroids: assignment known
+    far = {r["vec_id"]: r["keep"] for r in similarity.semantic_dedup(
+        df, threshold=0.99, n_clusters=2, centroids=cents, keep="farthest"
+    ).collect()}
+    assert not far[1] and far[2]  # farther-from-centroid id 2 survives
+    assert not far[3] and far[4]  # |0.1| < |1.1-1.0|? d(3)=0.0 < d(4)=0.1
+    near = {r["vec_id"]: r["keep"] for r in similarity.semantic_dedup(
+        df, threshold=0.99, n_clusters=2, centroids=cents, keep="min_id"
+    ).collect()}
+    assert near[1] and not near[2] and near[3] and not near[4]
+    with pytest.raises(ValueError, match="keep must be"):
+        similarity.semantic_dedup(df, keep="bogus")
+
+
 def test_semantic_dedup_zero_norm_and_empty(spark):
     rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -69,6 +69,28 @@ def test_asof_join_null_payload_not_mixed(spark):
     assert out["x"] is None and out["y"] == 7.0  # the ts=200 row, verbatim
 
 
+def test_asof_join_duplicate_right_rows_deterministic(spark):
+    """Duplicate right (key, ts) rows must resolve to the SAME winner
+    regardless of partitioning/arrival order (payload-hash tie-break)."""
+    import random
+
+    left = spark.createDataFrame(
+        [(i, 10, 500) for i in range(5)], schema="id long, k long, ts long"
+    )
+    dup_rows = [(10, 500, t) for t in ["a", "b", "c", "d", "e"]]
+    winners = set()
+    for trial in range(4):
+        rows = dup_rows[:]
+        random.Random(trial).shuffle(rows)
+        right = spark.createDataFrame(
+            rows, schema="k long, rts long, tag string"
+        ).repartition(trial + 1)
+        out = relational.asof_join(left, right, "k", "ts", "rts", ["tag"])
+        winners.update(r["tag"] for r in out.collect())
+    # every trial and every left row saw the one hash-maximal duplicate
+    assert len(winners) == 1
+
+
 def test_topk_per_group(spark):
     rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)]
     df = spark.createDataFrame(rows, schema="g long, v double")

@@ -84,8 +84,11 @@ def asof_join(
     then carry the right payload forward atomically (one struct, so NULL
     fields in a matched right row never mix with earlier rows) and keep the
     left rows. Scales as a window over |left| + |right| rows — no range-join
-    blowup, no per-key loops. Right side should be unique per (key, ts);
-    otherwise which duplicate wins is partition-order dependent.
+    blowup, no per-key loops. Duplicate right rows per (key, ts) are
+    resolved DETERMINISTICALLY: the window ordering carries a payload-hash
+    tie-break column, so the winner (greatest xxhash64 of the right payload)
+    is stable across partitionings and runs — fully identical duplicates are
+    indistinguishable and therefore trivially stable too.
     """
     rtypes = dict(right.dtypes)
     rrow_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
@@ -93,6 +96,7 @@ def asof_join(
         F.col(key_col).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(rrow_type).alias("__rrow"),
     )
@@ -100,6 +104,9 @@ def asof_join(
         F.col(key_col).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        # deterministic duplicate-(key, ts) resolution: rank equal-ts right
+        # rows by a hash of their payload, not by partition arrival order
+        F.xxhash64(F.struct(*right_cols)).alias("__tie"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__lrow"),
@@ -110,7 +117,7 @@ def asof_join(
     unioned = lk.unionByName(rk)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

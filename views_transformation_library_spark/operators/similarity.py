@@ -320,16 +320,13 @@ def train_ivf_centroids_distributed(
 
 
 def _bucket_structs(vec_col: str, centroids: list[list[float]]):
-    """Array of (squared-distance-to-centroid, centroid-id) structs."""
-    entries = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(F.struct(d2.alias("d2"), F.lit(i).alias("c")))
+    """Array of (squared-distance-to-centroid, centroid-id) structs.
+    Distances via `_d2_mul_expr` (multiplication, not pow) so assignment
+    compares bit-agree with the DuckDB oracles."""
+    entries = [
+        F.struct(_d2_mul_expr(vec_col, c).alias("d2"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ]
     return F.array_sort(F.array(*entries))
 
 
@@ -428,13 +425,21 @@ def semantic_dedup(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     n_iters: int = 5,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
-    within each cluster drop every vector that has a *smaller-id* neighbor
-    with cosine >= threshold (greedy keep-first-by-id — deterministic; the
-    paper's keep-farthest-from-centroid rule is a per-group argmax over the
-    same candidate pairs and is noted as a variant).
+    within each cluster mark semantic duplicates (cosine >= threshold)
+    for removal, keeping one representative per duplicate neighborhood.
+
+    ``keep`` selects the representative rule, both deterministic:
+      - ``"min_id"``: drop every vector with a smaller-id duplicate
+        neighbor (greedy keep-first-by-id).
+      - ``"farthest"``: the paper's default — drop every vector with a
+        duplicate neighbor strictly FARTHER from the shared cluster
+        centroid (ties on distance break to the lower id). Survivors are
+        the locally-centroid-farthest points, which SemDeDup argues are
+        the most informative representatives.
 
     Output: (vec_id, cluster, keep) for EVERY input vector — keep=false
     marks semantic duplicates to discard. Cosines are 6dp-rounded before
@@ -451,6 +456,8 @@ def semantic_dedup(
     branch). A pathological hot cluster degrades to |c|^2 *work* but stays
     a hash-partitioned equi-join, never a broadcast explosion.
     """
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
     if vectors.first() is None:
         id_type = dict(vectors.dtypes).get(id_col, "bigint")
         return vectors.sparkSession.createDataFrame(
@@ -461,31 +468,43 @@ def semantic_dedup(
             vectors, n_clusters, n_iters=n_iters, id_col=id_col,
             vec_col=vec_col, seed=seed,
         )
+    nearest = _bucket_structs(vec_col, centroids)[0]
     assigned = materialize(
         vectors.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             _norm(F.col(vec_col)).alias("__n"),
-            nearest_cluster_expr(vec_col, centroids).cast("int").alias("__cl"),
+            nearest["c"].cast("int").alias("__cl"),
+            # raw d2 to the assigned centroid: the same fold the
+            # assignment argmin compares, so oracle parity is bit-exact
+            nearest["d2"].alias("__dc"),
         )
     )
     a = assigned.select(
         F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), F.col("__cl").alias("__cla"),
+        F.col("__dc").alias("__dca"),
     )
     b = assigned.select(
         F.col("__id").alias("__idb"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), F.col("__cl").alias("__clb"),
+        F.col("__dc").alias("__dcb"),
     )
     cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
-    dropped = (
-        a.join(b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb")))
-        .filter(F.round(cos, 6) >= float(threshold))
-        .select(F.col("__idb").alias("__id"))
-        .distinct()
-    )
+    pairs = a.join(
+        b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb"))
+    ).filter(F.round(cos, 6) >= float(threshold))
+    if keep == "min_id":
+        loser = F.col("__idb")
+    else:
+        # keep-farthest: the pair member NEARER the centroid loses;
+        # equal distances keep the lower id (drop __idb)
+        loser = F.when(F.col("__dca") >= F.col("__dcb"), F.col("__idb")).otherwise(
+            F.col("__ida")
+        )
+    dropped = pairs.select(loser.alias("__id")).distinct()
     return (
         assigned.join(dropped.withColumn("__dropped", F.lit(1)), "__id", "left")
         .select(

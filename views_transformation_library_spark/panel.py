@@ -132,9 +132,15 @@ NANOS_PER_DAY = 86_400_000_000_000
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; flip the legacy nanosAsLong conf (ts -> BIGINT nanos)."""
+    """Read the events table, self-applying the confs a vanilla (driver)
+    session needs: the legacy nanosAsLong conf in case events.parquet
+    stores TIMESTAMP(NANOS) (Spark's reader rejects it otherwise; the
+    conf is inert when the data is µs), and UTC session time zone so
+    NTZ-timestamp → epoch conversions are host-TZ-independent. Callers
+    must treat ts as EITHER BIGINT nanos or TIMESTAMP — derive keys via
+    `epoch_day` / `epoch_micros`, which dispatch on the actual type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -152,6 +158,17 @@ def epoch_day(ev: DataFrame, ts_col: str = "ts"):
             f"({ts_col} - pmod({ts_col}, {NANOS_PER_DAY})) DIV {NANOS_PER_DAY}"
         ).cast("long")
     return F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long")
+
+
+def epoch_micros(ev: DataFrame, ts_col: str = "ts"):
+    """Epoch-microsecond key from ts, exact for both physical types
+    (BIGINT nanos → integer DIV; TIMESTAMP/TIMESTAMP_NTZ → unix_micros
+    under the UTC session TZ read_events pins). Matches DuckDB's
+    ``epoch_us(ts)`` on the same parquet either way."""
+    dtype = dict(ev.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{ts_col} DIV 1000").cast("long")
+    return F.unix_micros(F.col(ts_col).cast("timestamp")).cast("long")
 
 
 def write_bucketed(df: DataFrame, table: str, n_buckets: int = 32, mode: str = "overwrite") -> None:
