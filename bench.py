@@ -42,6 +42,13 @@ HEADLINE = [
     "cosine_topk",
     "lsh_topk",
     "multimodal_features",
+    # r2/r3 families (first baselined in BENCH_r03)
+    "gopher_filter",
+    "bm25_topk",
+    "semantic_dedup",
+    "pq_topk",
+    "profile_lineitem",
+    "knn_graph",
 ]
 
 

@@ -248,13 +248,33 @@ def test_multimodal_plumbing(docs):
     assert by_id[1]["feat1"] == float(ord("t"))
 
 
-def test_multimodal_real_decoder_is_stubbed(docs):
-    media = multimodal.attach_binary(docs.limit(1))
-    with pytest.raises(Exception) as exc_info:
-        multimodal.extract_features(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_multimodal_real_decoder_import_gated(docs):
+    """decode_stub=False selects the real (PIL) path: raises eagerly when
+    the library is absent (this container), decodes when present."""
+    media = multimodal.attach_binary(docs.filter(F.col("doc_id") == 1))
+    if multimodal._PIL is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.extract_features(media, decode_stub=False)
+    else:  # pragma: no cover - exercised only where PIL is installed
+        rows = multimodal.extract_features(media, decode_stub=False).collect()
+        # text payload is not an image: byte-statistics fallback, row kept
+        assert rows[0]["feat1"] == float(ord("t"))
+
+
+@pytest.mark.skipif(multimodal._PIL is None, reason="PIL not installed")
+def test_multimodal_real_decoder_decodes_png(spark):  # pragma: no cover
+    img = multimodal._PIL.new("L", (4, 2), color=7)
+    import io as _io
+
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "img", bytearray(buf.getvalue()), None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
     )
+    row = multimodal.extract_features(df, decode_stub=False).collect()[0]
+    assert row["feat0"] == 7.0  # mean pixel
+    assert row["feat1"] == 2.0  # 4/2 aspect
 
 
 def test_frame_sample(spark):

@@ -16,11 +16,27 @@ in executor memory.
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _try_import_pil():
+    """Import-gated real image decoder: PIL when present (absent in this
+    container — verified), else None and the deterministic fake carries
+    the tests. Module-level so executors resolve it the same way."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
+_PIL = _try_import_pil()
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, duration_ms int"
@@ -57,25 +73,54 @@ def _fake_decode(payload: bytes) -> tuple[int, float, float]:
     return checksum, feat0, feat1
 
 
+def _real_decode(payload: bytes) -> tuple[int, float, float]:
+    """PIL-backed image decode: (byte checksum, mean grayscale pixel,
+    width/height aspect). Payloads PIL cannot parse (non-image blobs) fall
+    back to the deterministic byte-statistics fake, so mixed-media tables
+    never fail the whole partition."""
+    if payload is None:
+        return 0, 0.0, 0.0
+    try:
+        img = _PIL.open(io.BytesIO(bytes(payload)))
+        import numpy as np
+
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+        checksum = sum(payload) % 1_000_000_007
+        return checksum, float(arr.mean()) if arr.size else 0.0, float(
+            img.width / img.height
+        )
+    except NotImplementedError:  # pragma: no cover - PIL internal
+        raise
+    except Exception:
+        return _fake_decode(payload)
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
+
+    ``decode_stub=True`` (default, and the oracle-gated configuration)
+    uses the deterministic byte-statistics fake. ``decode_stub=False``
+    selects the REAL decoder path: import-gated on PIL — raises
+    NotImplementedError at plan build when the library is absent (as in
+    this container), decodes images and byte-falls-back on non-image
+    payloads when present. The Spark plumbing (Arrow batches, schema,
+    narrow numeric output) is identical on both paths.
 
     Arrow-batched: each pandas chunk carries the binary column zero-copy
     from the JVM; output is a narrow numeric frame (blobs do not survive
     past this operator, keeping downstream shuffles small)."""
+    if not decode_stub and _PIL is None:
+        raise NotImplementedError(
+            "real media decoding needs PIL, which is not present in this "
+            "environment; use decode_stub=True"
+        )
+    decode = _fake_decode if decode_stub else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                # real decoders (PIL.Image.open / av.open / soundfile.read)
-                # would be called here on pdf['payload'] bytes
-                raise NotImplementedError(
-                    "real media decoding needs image/audio libraries not present "
-                    "in this environment; use decode_stub=True"
-                )
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                checksum, feat0, feat1 = _fake_decode(payload)
+                checksum, feat0, feat1 = decode(payload)
                 rows.append(
                     (mid, kind, len(payload) if payload is not None else 0, checksum, feat0, feat1)
                 )
