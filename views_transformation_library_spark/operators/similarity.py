@@ -24,6 +24,12 @@ from ..panel import materialize
 
 
 def _dot(a, b):
+    """Dot product as a left-associated zip_with/aggregate fold (matches
+    the DuckDB list_sum-comprehension oracles bit-exactly). Measured
+    alternatives at sf0.1 both LOSE: an unrolled GetArrayItem sum is ~3x
+    slower (64 null-checked array accesses defeat codegen), and an
+    Arrow/pandas dot pays more in transfer than it saves in math — the
+    interpreted HOF fold is the best per-pair scorer available here."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -58,9 +64,14 @@ def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
     cos = _dot(F.col("__qv"), F.col("__vv")) / F.nullif(
         F.col("__qn") * F.col("__vn"), F.lit(0.0)
     )
-    scored = pairs.select(
+    # zero-norm exclusion happens on the CHEAP norm columns before scoring:
+    # a filter on the computed cosine would be pushed below the projection
+    # and evaluate the whole dot expression twice per pair (measured 2x the
+    # scoring cost at sf0.1). With positive norms the cosine is never NULL,
+    # so no post-filter is needed; nullif stays as belt-and-braces.
+    scored = pairs.filter((F.col("__qn") > 0) & (F.col("__vn") > 0)).select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -119,7 +130,8 @@ def embedding_neardup_pairs(
     t = float(threshold)
     d_t = math.sqrt(max(0.0, 2.0 - 2.0 * t)) if t > -1.0 else 2.0
     base = vectors.filter(_norm(F.col(vec_col)) > 0)  # zero-norm: NULL cosine, never output
-    if base.first() is None:
+    frow = base.select(vec_col).first()
+    if frow is None:
         return vectors.sparkSession.createDataFrame(
             [], schema=f"a {dict(vectors.dtypes).get(id_col, 'bigint')},"
                        f" b {dict(vectors.dtypes).get(id_col, 'bigint')}, cosine double"
@@ -152,24 +164,69 @@ def embedding_neardup_pairs(
             if float(np.linalg.norm(C[i] - C[j])) <= radii[i] + radii[j] + d_t:
                 admissible.append((i, j))
     pair_tbl = vectors.sparkSession.createDataFrame(admissible, schema="bi int, bj int")
-    a = assigned.select(
-        F.col("__id").alias("a"), F.col("__v").alias("__va"),
-        _norm(F.col("__v")).alias("__na"), F.col("__blk").alias("bi"),
+    # verification is a block-pair COGROUPED numpy scorer: each vector
+    # ships once per admissible partner block (<= n_blocks copies), never
+    # once per candidate pair, and per-(bi,bj) chunked matrices score with
+    # the same left-associated float64 fold as `_dot` (strict-gate
+    # bit-parity). The UDF emits only near-threshold pairs (raw cosine >=
+    # t - 1e-6, wider than round(·,6) >= t since |round(x,6)-x| <= 5e-7);
+    # Spark applies the exact HALF_UP round + threshold on that small set.
+    left = assigned.join(F.broadcast(pair_tbl), assigned["__blk"] == pair_tbl["bi"]).select(
+        "bi", "bj", "__id", "__v"
     )
-    b = assigned.select(
-        F.col("__id").alias("b"), F.col("__v").alias("__vb"),
-        _norm(F.col("__v")).alias("__nb"), F.col("__blk").alias("bj"),
+    # alias EVERY right-side column (cogroup branches share the `assigned`
+    # lineage; unaliased attributes collide and get pruned — same rule as
+    # self-joins)
+    pr = pair_tbl.select(F.col("bi").alias("rbi"), F.col("bj").alias("rbj"))
+    right = assigned.join(F.broadcast(pr), assigned["__blk"] == pr["rbj"]).select(
+        "rbi", "rbj", F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
     )
-    pairs = (
-        a.join(F.broadcast(pair_tbl), "bi")
-        .join(b, "bj")
-        .filter(F.col("a") < F.col("b"))
+    id_t = dict(vectors.dtypes).get(id_col, "bigint")
+    margin = t - 1e-6
+    CHUNK = 2048
+
+    def _score_blocks(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b", "__cos"]
+        empty = pd.DataFrame({c: [] for c in cols})
+        if l.empty or r.empty:
+            return empty
+
+        def prep(pdf, id_c, v_c):
+            ok = pdf[v_c].notna().values
+            ids = pdf[id_c].values[ok]
+            X = np.vstack(pdf[v_c].values[ok]).astype(np.float64)
+            nsq = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                nsq = nsq + X[:, i] * X[:, i]
+            nz = nsq > 0.0
+            return ids[nz], X[nz], np.sqrt(nsq[nz])
+
+        a_ids, A, a_n = prep(l, "__id", "__v")
+        b_ids, B, b_n = prep(r, "__idb", "__vb")
+        if not len(a_ids) or not len(b_ids):
+            return empty
+        dim, outs = A.shape[1], []
+        for ai in range(0, len(a_ids), CHUNK):
+            Ac, an, aid = A[ai:ai + CHUNK], a_n[ai:ai + CHUNK], a_ids[ai:ai + CHUNK]
+            for bi_ in range(0, len(b_ids), CHUNK):
+                Bc, bn, bid = B[bi_:bi_ + CHUNK], b_n[bi_:bi_ + CHUNK], b_ids[bi_:bi_ + CHUNK]
+                acc = np.zeros((len(aid), len(bid)))
+                for i in range(dim):
+                    acc = acc + Ac[:, i, None] * Bc[None, :, i]
+                cos = acc / (an[:, None] * bn[None, :])
+                ri, ci = np.nonzero((aid[:, None] < bid[None, :]) & (cos >= margin))
+                if len(ri):
+                    outs.append(pd.DataFrame({
+                        "a": aid[ri], "b": bid[ci], "__cos": cos[ri, ci],
+                    }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    cand = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("rbi", "rbj"))
+        .applyInPandas(_score_blocks, f"a {id_t}, b {id_t}, __cos double")
     )
-    # nullif kept for belt-and-braces (zero-norms already filtered)
-    cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
-    )
-    return pairs.select("a", "b", F.round(cos, 6).alias("cosine")).filter(
+    return cand.select("a", "b", F.round("__cos", 6).alias("cosine")).filter(
         F.col("cosine") >= t
     )
 
@@ -357,7 +414,8 @@ def ivf_topk(
     every vector with zero driver-side table materialization
     (`train_ivf_centroids_distributed`); pass pretrained `centroids` to
     skip training entirely."""
-    if centroids is None and vectors.first() is None:
+    frow = vectors.select(vec_col).first()
+    if centroids is None and frow is None:
         return _empty_topk(vectors, id_col)
     if centroids is None and train_distributed:
         centroids = train_ivf_centroids_distributed(
@@ -409,22 +467,27 @@ def knn_graph(
 
     IVF-bucketed: vectors are bucketed by nearest k-means centroid; each
     vector probes its ``nprobe`` nearest buckets and scores only their
-    members. The probe-bucket join is a hash-partitioned EQUI-join on the
-    bucket id — both sides scale with the corpus, nothing broadcasts, and
-    candidate volume is ~N·nprobe·(N/n_centroids) instead of N²: with
-    n_centroids grown ∝ N (the SemDeDup sizing rule) per-query work stays
-    bounded. A hot bucket degrades to |bucket|² *work* but remains a
-    shuffled equi-join, never a cartesian.
+    members. Scoring is a bucket-COGROUPED ``applyInPandas``: members and
+    probes shuffle ONCE each on the bucket id (each vector payload ships
+    once per bucket side, never once per candidate pair) and numpy scores
+    the per-bucket pair matrix in chunked outer-product accumulations —
+    bit-identical to the column fold (same left-associated float64 adds,
+    verified by the strict DuckDB gate) at vectorized speed. Candidate
+    volume is ~N·nprobe·(N/n_centroids) instead of N²: with n_centroids
+    grown ∝ N (the SemDeDup sizing rule) per-bucket work stays bounded; a
+    hot bucket degrades to |bucket|² *work* inside chunked
+    constant-memory matrices, never a cartesian or an OOM.
 
     ``nprobe=n_centroids`` probes every bucket — exact kNN at quadratic
     cost (differential-test anchor). Scores are exact 6dp-rounded cosines
     (only candidate COVERAGE is approximate); ranking ties break by
-    neighbor_id. Zero-norm vectors yield NULL cosine and drop (ANSI-safe),
-    both as queries and as neighbors.
+    neighbor_id. Zero-norm vectors are excluded (undefined cosine), both
+    as queries and as neighbors. Assumes a fixed embedding dimension.
 
     Output: (query_id, neighbor_id, cosine, rank), rank <= k.
     """
-    if vectors.first() is None:
+    frow = vectors.select(vec_col).first()
+    if frow is None:
         return _empty_topk(vectors, id_col)
     if centroids is None and train_distributed:
         centroids = train_ivf_centroids_distributed(
@@ -436,14 +499,13 @@ def knn_graph(
             sample_mod=sample_mod,
         )
     nprobe = min(int(nprobe), len(centroids))
-    # one assignment pass feeds BOTH self-join branches: probes[0] is the
+    # one assignment pass feeds BOTH cogroup branches: probes[0] is the
     # member bucket, the full slice is the probe list — materialized so the
     # scan + centroid distances run once, not per branch
     assigned = materialize(
         vectors.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
-            _norm(F.col(vec_col)).alias("__n"),
             F.transform(
                 F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
                 lambda s: s["c"],
@@ -451,21 +513,74 @@ def knn_graph(
         )
     )
     members = assigned.select(
-        F.col("__id").alias("neighbor_id"),
-        F.col("__v").alias("__vv"),
-        F.col("__n").alias("__vn"),
-        F.col("__probes")[0].alias("__bucket"),
+        "__id", "__v", F.col("__probes")[0].alias("__bucket")
     )
+    # alias EVERY probe-side column: both cogroup branches derive from the
+    # same `assigned` frame, so unaliased columns share expression ids and
+    # Catalyst prunes the right child down to its only unique attribute
+    # (observed: the right pdf arrived with just __bucket) — the cogroup
+    # variant of the self-join aliasing rule
     probes = assigned.select(
-        F.col("__id").alias("query_id"),
+        F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"),
         F.explode("__probes").alias("__bucket"),
     )
-    pairs = members.join(probes, "__bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    id_t = dict(vectors.dtypes).get(id_col, "bigint")
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, __cos double"
+    CHUNK = 2048  # bounds the pair matrix at CHUNK^2 doubles per step
+
+    def _score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = members of this bucket, right = probes targeting it
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
+        if left.empty or right.empty:
+            return empty
+
+        def prep(pdf, id_c, v_c):
+            ok = pdf[v_c].notna().values
+            ids = pdf[id_c].values[ok]
+            X = np.vstack(pdf[v_c].values[ok]).astype(np.float64)
+            # norm via the same left-fold order as `_norm`
+            nsq = np.zeros(len(X))
+            for i in range(X.shape[1]):
+                nsq = nsq + X[:, i] * X[:, i]
+            nz = nsq > 0.0
+            return ids[nz], X[nz], np.sqrt(nsq[nz])
+
+        m_ids, M, m_n = prep(left, "__id", "__v")
+        q_ids, Q, q_n = prep(right, "__qid", "__qv")
+        if not len(m_ids) or not len(q_ids):
+            return empty
+        dim = M.shape[1]
+        outs = []
+        for qs in range(0, len(q_ids), CHUNK):
+            Qc, qn_c, qid_c = Q[qs:qs + CHUNK], q_n[qs:qs + CHUNK], q_ids[qs:qs + CHUNK]
+            for ms in range(0, len(m_ids), CHUNK):
+                Mc, mn_c, mid_c = M[ms:ms + CHUNK], m_n[ms:ms + CHUNK], m_ids[ms:ms + CHUNK]
+                # dot as a left-associated accumulation over dimensions:
+                # acc[q, m] += Qc[q, i] * Mc[m, i], i ascending — the exact
+                # fold order of `_dot`, vectorized across the pair matrix
+                acc = np.zeros((len(qid_c), len(mid_c)))
+                for i in range(dim):
+                    acc = acc + Qc[:, i, None] * Mc[None, :, i]
+                cos = acc / (qn_c[:, None] * mn_c[None, :])
+                qi, mi = np.nonzero(qid_c[:, None] != mid_c[None, :])
+                outs.append(pd.DataFrame({
+                    "query_id": qid_c[qi],
+                    "neighbor_id": mid_c[mi],
+                    "__cos": cos[qi, mi],
+                }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    scored = (
+        members.groupby("__bucket")
+        .cogroup(probes.groupby("__bucket"))
+        .applyInPandas(_score_bucket, out_schema)
+        .select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"))
     )
-    return _score_and_rank(pairs, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _d2_mul_expr(vec_col: str, centroid: list[float]):
@@ -537,7 +652,8 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
-    if vectors.first() is None:
+    frow = vectors.select(vec_col).first()
+    if frow is None:
         id_type = dict(vectors.dtypes).get(id_col, "bigint")
         return vectors.sparkSession.createDataFrame(
             [], schema=f"{id_col} {id_type}, cluster int, keep boolean"
@@ -559,22 +675,51 @@ def semantic_dedup(
             nearest["d2"].alias("__dc"),
         )
     )
-    a = assigned.select(
-        F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), F.col("__cl").alias("__cla"),
-        F.col("__dc").alias("__dca"),
+    # candidate pairs via per-cluster numpy scoring (grouped applyInPandas,
+    # chunked pair matrices): each vector ships once per cluster, not once
+    # per pair, and the dot is the same left-associated float64 fold as
+    # `_dot` (bit-parity held by the strict gate). The UDF emits only
+    # near-threshold pairs (raw cosine >= threshold - 1e-6, strictly wider
+    # than round(·,6) >= threshold since |round(x,6)-x| <= 5e-7), and Spark
+    # applies the EXACT HALF_UP round + threshold on that small set — numpy
+    # never needs to reproduce java.math rounding.
+    id_t = dict(vectors.dtypes).get(id_col, "bigint")
+    pair_schema = f"__ida {id_t}, __idb {id_t}, __cos double, __dca double, __dcb double"
+    margin = float(threshold) - 1e-6
+    CHUNK = 2048
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["__ida", "__idb", "__cos", "__dca", "__dcb"]
+        empty = pd.DataFrame({c: [] for c in cols})
+        ok = pdf["__v"].notna().values & (pdf["__n"].values > 0.0)
+        if ok.sum() < 2:
+            return empty
+        ids = pdf["__id"].values[ok]
+        X = np.vstack(pdf["__v"].values[ok]).astype(np.float64)
+        nrm = pdf["__n"].values[ok].astype(np.float64)
+        dc = pdf["__dc"].values[ok].astype(np.float64)
+        dim, outs = X.shape[1], []
+        for ai in range(0, len(ids), CHUNK):
+            A, an, aid, adc = (z[ai:ai + CHUNK] for z in (X, nrm, ids, dc))
+            for bi in range(0, len(ids), CHUNK):
+                B, bn, bid, bdc = (z[bi:bi + CHUNK] for z in (X, nrm, ids, dc))
+                acc = np.zeros((len(aid), len(bid)))
+                for i in range(dim):
+                    acc = acc + A[:, i, None] * B[None, :, i]
+                cos = acc / (an[:, None] * bn[None, :])
+                ri, ci = np.nonzero((aid[:, None] < bid[None, :]) & (cos >= margin))
+                if len(ri):
+                    outs.append(pd.DataFrame({
+                        "__ida": aid[ri], "__idb": bid[ci], "__cos": cos[ri, ci],
+                        "__dca": adc[ri], "__dcb": bdc[ci],
+                    }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    pairs = (
+        assigned.groupBy("__cl")
+        .applyInPandas(_cluster_pairs, pair_schema)
+        .filter(F.round(F.col("__cos"), 6) >= float(threshold))
     )
-    b = assigned.select(
-        F.col("__id").alias("__idb"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), F.col("__cl").alias("__clb"),
-        F.col("__dc").alias("__dcb"),
-    )
-    cos = _dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
-    )
-    pairs = a.join(
-        b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb"))
-    ).filter(F.round(cos, 6) >= float(threshold))
     if keep == "min_id":
         loser = F.col("__idb")
     else:
