@@ -372,6 +372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), k=KNN_GRAPH_K, n_centroids=KNN_GRAPH_CENTROIDS,
         nprobe=KNN_GRAPH_NPROBE,
     )
+    # two-table large-large ANN join: every 5th vector as the query table
+    # against the full corpus (local-only oracle row; knn_graph holds the
+    # family's driver slot)
+    q["ann_join"] = lambda s, d: similarity.ann_join(
+        _embs(s, d), _embs(s, d).filter(F.col("vec_id") % 5 == 0),
+        k=KNN_GRAPH_K, n_centroids=KNN_GRAPH_CENTROIDS, nprobe=KNN_GRAPH_NPROBE,
+    )
     # SemDeDup-style semantic dedup: k-means clusters + greedy in-cluster
     # prune; keep flag as INT for a type-stable hash gate
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
@@ -472,10 +479,13 @@ KNN_GRAPH_NPROBE = 2
 KNN_GRAPH_K = 5
 
 
-def _knn_graph_oracle() -> str:
-    """DuckDB mirror of the IVF-bucketed kNN graph: same inlined centroids
-    (bit-identical trainer replication), same argmin assignment, same
-    nprobe-nearest probe list, same 6dp cosine + neighbor_id tie ranking."""
+def _knn_graph_oracle(query_filter: str = "", exclude_self: bool = True) -> str:
+    """DuckDB mirror of the IVF-bucketed kNN graph / two-table ANN join:
+    same inlined centroids (bit-identical trainer replication), same
+    argmin assignment, same nprobe-nearest probe list, same 6dp cosine +
+    neighbor_id tie ranking. ``query_filter`` restricts the probe side
+    (the ann_join gate); ``exclude_self=False`` keeps identical-id pairs
+    (two-table semantics)."""
     cents = _semantic_centroids(KNN_GRAPH_CENTROIDS)
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
@@ -484,6 +494,7 @@ def _knn_graph_oracle() -> str:
         "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
         "for i in generate_series(1, len(e.embedding))])"
     )
+    self_cond = " AND m.vec_id <> p.vec_id" if exclude_self else ""
     return f"""
 WITH cents(cid, c) AS (VALUES
     {vals}
@@ -498,7 +509,7 @@ prb AS (
   FROM d
 ),
 asg AS (SELECT vec_id, cid FROM prb WHERE pr = 1),
-probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {KNN_GRAPH_NPROBE}),
+probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {KNN_GRAPH_NPROBE} {query_filter}),
 nrm AS (
   SELECT vec_id, sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
   FROM embeddings
@@ -508,7 +519,7 @@ scored AS (
          round({_DOT.format(a='qq', b='mm')}
                / nullif(nq.nv * nm.nv, 0.0), 6) AS cosine
   FROM probes p
-  JOIN asg m ON m.cid = p.cid AND m.vec_id <> p.vec_id
+  JOIN asg m ON m.cid = p.cid{self_cond}
   JOIN embeddings qq ON qq.vec_id = p.vec_id
   JOIN embeddings mm ON mm.vec_id = m.vec_id
   JOIN nrm nq ON nq.vec_id = p.vec_id
@@ -1870,6 +1881,9 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["semantic_dedup"] = _semantic_dedup_oracle()
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
     o["knn_graph"] = _knn_graph_oracle()
+    o["ann_join"] = _knn_graph_oracle(
+        query_filter="AND vec_id % 5 = 0", exclude_self=False
+    )
     o["profile_lineitem"] = " UNION ALL ".join(
         f"""
 SELECT '{c}' AS "column", count(*)::BIGINT AS n,

@@ -725,6 +725,39 @@ def test_knn_graph_no_cartesian_and_empty(spark, vectors):
     assert similarity.knn_graph(empty).count() == 0
 
 
+def test_ann_join_full_probe_matches_brute_force(vectors):
+    """Two-table ANN join, full probe: each query's ranked neighbors equal
+    brute force over the whole corpus; exclude_self=False keeps the
+    identical-id match at rank 1 (cosine 1.0)."""
+    queries = vectors.filter(F.col("vec_id") % 2 == 0)
+    got = {}
+    for r in similarity.ann_join(
+        vectors, queries, k=3, n_centroids=4, nprobe=4
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    pdf = vectors.toPandas().set_index("vec_id")["embedding"]
+    vs = {i: np.asarray(list(v), dtype=np.float64) for i, v in pdf.items()}
+    for q in [i for i in vs if i % 2 == 0]:
+        qv = vs[q]
+        sims = {
+            i: round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6)
+            for i, v in vs.items()
+        }
+        expect = sorted(sims, key=lambda i: (-sims[i], i))[:3]
+        assert [n for _, n, _ in sorted(got[q])] == expect, f"query {q}"
+        assert sorted(got[q])[0][1] == q  # self at rank 1
+
+
+def test_ann_join_empty_and_exclude_self(spark, vectors):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.ann_join(vectors, empty).count() == 0
+    assert similarity.ann_join(empty, vectors).count() == 0
+    out = similarity.ann_join(
+        vectors, vectors, k=2, n_centroids=2, nprobe=2, exclude_self=True
+    ).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
 def test_knn_graph_zero_norm_dropped(spark):
     rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -526,6 +526,22 @@ def knn_graph(
         F.explode("__probes").alias("__bucket"),
     )
     id_t = dict(vectors.dtypes).get(id_col, "bigint")
+    return _cogrouped_bucket_topk(members, probes, k, id_t, exclude_self=True)
+
+
+def _cogrouped_bucket_topk(
+    members: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_t: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared bucket-cogrouped scoring/ranking tail for the large-large
+    ANN shapes (`knn_graph`, `ann_join`). members: (__id, __v, __bucket);
+    probes: (__qid, __qv, __bucket) — both sides shuffle once on the
+    bucket id, numpy scores per-bucket chunked pair matrices with the
+    exact `_dot` fold order, and the final per-query top-k ranks on the
+    6dp-rounded cosine with neighbor_id tie-breaks."""
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, __cos double"
     CHUNK = 2048  # bounds the pair matrix at CHUNK^2 doubles per step
 
@@ -563,7 +579,11 @@ def knn_graph(
                 for i in range(dim):
                     acc = acc + Qc[:, i, None] * Mc[None, :, i]
                 cos = acc / (qn_c[:, None] * mn_c[None, :])
-                qi, mi = np.nonzero(qid_c[:, None] != mid_c[None, :])
+                if exclude_self:
+                    qi, mi = np.nonzero(qid_c[:, None] != mid_c[None, :])
+                else:
+                    grid = np.indices((len(qid_c), len(mid_c)))
+                    qi, mi = grid[0].ravel(), grid[1].ravel()
                 outs.append(pd.DataFrame({
                     "query_id": qid_c[qi],
                     "neighbor_id": mid_c[mi],
@@ -581,6 +601,72 @@ def knn_graph(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    sample_mod: int | None = None,
+    train_distributed: bool = False,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-table approximate top-k join where BOTH sides are large: each
+    query row finds its k nearest corpus rows by cosine. This is the
+    missing scale shape between the broadcast-query `*_topk` family
+    (queries must fit in a broadcast) and `knn_graph` (corpus vs itself):
+    e.g. joining a billion-query table against a billion-document corpus
+    for retrieval-augmented dataset construction.
+
+    Same IVF machinery as `knn_graph`: centroids train on a bounded
+    corpus sample (or fully distributed); the corpus buckets by nearest
+    centroid inside its scan, queries explode to their ``nprobe`` nearest
+    buckets inside theirs, and a bucket-cogrouped numpy scorer ranks —
+    each side shuffles ONCE on the bucket id, nothing broadcasts, and
+    per-bucket chunked matrices bound memory. Candidate volume is
+    |Q|·nprobe·(|C|/n_centroids). ``exclude_self=True`` restores the
+    self-exclusion rule when both inputs share an id namespace.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank <= k —
+    approximate by candidate coverage; scores are exact 6dp cosines.
+    """
+    if corpus.select(vec_col).first() is None or queries.select(vec_col).first() is None:
+        return _empty_topk(corpus, id_col)
+    if centroids is None and train_distributed:
+        centroids = train_ivf_centroids_distributed(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    elif centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+            sample_mod=sample_mod,
+        )
+    nprobe = min(int(nprobe), len(centroids))
+    # single-consumer scans on both sides: no materialize needed — each
+    # assignment expression runs inside its own source scan exactly once
+    members = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ).alias("__bucket"),
+    )
+    id_t = dict(corpus.dtypes).get(id_col, "bigint")
+    return _cogrouped_bucket_topk(members, probes, k, id_t, exclude_self=exclude_self)
 
 
 def _d2_mul_expr(vec_col: str, centroid: list[float]):
