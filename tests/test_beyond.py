@@ -748,6 +748,21 @@ def test_ann_join_full_probe_matches_brute_force(vectors):
         assert sorted(got[q])[0][1] == q  # self at rank 1
 
 
+def test_knn_graph_auto_bucket_sizing(vectors):
+    """n_centroids=None derives ceil(N / bucket_target) buckets — the
+    ∝N sizing that keeps per-bucket pair work constant at scale."""
+    out = similarity.knn_graph(
+        vectors, k=2, n_centroids=None, bucket_target=16, nprobe=2
+    )
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 2 for r in rows)
+    # 22 vectors / target 16 -> 2 buckets; results still deterministic
+    again = similarity.knn_graph(
+        vectors, k=2, n_centroids=None, bucket_target=16, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_ann_join_empty_and_exclude_self(spark, vectors):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.ann_join(vectors, empty).count() == 0

@@ -63,3 +63,30 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted: every parquet file covers a disjoint range of
+    the layout column (parquet min/max stats then skip files for range
+    predicates), and rows are sorted within each file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(10_000).selectExpr(
+        "id % 500 as time_id", "id as unit_id", "cast(id as double) as value"
+    )
+    path = str(tmp_path / "ranged")
+    sources.write_range_sorted(df, path, "time_id", 8, secondary_sort=["unit_id"])
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["time_id"])["time_id"].to_pylist()
+        if t:
+            assert t == sorted(t)  # sorted within file
+            spans.append((min(t), max(t)))
+    assert len(spans) >= 4  # really range-partitioned, not one file
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint up to boundary duplicates
+    # full fidelity
+    assert spark.read.parquet(path).count() == 10_000

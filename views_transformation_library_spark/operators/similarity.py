@@ -447,10 +447,18 @@ def ivf_topk(
     return _score_and_rank(pairs, k)
 
 
+def _derived_n_centroids(df: DataFrame, bucket_target: int) -> int:
+    """n_centroids ∝ N (the SemDeDup sizing rule): one cheap count, then
+    ceil(N / bucket_target) buckets so the mean bucket size — and with it
+    per-bucket pair work — stays constant as the corpus grows."""
+    n = df.count()
+    return max(1, -(-n // int(bucket_target)))
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -458,6 +466,7 @@ def knn_graph(
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
     train_distributed: bool = False,
+    bucket_target: int = 256,
 ) -> DataFrame:
     """Corpus-vs-corpus approximate kNN graph: every vector is a query AND
     a candidate — the self-join top-k shape (global kNN graphs for
@@ -489,6 +498,10 @@ def knn_graph(
     frow = vectors.select(vec_col).first()
     if frow is None:
         return _empty_topk(vectors, id_col)
+    if centroids is None and n_centroids is None:
+        # n_centroids=None: size buckets to the corpus (∝ N) so per-bucket
+        # pair work stays bounded as the table grows
+        n_centroids = _derived_n_centroids(vectors, bucket_target)
     if centroids is None and train_distributed:
         centroids = train_ivf_centroids_distributed(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
@@ -607,7 +620,7 @@ def ann_join(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -616,6 +629,7 @@ def ann_join(
     sample_mod: int | None = None,
     train_distributed: bool = False,
     exclude_self: bool = False,
+    bucket_target: int = 256,
 ) -> DataFrame:
     """Two-table approximate top-k join where BOTH sides are large: each
     query row finds its k nearest corpus rows by cosine. This is the
@@ -638,6 +652,8 @@ def ann_join(
     """
     if corpus.select(vec_col).first() is None or queries.select(vec_col).first() is None:
         return _empty_topk(corpus, id_col)
+    if centroids is None and n_centroids is None:
+        n_centroids = _derived_n_centroids(corpus, bucket_target)
     if centroids is None and train_distributed:
         centroids = train_ivf_centroids_distributed(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed

@@ -11,4 +11,5 @@ from .tables import (  # noqa: F401
     read_tables,
     write_bucketed,
     write_parquet,
+    write_range_sorted,
 )

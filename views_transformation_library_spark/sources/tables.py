@@ -123,6 +123,36 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_partitions: int,
+    secondary_sort: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-layout parquet sink: `repartitionByRange` on ``range_col``
+    (sampled disjoint boundaries) + `sortWithinPartitions`, so every
+    output file covers a DISJOINT range of the column (boundary values
+    excepted) and rows are ordered inside each file.
+
+    Why it matters at 100 TB: parquet keeps min/max statistics per file
+    and row group; with this layout a predicate like
+    ``time_id BETWEEN a AND b`` skips every non-overlapping file at scan
+    planning time — the temporal analogue of `write_bucketed`'s join
+    co-location. Directory partitioning (`write_parquet(partition_by=...)`)
+    prunes at directory granularity but explodes small files for
+    high-cardinality keys; range layout keeps file count fixed
+    (`n_partitions`) at any cardinality. ``secondary_sort`` orders within
+    the range (e.g. unit_id) so downstream window chains read
+    nearly-clustered data."""
+    from pyspark.sql import functions as F
+
+    out = df.repartitionByRange(int(n_partitions), F.col(range_col))
+    out = out.sortWithinPartitions(range_col, *(secondary_sort or []))
+    out.write.mode(mode).parquet(path)
+
+
 def read_stream_parquet(
     spark: SparkSession, path: str, schema: StructType | str, **options
 ) -> DataFrame:
