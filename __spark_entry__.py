@@ -304,6 +304,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_holdout"] = lambda s, d: sampling.split_column(
         _docs(s, d), holdout_fraction=0.1
     ).select("doc_id", "split")
+    # A-res weighted sampling: weight = doc length + 1 (always positive)
+    q["weighted_sample"] = lambda s, d: sampling.weighted_sample(
+        _docs(s, d).withColumn(
+            "wgt", (F.length("text") + F.lit(1)).cast("double")
+        ),
+        n=50, weight_col="wgt",
+    ).select("doc_id", "sample_key", "sample_rank")
     # Gopher-style repetition rules; the synthetic docs have no newlines, so
     # the gate splits "lines" on the literal token ' line ' (occurs often) —
     # the \n default is covered by pytest fixtures with planted dup lines
@@ -1779,6 +1786,20 @@ SELECT doc_id,
                  < {int(0.1 * _B)}
             THEN 'holdout' ELSE 'train' END AS split
 FROM documents
+"""
+    o["weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         round(-ln((CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) + 1)::DOUBLE
+                   / {float(_B)!r})
+               / (length(text) + 1)::DOUBLE, 6) + 0.0 AS sample_key
+  FROM documents
+  WHERE (length(text) + 1)::DOUBLE > 0
+)
+SELECT doc_id, sample_key,
+       CAST(row_number() OVER (ORDER BY sample_key, doc_id) AS INT) AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= 50
 """
     o["repetition_stats"] = r"""
 WITH lines AS (

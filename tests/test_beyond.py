@@ -464,6 +464,39 @@ def test_split_column_stable_under_growth(spark):
     assert set(lab_full.values()) == {"train", "holdout"}
 
 
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from views_transformation_library_spark import plans
+    from views_transformation_library_spark.operators import sampling
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        # one giant-weight row; everything else weight 1
+        F.when(F.col("id") == 77, 1e9).otherwise(1.0).alias("w"),
+    )
+    out = sampling.weighted_sample(df, n=20, weight_col="w")
+    rows = out.collect()
+    assert len(rows) == 20
+    got = {r["doc_id"]: r["sample_rank"] for r in rows}
+    assert got.get(77) == 1  # w=1e9 key ~0: always wins
+    # deterministic under repartitioning
+    again = sampling.weighted_sample(df.repartition(7), n=20, weight_col="w").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # distributed top-n, not a global sort
+    assert "TakeOrderedAndProject" in plans.physical_plan(out)
+
+
+def test_weighted_sample_edge_cases(spark):
+    from views_transformation_library_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, None), (4, -1.0)], "doc_id long, w double"
+    )
+    rows = sampling.weighted_sample(df, n=10, weight_col="w").collect()
+    # non-positive / NULL weights are excluded; n > survivors returns all
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["sample_rank"] == 1
+
+
 def test_corpus_mix(spark):
     rows = [
         (1, "a b c", "s1", "en"),

@@ -55,6 +55,48 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Efraimidis &
+    Spirakis (2006) A-res: each row draws u = hash-uniform(0,1] from
+    (id, seed) and scores key = -ln(u)/w; the n SMALLEST keys win, which
+    samples row i with probability ∝ w_i. The training-data use is
+    quality- or importance-weighted corpus selection (weight = quality
+    score, token count, domain boost) with the same reproducibility
+    contract as the other samplers: a row's fate depends only on
+    (id, seed, weight), never on partitioning or cluster size.
+
+    Scale shape: the key is a pure column expression in the scan and the
+    selection is `orderBy(key).limit(n)` — a distributed
+    TakeOrderedAndProject (per-partition top-n + driver merge, pinned in
+    tests), never a global sort. Rows with NULL or non-positive weight
+    are excluded (their inclusion probability is 0). Keys are 6dp-rounded
+    before ranking with id tie-breaks (engine-parity rule; ln differs
+    from DuckDB only in the last ulp).
+
+    Output: the sampled rows with ``sample_key`` and ``sample_rank``
+    (1..n by ascending key).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(-F.log(u) / w, 6) + F.lit(0.0)
+    keyed = df.filter(w > 0).withColumn("sample_key", key)
+    top = keyed.orderBy(F.col("sample_key").asc(), F.col(id_col)).limit(int(n))
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("sample_key").asc(), F.col(id_col))
+    return top.withColumn(
+        "sample_rank", F.row_number().over(rank_w)
+    )
+
+
 def split_column(
     df: DataFrame,
     holdout_fraction: float = 0.01,
