@@ -19,7 +19,9 @@ from .operators import (
     fourier,
     missing,
     multimodal,
+    profiling,
     relational,
+    retrieval,
     sampling,
     scalar,
     similarity,
@@ -98,6 +100,17 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "repetition_stats": text.repetition_stats,
     "stratified_sample": sampling.stratified_sample,
     "split_column": sampling.split_column,
+    "weighted_sample": sampling.weighted_sample,
+    "mask_pii": text.mask_pii,
+    "gopher_filter": text.gopher_filter,
+    "semantic_dedup": similarity.semantic_dedup,
+    "pq_topk": similarity.pq_topk,
+    "knn_graph": similarity.knn_graph,
+    "ann_join": similarity.ann_join,
+    "bm25_topk": retrieval.bm25_topk,
+    "term_frequencies": retrieval.term_frequencies,
+    "profile": profiling.profile,
+    "profile_approx": profiling.profile_approx,
     "corpus_mix": text.corpus_mix,
     "vocab_top_terms": text.vocab_top_terms,
     "parse_json_fields": relational.parse_json_fields,
