@@ -485,6 +485,22 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert "TakeOrderedAndProject" in plans.physical_plan(out)
 
 
+def test_weighted_sample_prefilter_path_identical(spark):
+    """The large-n quantile prefilter must return byte-identical results
+    to the direct path (it only drops rows that cannot be in the top n)."""
+    from views_transformation_library_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    direct = sampling.weighted_sample(df, n=100, weight_col="w",
+                                      prefilter_above=10**9).collect()
+    prefiltered = sampling.weighted_sample(df, n=100, weight_col="w",
+                                           prefilter_above=1).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, prefiltered))
+    assert len(direct) == 100
+
+
 def test_weighted_sample_edge_cases(spark):
     from views_transformation_library_spark.operators import sampling
 

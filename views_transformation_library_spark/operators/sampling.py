@@ -61,6 +61,7 @@ def weighted_sample(
     weight_col: str,
     id_col: str = "doc_id",
     seed: int = 42,
+    prefilter_above: int = 100_000,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement — Efraimidis &
     Spirakis (2006) A-res: each row draws u = hash-uniform(0,1] from
@@ -74,10 +75,17 @@ def weighted_sample(
     Scale shape: the key is a pure column expression in the scan and the
     selection is `orderBy(key).limit(n)` — a distributed
     TakeOrderedAndProject (per-partition top-n + driver merge, pinned in
-    tests), never a global sort. Rows with NULL or non-positive weight
-    are excluded (their inclusion probability is 0). Keys are 6dp-rounded
-    before ranking with id tie-breaks (engine-parity rule; ln differs
-    from DuckDB only in the last ulp).
+    tests), never a global sort. TakeOrdered's driver merge holds up to
+    n rows per partition, so for corpus-scale samples
+    (n >= ``prefilter_above``) a pre-filter pass bounds it first: an
+    approximate quantile of the key at ~3n/N keeps ≈3n survivor rows and
+    only THOSE enter the exact top-n (verified sufficient, with an
+    automatic fallback to the direct path if the quantile undershot).
+    Rows with NULL or non-positive weight are excluded (their inclusion
+    probability is 0). Keys are 6dp-rounded before ranking with id
+    tie-breaks (engine-parity rule; ln differs from DuckDB only in the
+    last ulp); the prefilter never changes results — it only drops rows
+    that cannot be in the top n.
 
     Output: the sampled rows with ``sample_key`` and ``sample_rank``
     (1..n by ascending key).
@@ -88,13 +96,38 @@ def weighted_sample(
     )
     key = F.round(-F.log(u) / w, 6) + F.lit(0.0)
     keyed = df.filter(w > 0).withColumn("sample_key", key)
-    top = keyed.orderBy(F.col("sample_key").asc(), F.col(id_col)).limit(int(n))
+    sel = _bounded_top(keyed, int(n), prefilter_above)
     from pyspark.sql import Window
 
     rank_w = Window.orderBy(F.col("sample_key").asc(), F.col(id_col))
+    top = sel.orderBy(F.col("sample_key").asc(), F.col(id_col)).limit(int(n))
     return top.withColumn(
         "sample_rank", F.row_number().over(rank_w)
     )
+
+
+def _bounded_top(keyed: DataFrame, n: int, prefilter_above: int) -> DataFrame:
+    """Bound the exact top-n input for large n: approx-quantile cut on
+    ``sample_key`` keeps ~3n rows (exactness preserved — only rows above
+    the cut, which cannot be in the top n once >= n rows sit at or below
+    it, are dropped); falls back to the full frame when the sampled
+    quantile undershot or the table is small."""
+    if n < prefilter_above:
+        return keyed
+    total = keyed.count()
+    if total <= 3 * n:
+        return keyed
+    frac = min(1.0, 3.0 * n / total)
+    cut = keyed.stat.approxQuantile("sample_key", [frac], 0.01)
+    if not cut:
+        return keyed
+    survivors = keyed.filter(F.col("sample_key") <= cut[0])
+    # the cut is only a valid upper bound for the n-th key if at least n
+    # rows survive; approxQuantile guarantees that within its relative
+    # error, checked exactly here
+    if survivors.count() < n:
+        return keyed
+    return survivors
 
 
 def split_column(
