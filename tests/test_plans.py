@@ -113,6 +113,25 @@ def test_bm25_topk_is_takeordered(spark):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_ann_join_is_cogrouped_not_joined(spark):
+    """ann_join must plan as a bucket-cogrouped FlatMapCoGroupsInPandas —
+    never a pair-materializing join (no Cartesian/BNLJ; vector payloads
+    ship once per bucket side, not once per candidate pair)."""
+    import numpy as np
+
+    from views_transformation_library_spark.operators import similarity
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = similarity.ann_join(df, df.filter(F.col("vec_id") % 3 == 0),
+                              k=2, n_centroids=4, nprobe=2)
+    plan = plans.physical_plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_vocab_top_terms_is_takeordered(spark):
     """The top-n must be a distributed TakeOrdered (per-partition top-n,
     driver merge), never an unpartitioned window sort over the full vocab."""
