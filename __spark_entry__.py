@@ -524,7 +524,7 @@ nrm AS (
 scored AS (
   SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
          round({_DOT.format(a='qq', b='mm')}
-               / nullif(nq.nv * nm.nv, 0.0), 6) AS cosine
+               / nullif(nq.nv * nm.nv, 0.0), 6) + 0.0 AS cosine
   FROM probes p
   JOIN asg m ON m.cid = p.cid{self_cond}
   JOIN embeddings qq ON qq.vec_id = p.vec_id
@@ -860,12 +860,20 @@ def _ltm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MICE imputation (rows-only check: posterior sampling is stochastic;
-    the driver verifies shape/rowcount, pytest verifies genuine imputation,
-    convergence, and clipping bounds). Pure-numpy imputer — no fallback."""
+    """MICE imputation, deterministic gate variant: sample_posterior=False
+    makes the single draw a reproducible ridge fixpoint, so the driver can
+    hash-compare it against the inlined local golden
+    (tools/golden_oracles.mice_golden_sql — same estimator, same murmur3
+    shards, same sorted row order, computed without Spark). Stochastic
+    multiple-imputation draws stay pytest-attested (imputation, convergence,
+    clipping). Pure-numpy imputer — no fallback."""
     pn = _null_panel(spark, sf_dir)
     two = pn.withColumn("value2", F.col("value") * 2.0)
-    return missing.impute_mice(two, n_imputations=1, n_shards=8)[0]
+    return _r6(
+        missing.impute_mice(
+            two, n_imputations=1, n_shards=8, sample_posterior=False
+        )[0]
+    )
 
 
 def _null_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1938,7 +1946,7 @@ SELECT a, b, hamming FROM ham WHERE hamming <= 3
 scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
          round({_DOT.format(a='q', b='v')}
-               / nullif(nq.nv * nv2.nv, 0.0), 6) AS cosine
+               / nullif(nq.nv * nv2.nv, 0.0), 6) + 0.0 AS cosine
   FROM embeddings q
   JOIN embeddings v ON v.vec_id != q.vec_id
   JOIN nrm nq ON nq.vec_id = q.vec_id
@@ -1955,7 +1963,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 scored AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
          round({_DOT.format(a='a', b='b')}
-               / nullif(na.nv * nb.nv, 0.0), 6) AS cosine
+               / nullif(na.nv * nb.nv, 0.0), 6) + 0.0 AS cosine
   FROM embeddings a
   JOIN embeddings b ON a.vec_id < b.vec_id
   JOIN nrm na ON na.vec_id = a.vec_id
@@ -2074,4 +2082,15 @@ ts AS (
 )
 SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
 """
+
+    # --- inlined-golden oracles for the non-SQL-expressible gates: the
+    # expectations are computed OUTSIDE Spark (DuckDB panel + driver numpy,
+    # tools/golden_oracles.py) on the oracle SF at call time and inlined as
+    # VALUES — the tree-lag mechanism, extended to fourier/MICE. The round
+    # + (-0.0 -> +0.0) canonicalization runs in DuckDB, mirroring _r6.
+    from tools import golden_oracles as G
+
+    o["fourier_lag"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 2, GRID_STRIDE)
+    o["fourier_lag_3d"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 3, GRID_STRIDE)
+    o["impute_mice"] = G.mice_golden_sql(_ORACLE_SF_DIR, n_shards=8)
     return o

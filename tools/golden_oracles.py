@@ -1,0 +1,308 @@
+"""Driver-attestable golden oracles for the non-SQL-expressible gates.
+
+`fourier_lag` and `impute_mice` cannot be expressed in ANSI SQL, so their
+driver CORRECTNESS rows were `no_oracle` through r3.  This module computes
+their expected outputs OUTSIDE Spark — DuckDB builds the panel (the same
+`panel_sql()` text every SQL oracle uses), plain numpy does the math on the
+driver — so `oracle_sql()` can inline the expectations as a SQL VALUES table
+(the mechanism the tree-lag oracles pioneered) and the driver gate can
+hash-compare the Spark result against them byte-exactly.
+
+What each golden attests:
+
+- **fourier_lag**: the Spark orchestration (global embedding, per-time-slice
+  `applyInPandas` fan-out, long-format repack) reproduces a local
+  single-process solve of every slice.  The slice solvers here mirror the
+  operator's op-for-op (required for byte-parity through the 6dp round —
+  same pocketfft, same machine), and are *independently* validated against
+  the committed reference goldens (`tests/test_fourier.py::REFERENCE_GOLDENS`,
+  generated from /root/reference's own get_fourier_lag by
+  tools/gen_fourier_goldens.py) in tests/test_golden_oracles.py — so the
+  math is pinned to the reference without trusting the Spark path.
+- **impute_mice**: the distributed plumbing — murmur3 hash-sharding,
+  per-shard `applyInPandas` imputation, observed-bounds clipping — matches a
+  local single-process run of the same estimator on identically-constructed
+  shards.  The estimator itself (`_iterative_ridge_impute`) is shared: no
+  independent implementation exists without sklearn (absent from this
+  image); its statistical behavior is pytest-attested separately
+  (convergence, clipping, genuine imputation).  The gate variant runs
+  `sample_posterior=False` so the fixpoint is deterministic.
+
+Spark-compatible Murmur3 (`spark_hash_long`) is re-derived from the public
+Murmur3_x86_32 algorithm (Appleby, public domain; the same 4-byte-block
+scheme Spark's `hash()` applies to LongType with seed 42) and pinned against
+`F.hash` in tests/test_golden_oracles.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+SMALL = 1e-3  # zero-frequency clamp (reference fourier_lag.py:93-96)
+LDIVISOR = 4  # 3-D mode reduction (reference fourier_lag.py:178-180)
+
+
+# ---------------------------------------------------------------------------
+# Spark-compatible Murmur3_x86_32 for LongType (seed 42)
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def spark_hash_long(value: int, seed: int = 42) -> int:
+    """`F.hash()` of a LongType column: Murmur3_x86_32 over the 8-byte value
+    as two little-endian 4-byte blocks (low word first), signed int32 out."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mix_h1(seed & 0xFFFFFFFF, _mix_k1(v & 0xFFFFFFFF))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & 0xFFFFFFFF))
+    h1 = _fmix(h1, 8)
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+def spark_pmod_hash_long(value: int, n: int, seed: int = 42) -> int:
+    """`pmod(hash(col), n)` for a LongType col — the operator's shard key."""
+    return spark_hash_long(value, seed) % n  # Python % is already positive
+
+
+# ---------------------------------------------------------------------------
+# panel via DuckDB (same SQL text as every other oracle)
+
+
+def _duck_events(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+def duck_panel(sf_dir: str):
+    """Densified (time_id, unit_id, value) panel as a pandas frame, built by
+    DuckDB with the package's own `panel_sql()` text (decimal-exact sums,
+    0.0 fill) — byte-identical to what the Spark gate queries consume."""
+    from views_transformation_library_spark import panel as P
+
+    con = _duck_events(sf_dir)
+    return con.execute(
+        "WITH " + P.panel_sql().lstrip()
+        + " SELECT time_id, unit_id, value FROM panel ORDER BY time_id, unit_id"
+    ).df()
+
+
+def duck_null_panel(sf_dir: str):
+    """The fills' null-holed panel (densify with NULL, not 0.0)."""
+    con = _duck_events(sf_dir)
+    return con.execute(
+        """
+WITH
+panel_agg AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS time_id,
+         user_id AS unit_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.time_id, g.unit_id, a.value
+FROM (SELECT t.time_id, u.unit_id
+      FROM (SELECT DISTINCT time_id FROM panel_agg) t
+      CROSS JOIN (SELECT DISTINCT unit_id FROM panel_agg) u) g
+LEFT JOIN panel_agg a USING (time_id, unit_id)
+ORDER BY g.time_id, g.unit_id
+"""
+    ).df()
+
+
+# ---------------------------------------------------------------------------
+# fourier_lag golden: local single-process solve of every time slice
+
+
+def _embed(lons: np.ndarray, lats: np.ndarray):
+    """Centre cells in the smallest 2^p square covering the extent —
+    integer-exact re-derivation of the reference embedding
+    (utilities.py:145-216); must agree with the operator's
+    `spatial_grid.embed_coords` (pinned in tests/test_golden_oracles.py)."""
+    lons = np.asarray(lons) - np.asarray(lons).min()
+    lats = np.asarray(lats) - np.asarray(lats).min()
+    maxsize = max(int(lons.max()), int(lats.max()), 1)
+    ncells = 2 ** (1 + int(math.log2(maxsize)))
+    return (
+        lons + int((ncells - lons.max()) / 2),
+        lats + int((ncells - lats.max()) / 2),
+        ncells,
+    )
+
+
+def _solve_2d(grid: np.ndarray) -> np.ndarray:
+    """Poisson solve on one slice — op-for-op the published 2-D algorithm
+    (reference fourier_lag.py:102-153): orthonormal FFT, 1/(j²+k²) with
+    zero frequencies clamped to 1e-3, inverse, zero-level subtract, rescale
+    to the input max."""
+    rhomax = grid.max()
+    rhohat = np.fft.fft2(grid, norm="ortho")
+    freqsj = 2.0 * np.pi * np.fft.fftfreq(rhohat.shape[0])
+    freqsk = 2.0 * np.pi * np.fft.fftfreq(rhohat.shape[1])
+    freqsj[np.abs(freqsj) < SMALL] = SMALL
+    freqsk[np.abs(freqsk) < SMALL] = SMALL
+    divisor = 1.0 / (freqsj[:, None] ** 2 + freqsk[None, :] ** 2)
+    phi = np.real(np.fft.ifft2(rhohat * divisor, norm="ortho"))
+    phi -= phi.min()
+    return phi * rhomax / max(phi.max(), 1.0)
+
+
+def _solve_3d(grid: np.ndarray) -> np.ndarray:
+    """Midplane-of-cube 3-D solve (reference fft_3D, fourier_lag.py:158-262):
+    modes/LDIVISOR in the extra dimension, output is the midplane."""
+    rangej = grid.shape[0]
+    rangel = max(int(rangej / LDIVISOR), 1)
+    icentrel = int(rangel / 2)
+    rhomax = grid.max()
+    rho = np.zeros((rangej, rangej, rangel))
+    rho[:, :, icentrel] = grid
+    rhohat = np.fft.fftn(rho, norm="ortho")
+    freqsj = 2.0 * np.pi * np.fft.fftfreq(rangej)
+    freqsl = 2.0 * np.pi * np.fft.fftfreq(rangel)
+    freqsj[np.abs(freqsj) < SMALL] = SMALL
+    freqsl[np.abs(freqsl) < SMALL] = SMALL
+    divisor = 1.0 / (
+        freqsj[:, None, None] ** 2
+        + freqsj[None, :, None] ** 2
+        + freqsl[None, None, :] ** 2
+    )
+    phi = np.real(np.fft.ifftn(rhohat * divisor, norm="ortho"))
+    phi -= phi.min()
+    return phi[:, :, icentrel] * rhomax / max(phi.max(), 1.0)
+
+
+def fourier_golden_rows(
+    panel, dimensionality: int = 2, stride: int = 720
+) -> list[tuple[int, int, float]]:
+    """Expected (time_id, unit_id, value) rows for fourier_lag on a
+    densified single-feature pandas panel: ONE global embedding from the
+    full unit set (the operator's invariant), one solve per time slice."""
+    solver = _solve_2d if dimensionality == 2 else _solve_3d
+    units = np.sort(panel["unit_id"].unique())
+    elons, elats, ncells = _embed(units % stride, units // stride)
+    lon_of = dict(zip(units.tolist(), elons.tolist()))
+    lat_of = dict(zip(units.tolist(), elats.tolist()))
+    rows: list[tuple[int, int, float]] = []
+    for t, slc in panel.groupby("time_id", sort=True):
+        u = slc["unit_id"].to_numpy()
+        lons = np.array([lon_of[x] for x in u])
+        lats = np.array([lat_of[x] for x in u])
+        grid = np.zeros((ncells, ncells))
+        grid[lons, lats] = np.nan_to_num(slc["value"].to_numpy(), nan=0.0)
+        solved = solver(grid)
+        vals = solved[lons, lats]
+        rows.extend(
+            (int(t), int(uu), float(vv)) for uu, vv in zip(u.tolist(), vals)
+        )
+    return rows
+
+
+def fourier_golden_sql(sf_dir: str, dimensionality: int = 2, stride: int = 720) -> str:
+    """Inline-VALUES oracle: 6dp round + (-0.0 → +0.0) canonicalization
+    happen in DuckDB so its HALF_UP round matches Spark's BigDecimal round
+    (never re-implement java.math rounding in Python)."""
+    rows = fourier_golden_rows(duck_panel(sf_dir), dimensionality, stride)
+    vals = ",\n".join(f"({t}, {u}, {v!r})" for t, u, v in rows)
+    return f"""
+WITH golden(time_id, unit_id, v) AS (VALUES
+{vals}
+)
+SELECT time_id::BIGINT AS time_id, unit_id::BIGINT AS unit_id,
+       round(v::DOUBLE, 6) + 0.0 AS value
+FROM golden
+"""
+
+
+# ---------------------------------------------------------------------------
+# impute_mice golden: local replication of the deterministic gate draw
+
+
+def mice_golden_rows(
+    null_panel,
+    n_shards: int = 8,
+    seed: int = 1,
+    max_iter: int = 10,
+) -> list[tuple[int, int, float, float]]:
+    """Expected (time_id, unit_id, value, value2) for the deterministic
+    (sample_posterior=False) single-draw gate: value2 = 2*value with the
+    same null holes, shards = pmod(hash(unit_id), n_shards), rows sorted by
+    (time_id, unit_id) within each shard (the operator sorts identically, so
+    BLAS reductions see the same row order), imputer run per shard, results
+    clipped to the GLOBAL observed per-column bounds."""
+    from views_transformation_library_spark.operators.missing import (
+        _iterative_ridge_impute,
+    )
+
+    pdf = null_panel.copy()
+    pdf["value2"] = pdf["value"] * 2.0
+    feats = ["value", "value2"]
+    lo = {c: pdf[c].min(skipna=True) for c in feats}
+    hi = {c: pdf[c].max(skipna=True) for c in feats}
+    pdf["__shard"] = [
+        spark_pmod_hash_long(int(u), n_shards) for u in pdf["unit_id"]
+    ]
+    out: list[tuple[int, int, float, float]] = []
+    for sh, part in pdf.groupby("__shard", sort=True):
+        part = part.sort_values(["time_id", "unit_id"], ignore_index=True)
+        shard_seed = (seed * 100_003 + int(sh)) % (2**31 - 1)
+        vals = _iterative_ridge_impute(
+            part[feats].to_numpy(dtype=np.float64, na_value=np.nan),
+            seed=shard_seed,
+            max_iter=max_iter,
+            sample_posterior=False,
+        )
+        res = part.copy()
+        res[feats] = vals
+        for c in feats:
+            if lo[c] is not None and not np.isnan(lo[c]):
+                res[c] = res[c].clip(lower=lo[c], upper=hi[c])
+        out.extend(
+            (int(r.time_id), int(r.unit_id), float(r.value), float(r.value2))
+            for r in res.itertuples()
+        )
+    return out
+
+
+def mice_golden_sql(sf_dir: str, n_shards: int = 8) -> str:
+    rows = mice_golden_rows(duck_null_panel(sf_dir), n_shards=n_shards)
+    vals = ",\n".join(
+        f"({t}, {u}, {v1!r}, {v2!r})" for t, u, v1, v2 in rows
+    )
+    return f"""
+WITH golden(time_id, unit_id, v1, v2) AS (VALUES
+{vals}
+)
+SELECT time_id::BIGINT AS time_id, unit_id::BIGINT AS unit_id,
+       round(v1::DOUBLE, 6) + 0.0 AS value,
+       round(v2::DOUBLE, 6) + 0.0 AS value2
+FROM golden
+"""

@@ -299,8 +299,16 @@ def impute_mice(
     hi = {c: bounds[f"__max_{c}"] for c in feats}
     schema = df.schema
 
+    key_cols = [c for c in df.columns if c not in feats]
+
     def make_fn(draw_seed: int):
         def impute_shard(key, pdf):
+            # sort on the key columns before imputing: BLAS reductions in the
+            # normal-equations solve are row-order sensitive in the last ulp,
+            # and intra-group row order after a shuffle is not guaranteed —
+            # sorting makes every draw bit-reproducible run to run (and lets
+            # the local golden oracle replicate the result byte-exactly)
+            pdf = pdf.sort_values(key_cols, ignore_index=True)
             shard_seed = (draw_seed * 100_003 + int(key[0])) % (2**31 - 1)
             vals = _iterative_ridge_impute(
                 pdf[feats].to_numpy(dtype=np.float64, na_value=np.nan),

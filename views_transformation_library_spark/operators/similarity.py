@@ -69,8 +69,11 @@ def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
     # and evaluate the whole dot expression twice per pair (measured 2x the
     # scoring cost at sf0.1). With positive norms the cosine is never NULL,
     # so no post-filter is needed; nullif stays as belt-and-braces.
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a true cosine in (-5e-7, 0)
+    # rounds to -0.0 in DuckDB but +0.0 via Spark's BigDecimal round; the
+    # driver hash is byte-exact, so both sides must agree)
     scored = pairs.filter((F.col("__qn") > 0) & (F.col("__vn") > 0)).select(
-        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+        "query_id", "neighbor_id", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -226,9 +229,10 @@ def embedding_neardup_pairs(
         .cogroup(right.groupby("rbi", "rbj"))
         .applyInPandas(_score_blocks, f"a {id_t}, b {id_t}, __cos double")
     )
-    return cand.select("a", "b", F.round("__cos", 6).alias("cosine")).filter(
-        F.col("cosine") >= t
-    )
+    # + 0.0: canonicalize -0.0 so the byte-exact gate hash matches DuckDB
+    return cand.select(
+        "a", "b", (F.round("__cos", 6) + F.lit(0.0)).alias("cosine")
+    ).filter(F.col("cosine") >= t)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -608,7 +612,11 @@ def _cogrouped_bucket_topk(
         members.groupby("__bucket")
         .cogroup(probes.groupby("__bucket"))
         .applyInPandas(_score_bucket, out_schema)
-        .select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"))
+        # + 0.0: canonicalize -0.0 (driver hash is byte-exact vs DuckDB)
+        .select(
+            "query_id", "neighbor_id",
+            (F.round("__cos", 6) + F.lit(0.0)).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1047,7 +1055,7 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(F.lit(1.0) - F.col("__dist") / F.lit(2.0), 6).alias("approx_cosine"),
+            (F.round(F.lit(1.0) - F.col("__dist") / F.lit(2.0), 6) + F.lit(0.0)).alias("approx_cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
