@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_revenue"] = lambda s, d: _rollup_query(s, d)
     q["topk_orders_per_customer"] = lambda s, d: _topk_query(s, d)
     q["asof_join_orders"] = lambda s, d: _asof_query(s, d)
+    # max-gap tolerance variant (merge_asof semantics; local-only row —
+    # asof_join_orders holds the family's driver slot)
+    q["asof_join_orders_tol"] = lambda s, d: _asof_query(s, d, ASOF_TOL_US)
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
 
     # --- flagship composition
@@ -675,9 +678,15 @@ def _topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+ASOF_TOL_US = 30 * 86_400 * 1_000_000  # 30-day max-gap variant
+
+
+def _asof_query(
+    spark: SparkSession, sf_dir: str, tolerance: int | None = None
+) -> DataFrame:
     """Each event joined to the customer's latest order at or before the
-    event time (microsecond precision on both engines)."""
+    event time (microsecond precision on both engines). ``tolerance``
+    bounds the gap (merge_asof semantics): too-old matches become NULLs."""
     ev0 = P.read_events(spark, sf_dir)
     ev = ev0.select(
         "event_id",
@@ -703,7 +712,10 @@ def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    out = relational.asof_join(ev, rd, "k", "ets", "ots", ["o_orderkey", "o_totalprice"])
+    out = relational.asof_join(
+        ev, rd, "k", "ets", "ots", ["o_orderkey", "o_totalprice"],
+        tolerance=tolerance,
+    )
     return out.select(
         "event_id", F.col("k").alias("user_id"), "o_orderkey", "o_totalprice"
     )
@@ -1795,17 +1807,19 @@ SELECT doc_id,
             THEN 'holdout' ELSE 'train' END AS split
 FROM documents
 """
+    # rank on the UNROUNDED key (ulp-stable ordering), round for display —
+    # mirrors the operator
     o["weighted_sample"] = f"""
 WITH keyed AS (
   SELECT doc_id,
-         round(-ln((CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) + 1)::DOUBLE
-                   / {float(_B)!r})
-               / (length(text) + 1)::DOUBLE, 6) + 0.0 AS sample_key
+         -ln((CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) + 1)::DOUBLE
+             / {float(_B)!r})
+         / (length(text) + 1)::DOUBLE AS k
   FROM documents
   WHERE (length(text) + 1)::DOUBLE > 0
 )
-SELECT doc_id, sample_key,
-       CAST(row_number() OVER (ORDER BY sample_key, doc_id) AS INT) AS sample_rank
+SELECT doc_id, round(k, 6) + 0.0 AS sample_key,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS sample_rank
 FROM keyed
 QUALIFY sample_rank <= 50
 """
@@ -2045,6 +2059,23 @@ WITH r AS (
 rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
 l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
 SELECT l.event_id, l.user_id, rd.o_orderkey, rd.o_totalprice
+FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
+"""
+    # tolerance variant: the backward-asof best match is unique, so a
+    # max-gap bound == null-out the best match when it is too old (DuckDB
+    # ASOF has no tolerance clause; pandas merge_asof defines the semantics)
+    o["asof_join_orders_tol"] = f"""
+WITH r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS ots, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
+SELECT l.event_id, l.user_id,
+       CASE WHEN l.ets - rd.ots <= {ASOF_TOL_US} THEN rd.o_orderkey END AS o_orderkey,
+       CASE WHEN l.ets - rd.ots <= {ASOF_TOL_US} THEN rd.o_totalprice END AS o_totalprice
 FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
 """
     o["interval_join_events"] = """

@@ -1,9 +1,12 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is timed end-to-end
-(plan build + execution to a count/collect-free action: write to noop sink
-is unavailable in this image, so we use count on the final frame).
+"queries": {name: sec}, "sf": ...}. Each query is timed end-to-end with
+FULL evaluation: the timing action checksums every output column with
+bit_xor(xxhash64(...)) — a bare count() would let Catalyst prune the very
+window/projection expressions being benchmarked, timing only the shared
+scan + panel build. Min of 3 full runs per query (single-run local-mode
+jitter is ±30% on this VM).
 """
 
 from __future__ import annotations
@@ -48,6 +51,10 @@ HEADLINE = [
     "semantic_dedup",
     "pq_topk",
     "profile_lineitem",
+    # the 100 TB profiling tier (HLL/KLL sketches, one plain hash agg —
+    # no Expand): baselined alongside the exact tier so the scale path
+    # has a number
+    "profile_approx_lineitem",
     "knn_graph",
 ]
 

@@ -121,6 +121,39 @@ def test_asof_join_pandas_merge_asof_differential(spark):
         assert got[row["id"]] == want, f"id {row['id']}"
 
 
+def test_asof_join_tolerance_pandas_differential(spark):
+    """Same randomized differential with a max-gap tolerance — pandas
+    merge_asof(tolerance=...) defines the semantics: the best backward
+    match is NULLed when left_ts - right_ts exceeds the bound."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    left_rows = [
+        (i, int(k), int(t))
+        for i, (k, t) in enumerate(zip(rng.randint(0, 5, 200), rng.randint(0, 1000, 200)))
+    ]
+    right_keys = {(int(k), int(t)) for k, t in zip(rng.randint(0, 5, 100), rng.randint(0, 1000, 100))}
+    right_rows = [(k, t, float(k * 10000 + t)) for k, t in sorted(right_keys)]
+    left = spark.createDataFrame(left_rows, "id long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, rts long, val double")
+    for tol in (0, 7, 50):
+        got = {
+            r["id"]: r["val"]
+            for r in relational.asof_join(
+                left, right, "k", "ts", "rts", ["val"], tolerance=tol
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).sort_values("rts")
+        exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
+                            direction="backward", allow_exact_matches=True,
+                            tolerance=tol)
+        for _, row in exp.iterrows():
+            want = None if pd.isna(row["val"]) else float(row["val"])
+            assert got[row["id"]] == want, f"tol {tol} id {row['id']}"
+
+
 def test_topk_per_group(spark):
     rows = [(1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)]
     df = spark.createDataFrame(rows, schema="g long, v double")

@@ -75,24 +75,30 @@ def _fake_decode(payload: bytes) -> tuple[int, float, float]:
 
 def _real_decode(payload: bytes) -> tuple[int, float, float]:
     """PIL-backed image decode: (byte checksum, mean grayscale pixel,
-    width/height aspect). Payloads PIL cannot parse (non-image blobs) fall
+    width/height aspect). Only payloads PIL cannot PARSE (non-image blobs:
+    UnidentifiedImageError / truncated-stream OSError / ValueError) fall
     back to the deterministic byte-statistics fake, so mixed-media tables
-    never fail the whole partition."""
+    never fail the whole partition — genuine failures in the real path
+    (numpy errors, MemoryError, bugs) propagate instead of being silently
+    masked as 'non-image payload'."""
     if payload is None:
         return 0, 0.0, 0.0
+    parse_errors = (OSError, ValueError)
+    unidentified = getattr(_PIL, "UnidentifiedImageError", None)
+    if unidentified is not None:  # PIL >= 7; subclass of OSError, listed
+        parse_errors = (unidentified, *parse_errors)  # for explicitness
     try:
         img = _PIL.open(io.BytesIO(bytes(payload)))
-        import numpy as np
-
-        arr = np.asarray(img.convert("L"), dtype=np.float64)
-        checksum = sum(payload) % 1_000_000_007
-        return checksum, float(arr.mean()) if arr.size else 0.0, float(
-            img.width / img.height
-        )
-    except NotImplementedError:  # pragma: no cover - PIL internal
-        raise
-    except Exception:
+        arr_src = img.convert("L")
+    except parse_errors:
         return _fake_decode(payload)
+    import numpy as np
+
+    arr = np.asarray(arr_src, dtype=np.float64)
+    checksum = sum(payload) % 1_000_000_007
+    return checksum, float(arr.mean()) if arr.size else 0.0, float(
+        img.width / img.height
+    )
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:

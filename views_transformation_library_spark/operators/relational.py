@@ -74,24 +74,38 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row of the
     same key with right_ts <= left_ts (a native operator Spark lacks;
-    DuckDB/kdb call it ASOF JOIN).
+    DuckDB/kdb call it ASOF JOIN). With ``tolerance`` (same units as the
+    ts columns), a match additionally requires
+    left_ts - right_ts <= tolerance — pandas `merge_asof(tolerance=...)`
+    semantics: too-old matches become NULLs, the left row survives.
 
     Union-trick implementation — exact and single-shuffle: tag both sides,
     sort (key, ts, side) with right rows first at equal ts (inclusive <=),
     then carry the right payload forward atomically (one struct, so NULL
     fields in a matched right row never mix with earlier rows) and keep the
-    left rows. Scales as a window over |left| + |right| rows — no range-join
-    blowup, no per-key loops. Duplicate right rows per (key, ts) are
-    resolved DETERMINISTICALLY: the window ordering carries a payload-hash
-    tie-break column, so the winner (greatest xxhash64 of the right payload)
-    is stable across partitionings and runs — fully identical duplicates are
-    indistinguishable and therefore trivially stable too.
+    left rows. The matched right timestamp travels INSIDE that struct, so
+    the tolerance check is a cheap post-projection on the carried pair —
+    still one shuffle, and rows outside tolerance null the whole payload
+    atomically. Scales as a window over |left| + |right| rows — no
+    range-join blowup, no per-key loops. Duplicate right rows per
+    (key, ts) are resolved DETERMINISTICALLY: the window ordering carries a
+    payload-hash tie-break column, so the winner (greatest xxhash64 of the
+    right payload) is stable across partitionings and runs — fully
+    identical duplicates are indistinguishable and therefore trivially
+    stable too.
     """
     rtypes = dict(right.dtypes)
-    rrow_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    ts_type = rtypes[right_ts]
+    # the matched right row's ts rides inside the carried struct so the
+    # (payload, ts) pair stays atomic under last(ignorenulls)
+    rrow_type = (
+        "struct<__rts:" + ts_type + ","
+        + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    )
     lk = left.select(
         F.col(key_col).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -112,7 +126,9 @@ def asof_join(
         ).alias("__lrow"),
         # the whole right payload travels as ONE struct so NULL fields inside
         # a matched row never mix with fields from earlier rows
-        F.struct(*right_cols).alias("__rrow"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__rrow"),
     )
     unioned = lk.unionByName(rk)
     w = (
@@ -122,10 +138,19 @@ def asof_join(
     )
     carried = unioned.select(
         "__side",
+        "__ts",
         "__lrow",
         F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
     out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__rrow",
+            F.when(
+                F.col("__ts") - F.col("__rrow.__rts") <= F.lit(tolerance),
+                F.col("__rrow"),
+            ),  # otherwise NULL: the whole payload nulls atomically
+        )
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],

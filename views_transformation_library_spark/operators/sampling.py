@@ -82,10 +82,13 @@ def weighted_sample(
     only THOSE enter the exact top-n (verified sufficient, with an
     automatic fallback to the direct path if the quantile undershot).
     Rows with NULL or non-positive weight are excluded (their inclusion
-    probability is 0). Keys are 6dp-rounded before ranking with id
-    tie-breaks (engine-parity rule; ln differs from DuckDB only in the
-    last ulp); the prefilter never changes results — it only drops rows
-    that cannot be in the top n.
+    probability is 0). Ranking and selection use the UNROUNDED key with id
+    tie-breaks: ordering raw doubles is ulp-stable across engines (a flip
+    needs two distinct rows' keys within ~1 ulp), whereas ranking on a
+    6dp-rounded key manufactures exact ties at every rounding boundary and
+    inherits ln's engine last-ulp there. The output ``sample_key`` is
+    rounded (and -0.0-canonicalized) for display only; the prefilter never
+    changes results — it only drops rows that cannot be in the top n.
 
     Output: the sampled rows with ``sample_key`` and ``sample_rank``
     (1..n by ascending key).
@@ -94,8 +97,7 @@ def weighted_sample(
     u = (hash_bucket(F.col(id_col), seed) + F.lit(1)).cast("double") / F.lit(
         float(_BUCKETS)
     )
-    key = F.round(-F.log(u) / w, 6) + F.lit(0.0)
-    keyed = df.filter(w > 0).withColumn("sample_key", key)
+    keyed = df.filter(w > 0).withColumn("sample_key", -F.log(u) / w)
     sel = _bounded_top(keyed, int(n), prefilter_above)
     from pyspark.sql import Window
 
@@ -103,7 +105,7 @@ def weighted_sample(
     top = sel.orderBy(F.col("sample_key").asc(), F.col(id_col)).limit(int(n))
     return top.withColumn(
         "sample_rank", F.row_number().over(rank_w)
-    )
+    ).withColumn("sample_key", F.round("sample_key", 6) + F.lit(0.0))
 
 
 def _bounded_top(keyed: DataFrame, n: int, prefilter_above: int) -> DataFrame:

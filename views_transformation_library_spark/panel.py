@@ -138,7 +138,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf is inert when the data is µs), and UTC session time zone so
     NTZ-timestamp → epoch conversions are host-TZ-independent. Callers
     must treat ts as EITHER BIGINT nanos or TIMESTAMP — derive keys via
-    `epoch_day` / `epoch_micros`, which dispatch on the actual type."""
+    `epoch_day` / `epoch_micros`, which dispatch on the actual type.
+
+    DELIBERATE GLOBAL SIDE EFFECT: both confs persist on the session after
+    this call (save/restore would not work — the TZ must still be in force
+    when the returned frame's plan *executes*, long after this function
+    returns). Sessions built via `session.get_spark` already pin both at
+    build time, making this a no-op; only an externally-built session (the
+    driver's vanilla one) is mutated, which is exactly the contract this
+    library needs for engine-parity keys."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
