@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from views_transformation_library_spark import panel as P
+from views_transformation_library_spark import registry
 from views_transformation_library_spark.operators import (
     dedup,
     fourier,
@@ -432,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["flagship_decay_time_since"] = lambda s, d: _r6(
         scalar.decay(temporal.time_since(_panel(s, d), value=0), halflife=12.0)
     )
+    # end-to-end LLM-data-pipeline flagship: the full corpus path
+    # normalize -> quality-filter -> dedup-keep -> mix -> pack, expressed
+    # as ONE transform() spec (the composition surface is the product)
+    q["llm_pipeline"] = lambda s, d: _llm_pipeline_query(s, d)
     # The driver's CORRECTNESS gate covers the FIRST 50 registered queries
     # (verified against CORRECTNESS_r01.json: its rows == the first 50 of
     # r1's registration order). Order deliberately: every SURVEY §2
@@ -455,7 +460,10 @@ DRIVER_PRIORITY = [
     "extrapolate", "list_totally_missing",
     "fill_with_group_and_global_means", "fill_groups_with_time_means",
     "splag4d", "splag_country",
-    "spacetime_distances", "spacetime_weights",
+    # spacetime_weights (parameter variant; spacetime_distances keeps the
+    # §2 #38 row, the variant stays in the full local strict run) yielded
+    # its slot to the r4 end-to-end LLM-pipeline flagship
+    "spacetime_distances", "llm_pipeline",
     "fourier_lag", "impute_mice", "temporal_tree_lag",
     "spatial_tree_lag", "grid_lag", "knn_graph",
     # grid_lag_multi yielded its slot (parameter variant; grid_lag keeps
@@ -723,6 +731,41 @@ def _asof_query(
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# End-to-end LLM-data-pipeline flagship, declared entirely in the spec
+# language (registry.transform): normalize -> Gopher row-rule filter ->
+# exact-dedup keep -> stratified corpus mixing -> concat-and-chunk packing.
+# Scan-pure except two shuffles (the dedup fingerprint window; the pack
+# shard window) — the whole chain is ONE Catalyst plan with ONE documents
+# scan (pinned in tests/test_plans.py).
+LLM_PIPELINE_SPEC: list[dict] = [
+    {"type": "normalize_text", "kwargs": {
+        "col": "text", "out": "text_norm", "lowercase": True,
+        "mask_urls": True, "mask_emails": True}},
+    {"type": "gopher_filter", "kwargs": {
+        "col": "text_norm", "min_tokens": 30, "max_tokens": 100_000,
+        "min_word_len": 3.0, "max_word_len": 10.0, "max_symbol_ratio": 0.1,
+        "min_alpha_word_frac": 0.8, "min_stopword_hits": 2}},
+    {"type": "where_expr", "args": ["keep"]},
+    {"type": "dedup_keep", "kwargs": {"id_col": "doc_id", "text_col": "text_norm"}},
+    {"type": "with_expr", "args": ["stratum", "doc_id % 3"]},
+    {"type": "stratified_sample", "kwargs": {
+        "fractions": {0: 1.0, 1: 0.5, 2: 0.25},
+        "strata_col": "stratum", "id_col": "doc_id"}},
+    {"type": "token_count", "kwargs": {"col": "text_norm", "out": "n_tok"}},
+    {"type": "pack_windows", "kwargs": {
+        "window": 512, "id_col": "doc_id", "token_col": "n_tok",
+        "shard_size": 100}},
+]
+
+
+def _llm_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 pipeline flagship: `LLM_PIPELINE_SPEC` folded over the raw
+    documents table by registry.transform. Output is the packing plan of
+    the cleaned/deduped/mixed corpus — all-integer columns, so the gate
+    hash has no float-parity surface at all."""
+    return registry.transform(_docs(spark, sf_dir), LLM_PIPELINE_SPEC)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1761,6 +1804,79 @@ SELECT doc_id,
            '[\x00-\x1F\x7F]', ' ', 'g'),
          '\s+', ' ', 'g'))) AS text_norm
 FROM documents
+"""
+    # end-to-end pipeline flagship: each spec step mirrored as a CTE.
+    # Spark shards the packing prefix-sum (shard windows + broadcast bases);
+    # integer arithmetic makes that exactly a global ordered prefix sum.
+    o["llm_pipeline"] = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[\x00-\x1F\x7F]', ' ', 'g'),
+         '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+gbase AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '\S+'))::BIGINT AS n_tokens,
+         length(regexp_replace(t, '[^a-z0-9]', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(t, '[a-z0-9]+'))::BIGINT AS n_words,
+         (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')))::BIGINT AS n_sym,
+         len(regexp_extract_all(t, '\S*[A-Za-z]\S*'))::BIGINT AS n_alpha,
+         len(regexp_extract_all(t, '\b(the|and|of|to|in|is|that|it|for|was)\b'))::BIGINT AS n_stop
+  FROM norm
+),
+rules AS (
+  SELECT doc_id, t,
+         round(coalesce(word_chars * 1.0 / nullif(n_words, 0), 0.0), 6) + 0.0 AS mwl,
+         round(coalesce(n_sym * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS sym,
+         round(coalesce(n_alpha * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS alpha,
+         n_tokens, n_stop
+  FROM gbase
+),
+kept AS (
+  SELECT doc_id, t FROM rules
+  WHERE n_tokens BETWEEN 30 AND 100000
+    AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+    AND alpha >= 0.8 AND n_stop >= 2
+),
+dk AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+),
+mixed AS (
+  SELECT doc_id, t FROM dk
+  WHERE CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT)
+        < CASE doc_id % 3
+            WHEN 0 THEN 4294967296
+            WHEN 1 THEN 2147483648
+            WHEN 2 THEN 1073741824
+            ELSE 0 END
+),
+tok AS (
+  SELECT doc_id, len(regexp_extract_all(t, '\S+'))::BIGINT AS n_tokens
+  FROM mixed
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       (cend - n_tokens)::BIGINT AS start_offset,
+       cend::BIGINT AS end_offset,
+       ((cend - n_tokens) // 512)::BIGINT AS first_window,
+       (greatest(cend - 1, cend - n_tokens) // 512)::BIGINT AS last_window
+FROM c
 """
     o["corpus_mix"] = r"""
 WITH agg AS (

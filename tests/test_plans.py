@@ -143,3 +143,39 @@ def test_vocab_top_terms_is_takeordered(spark):
     out = text.vocab_top_terms(df, n=3)
     plan = plans.physical_plan(out)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_llm_pipeline_single_scan_single_shuffle(spark):
+    """The end-to-end pipeline flagship (normalize -> gopher -> where ->
+    dedup_keep -> with_expr -> stratified_sample) must compile to ONE
+    documents scan with ONE exchange (the dedup fingerprint window):
+    normalization, the quality rules, the keep filter and the hash-threshold
+    sample are all scan-side expressions. The final pack step checkpoints
+    its (id, n_tokens, shard) projection — this pins that everything BEFORE
+    the checkpoint is one fused pass over the corpus."""
+    import __spark_entry__ as entrymod
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    from views_transformation_library_spark import registry
+
+    pre_pack = registry.transform(df, entrymod.LLM_PIPELINE_SPEC[:-1])
+    plan = plans.physical_plan(pre_pack)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    # and the exchange is the fingerprint window's hash partitioning
+    assert "hashpartitioning(_groupingexpression" in plan or "md5" in plan.lower()
+
+
+def test_pack_windows_checkpoints_its_input(spark):
+    """pack_windows reads its (id, tokens, shard) projection from TWO plan
+    branches (per-shard window + shard-totals aggregate); the projection is
+    checkpointed so an expensive upstream pipeline is not executed twice —
+    the final plan must contain no parquet scan at all (both branches read
+    the pinned RDD)."""
+    from views_transformation_library_spark.operators import text
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = text.pack_windows(df, window=512, shard_size=100)
+    plan = plans.physical_plan(out)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan

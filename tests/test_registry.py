@@ -40,3 +40,24 @@ def test_registry_impute_mice_draw_returns_frame(spark):
     out = transform(df, [{"type": "impute_mice_draw", "kwargs": {"n_shards": 1, "n_imputations": 1}}])
     res = out.toPandas()
     assert res["a"].notna().all()
+
+
+def test_pipeline_spec_steps(spark):
+    """The r4 pipeline spec steps compose: with_expr derives, where_expr
+    filters, dedup_keep keeps the min-id representative per exact group."""
+    rows = [
+        (1, "the cat sat"), (2, "THE  cat   sat"), (3, "a dog ran"),
+        (4, "the cat sat"), (5, "unique text here"),
+    ]
+    df = spark.range(0).sparkSession.createDataFrame(
+        rows, schema="doc_id long, text string"
+    )
+    out = transform(df, [
+        {"type": "dedup_keep", "kwargs": {"id_col": "doc_id", "text_col": "text"}},
+        {"type": "with_expr", "args": ["parity", "doc_id % 2"]},
+        {"type": "where_expr", "args": ["parity = 1"]},
+    ])
+    got = sorted(r["doc_id"] for r in out.collect())
+    # doc 2 and 4 dedup onto doc 1 (case/whitespace-normalized fingerprint);
+    # survivors {1, 3, 5} then filtered to odd ids
+    assert got == [1, 3, 5]

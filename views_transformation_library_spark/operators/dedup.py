@@ -48,6 +48,23 @@ def exact_dedup(
     )
 
 
+def dedup_keep(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Row-preserving exact dedup: keep ONE representative row (min id) per
+    normalized-md5 fingerprint group, dropping the other copies — the
+    pipeline-composable counterpart of `exact_dedup` (which aggregates to
+    groups). One shuffle: a row_number window partitioned by the
+    fingerprint; no join back to the corpus."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = Window.partitionBy(F.md5(norm)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-grams per doc, built entirely with array expressions
     (transform over a sequence of start positions + slice) — no joins, no

@@ -167,6 +167,20 @@ def topk_per_group(
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def with_expr(df: DataFrame, out: str, expr: str) -> DataFrame:
+    """Spec-surface escape hatch: derive a column from a SQL expression
+    (`{"type": "with_expr", "args": ["stratum", "doc_id % 3"]}`). Pure
+    Catalyst expression — folds into the surrounding scan/projection."""
+    return df.withColumn(out, F.expr(expr))
+
+
+def where_expr(df: DataFrame, condition: str) -> DataFrame:
+    """Spec-surface row filter from a SQL boolean expression
+    (`{"type": "where_expr", "args": ["keep"]}`). Declarative, so Catalyst
+    pushes it down as far as the referenced columns allow."""
+    return df.filter(F.expr(condition))
+
+
 def parse_json_fields(
     df: DataFrame,
     col: str,

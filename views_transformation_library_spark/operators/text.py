@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..panel import materialize
+
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # deterministic and cheap — not a real language model by design
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -446,6 +448,11 @@ def pack_windows(
         F.col(id_col), token_expr.alias("n_tokens"),
         (F.col(id_col) - (F.col(id_col) % shard_size)).alias("__shard"),
     )
+    # two plan branches read `base` (the per-shard window AND the
+    # shard-totals aggregate); Catalyst does not reuse the duplicated
+    # subtree, so without pinning the whole upstream — which may be an
+    # entire filter/dedup pipeline, not just a scan — runs twice
+    base = materialize(base)
     w_shard = Window.partitionBy("__shard").orderBy(id_col)
     local = base.withColumn(
         "__local_end", F.sum("n_tokens").over(w_shard)

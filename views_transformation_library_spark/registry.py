@@ -82,6 +82,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "quality_score": text.quality_score,
     "fingerprint": text.fingerprint,
     "exact_dedup": dedup.exact_dedup,
+    "dedup_keep": dedup.dedup_keep,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "connected_components": dedup.connected_components,
@@ -114,6 +115,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "corpus_mix": text.corpus_mix,
     "vocab_top_terms": text.vocab_top_terms,
     "parse_json_fields": relational.parse_json_fields,
+    "with_expr": relational.with_expr,
+    "where_expr": relational.where_expr,
     "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
