@@ -992,3 +992,55 @@ def test_pq_zero_norm_and_validation(spark, pq_vectors):
     assert 1 not in {r["neighbor_id"] for r in out.collect()}
     with pytest.raises(ValueError, match="not divisible"):
         similarity.train_pq_codebooks(pq_vectors, m=5)
+
+
+def test_knn_graph_hot_bucket_skew_prunes_exactly(spark, monkeypatch):
+    """Planted-skew stress (VERDICT r3 #4): half the corpus lands in ONE
+    IVF bucket (explicit centroids, tight hot cluster), PRUNE_AT is shrunk
+    to 64 so the scorer's hot-bucket buffer prune fires constantly — and
+    the full-probe result must STILL equal brute-force kNN exactly (the
+    margin-safe prune may never change the ranked output). This is the
+    'hot bucket degrades to work, never OOM' claim made observable: task
+    memory is bounded by PRUNE_AT + one chunk frame, results are exact."""
+    rng = np.random.RandomState(5)
+    n, dim = 400, 8
+    hot_dir = rng.randn(dim)
+    rows = []
+    for i in range(n):
+        if i < n // 2:  # hot cluster: tiny jitter around one direction
+            v = hot_dir + rng.randn(dim) * 0.01
+        else:
+            v = rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # explicit centroids: 0 = the hot direction (captures i < n/2 by
+    # construction), the rest far-flung — a 50% hot bucket guaranteed
+    cents = [list(map(float, hot_dir))] + [
+        list(map(float, rng.randn(dim) * 5)) for _ in range(5)
+    ]
+    monkeypatch.setattr(similarity, "PRUNE_AT", 64)
+    out = similarity.knn_graph(
+        df, k=3, centroids=cents, nprobe=len(cents)
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    expect = _brute_knn(df, 3)
+    assert set(got) == set(expect)
+    for q in expect:
+        assert [nb for _, nb in sorted(got[q])] == expect[q], f"query {q}"
+
+
+def test_derived_n_centroids_resplits_with_corpus(spark):
+    """The ∝N bucket sizing rule: buckets grow with the corpus so mean
+    bucket size — and per-bucket pair work — stays constant at scale."""
+    rows = [(i, [float(i), 1.0]) for i in range(512)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert similarity._derived_n_centroids(df.limit(64), 64) == 1
+    assert similarity._derived_n_centroids(df.limit(128), 64) == 2
+    assert similarity._derived_n_centroids(df, 64) == 8
+    # growing the corpus 4x at fixed bucket_target -> 4x the buckets
+    assert (
+        similarity._derived_n_centroids(df, 64)
+        == 4 * similarity._derived_n_centroids(df.limit(128), 64)
+    )

@@ -47,6 +47,18 @@ def _norm(a):
     )
 
 
+# Hot-bucket guard for the cogrouped top-k scorers (knn_graph/ann_join):
+# the candidate buffer prunes to bucket-local per-query top-k whenever it
+# exceeds PRUNE_AT rows, keeping rows within TOPK_MARGIN of the k-th best
+# UNROUNDED cosine. TOPK_MARGIN (2e-6) exceeds the largest perturbation
+# 6dp HALF_UP rounding + neighbor_id tie-breaking can introduce (2·5e-7 +
+# ulp), so exact ranking over survivors == ranking the full set. Task
+# memory is O(PRUNE_AT + CHUNK²) regardless of bucket skew; module-level
+# so the planted-skew test can shrink PRUNE_AT and hammer the prune path.
+PRUNE_AT = 262_144
+TOPK_MARGIN = 2e-6
+
+
 def _empty_topk(vectors: DataFrame, id_col: str) -> DataFrame:
     """Empty result with the top-k output schema (empty/all-null input)."""
     id_type = dict(vectors.dtypes).get(id_col, "bigint")
@@ -558,9 +570,37 @@ def _cogrouped_bucket_topk(
     probes: (__qid, __qv, __bucket) — both sides shuffle once on the
     bucket id, numpy scores per-bucket chunked pair matrices with the
     exact `_dot` fold order, and the final per-query top-k ranks on the
-    6dp-rounded cosine with neighbor_id tie-breaks."""
+    6dp-rounded cosine with neighbor_id tie-breaks.
+
+    Hot-bucket memory bound: the scoring matrices are CHUNK²-bounded, but
+    a skewed bucket (all vectors in one cluster) would otherwise buffer
+    |members|·|probes| candidate rows before returning. The scorer
+    therefore prunes its buffer to each query's bucket-local top-k
+    whenever it exceeds PRUNE_AT rows, keeping every row whose UNROUNDED
+    cosine is within TOPK_MARGIN of the query's k-th best so far. The
+    margin (2e-6) exceeds the largest perturbation 6dp HALF_UP rounding
+    can introduce between two rows that compare differently after
+    rounding + neighbor_id tie-breaks (2·5e-7 + ulp), so Spark's exact
+    rounded ranking over the pruned survivors is IDENTICAL to ranking the
+    full candidate set — the strict DuckDB gate proves it. Task memory is
+    O(PRUNE_AT + CHUNK²) regardless of bucket size; a hot bucket costs
+    quadratic WORK, never quadratic memory."""
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, __cos double"
     CHUNK = 2048  # bounds the pair matrix at CHUNK^2 doubles per step
+    prune_at, margin = PRUNE_AT, TOPK_MARGIN  # snapshot for the closure
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local top-k guard (UNROUNDED cosines, margin-safe): keep
+        # rows within TOPK_MARGIN of each query's k-th best so far; queries
+        # with fewer than k candidates keep everything
+        if pdf.empty:
+            return pdf
+        kth = (
+            pdf.groupby("query_id")["__cos"].nlargest(int(k))
+            .groupby(level=0).min()
+        )
+        bound = pdf["query_id"].map(kth) - margin
+        return pdf[pdf["__cos"].values >= bound.values]
 
     def _score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = members of this bucket, right = probes targeting it
@@ -585,6 +625,7 @@ def _cogrouped_bucket_topk(
             return empty
         dim = M.shape[1]
         outs = []
+        buffered = 0
         for qs in range(0, len(q_ids), CHUNK):
             Qc, qn_c, qid_c = Q[qs:qs + CHUNK], q_n[qs:qs + CHUNK], q_ids[qs:qs + CHUNK]
             for ms in range(0, len(m_ids), CHUNK):
@@ -601,12 +642,20 @@ def _cogrouped_bucket_topk(
                 else:
                     grid = np.indices((len(qid_c), len(mid_c)))
                     qi, mi = grid[0].ravel(), grid[1].ravel()
-                outs.append(pd.DataFrame({
+                frame = pd.DataFrame({
                     "query_id": qid_c[qi],
                     "neighbor_id": mid_c[mi],
                     "__cos": cos[qi, mi],
-                }))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+                })
+                outs.append(frame)
+                buffered += len(frame)
+                if buffered > prune_at:
+                    pruned = _prune(pd.concat(outs, ignore_index=True))
+                    outs, buffered = [pruned], len(pruned)
+        if not outs:
+            return empty
+        # final prune also shrinks the shuffle feeding the ranking window
+        return _prune(pd.concat(outs, ignore_index=True))
 
     scored = (
         members.groupby("__bucket")
