@@ -184,13 +184,26 @@ def test_sessionize_stream_out_of_order_event(spark, tmp_path):
         q.processAllAvailable()
         # batch 2: a 10:30 event for the same user — 1.5h BEFORE the open
         # session, inside the watermark horizon. It must become its own
-        # session; 14:00 advances the watermark (12:00) past both deadlines
+        # session; 14:00 advances the watermark to 12:00, sealing the
+        # 10:30 session (deadline 11:00) but NOT the 12:00 one (deadline
+        # 12:30 — an in-watermark 12:20 event could still extend it)
         pd.DataFrame(
             {"ts": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 14:00"]),
              "user_id": [1, 1]}
         ).to_parquet(src + "/b2.parquet", coerce_timestamps="us",
                      allow_truncated_timestamps=True)
         q.processAllAvailable()
+        mid = sorted(
+            (str(r["session_start"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_ooo_out").collect()
+        )
+        assert mid == [("2024-01-01 10:30:00", 1)]
+        # batch 3: 16:00 pushes the watermark to 14:00 — now the 12:00
+        # session seals; 14:00's own session stays open (deadline 14:30)
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 16:00"]), "user_id": [1]}
+        ).to_parquet(src + "/b3.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
         q.processAllAvailable()
         rows = sorted(
             (str(r["session_start"]), str(r["session_end"]), r["n_events"])
@@ -200,3 +213,90 @@ def test_sessionize_stream_out_of_order_event(spark, tmp_path):
         q.stop()
     assert ("2024-01-01 10:30:00", "2024-01-01 10:30:00", 1) in rows
     assert ("2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in rows
+    # the 14:00 and 16:00 sessions are still open — not emitted
+    assert len(rows) == 2
+
+
+def test_sessionize_stream_batch_equivalence(spark, tmp_path):
+    """VERDICT r3 #8: streamed sessionization == batch `sessionize` on the
+    same parquet, across 4 real micro-batches with cross-batch
+    out-of-order arrivals. A far-future flush event advances the watermark
+    so EVERY real session closes; the closed-session stream must then be
+    frame-equal (user, start, end, n_events) to the batch operator run
+    over the identical files."""
+    import numpy as np
+
+    from views_transformation_library_spark.operators import relational
+    from views_transformation_library_spark.streaming.sessions import sessionize_stream
+
+    rng = np.random.RandomState(13)
+    base = pd.Timestamp("2024-03-01 08:00:00")
+    rows = []
+    for user in range(1, 5):
+        t_min = 0
+        for _ in range(10):
+            # mostly intra-session steps, sometimes a session-breaking gap
+            t_min += int(rng.choice([2, 5, 7, 35, 50], p=[0.3, 0.25, 0.15, 0.15, 0.15]))
+            rows.append((base + pd.Timedelta(minutes=t_min), user))
+    rows.sort(key=lambda r: r[0])
+    # three chronological files + cross-batch disorder: the first two
+    # events of file2 are DEFERRED into file3 (late by less than the
+    # 2-hour watermark, so the stream must merge them correctly)
+    thirds = [rows[:13], rows[13:26], rows[26:]]
+    late = thirds[1][:2]
+    b2 = thirds[1][2:]
+    b3 = late + thirds[2]
+    src = str(tmp_path / "sess_eq")
+    os.makedirs(src)
+    for i, chunk in enumerate([thirds[0], b2, b3]):
+        pd.DataFrame(
+            {"ts": [c[0] for c in chunk], "user_id": [c[1] for c in chunk]}
+        ).to_parquet(f"{src}/b{i+1}.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+    # flush: one far-future event advances the watermark past every open
+    # session's timeout deadline (its own session stays open, excluded)
+    pd.DataFrame(
+        {"ts": [base + pd.Timedelta(days=2)], "user_id": [999]}
+    ).to_parquet(f"{src}/b4_flush.parquet", coerce_timestamps="us",
+                 allow_truncated_timestamps=True)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_eq_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["user_id"], r["s"], r["e"], r["n_events"])
+            for r in spark.sql(
+                "SELECT user_id, unix_micros(session_start) AS s, "
+                "unix_micros(session_end) AS e, n_events "
+                "FROM sess_eq_out WHERE user_id != 999"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    from views_transformation_library_spark import panel as P
+
+    ev = spark.read.parquet(src).filter(F.col("user_id") != 999)
+    batch = relational.sessionize(
+        ev.select("user_id", P.epoch_micros(ev).alias("ts")),
+        gap_minutes=30, ts_unit="us",
+    )
+    expected = {
+        (r["unit_id"], r["start_tick"], r["end_tick"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert len(expected) >= 8  # the construction makes multiple sessions/user
+    assert streamed == expected

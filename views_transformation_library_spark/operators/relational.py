@@ -45,6 +45,10 @@ def sessionize(
         with_ids.groupBy(F.col(key_col).alias("unit_id"), "session_id")
         .agg(
             F.count("*").alias("n_events"),
+            # session bounds in ticks — also what the streaming
+            # batch-equivalence check compares against sessionize_stream
+            F.min(ts_col).alias("start_tick"),
+            F.max(ts_col).alias("end_tick"),
             # integer ticks is the exact value; the seconds column is derived
             # (float division can land on round-half boundaries)
             (F.max(ts_col) - F.min(ts_col)).alias("duration_ticks"),
