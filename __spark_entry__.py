@@ -1359,7 +1359,20 @@ def oracle_sql() -> dict[str, str]:
     o["add_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a + b, 6) AS a FROM panel2"
     o["subtract_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a - b, 6) AS a FROM panel2"
     o["multiply_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a * b, 6) AS a FROM panel2"
-    o["divide_column"] = PANEL2_SQL + "SELECT time_id, unit_id, round(a / nullif(b, 0.0), 6) AS a FROM panel2"
+    # the quotient round must MIMIC Spark, not DuckDB: Spark's round(x, 6)
+    # is BigDecimal.valueOf(x).setScale(6, HALF_UP) — it rounds the
+    # double's SHORTEST DECIMAL REPR, while DuckDB's round(double) rounds
+    # the true binary value. They disagree when the shortest repr lands
+    # exactly on a ...5 boundary whose binary value is a hair below it
+    # (observed at sf0.1: 105.81/6.4 -> repr '16.5328125', binary
+    # 16.53281249999...; Spark 16.532813, plain DuckDB 16.532812). Routing
+    # through VARCHAR reproduces Spark's semantics: the shortest repr is
+    # unique, DECIMAL(38,17) holds it exactly, decimal round is HALF_UP.
+    o["divide_column"] = PANEL2_SQL + (
+        "SELECT time_id, unit_id, "
+        "round(CAST(CAST(a / nullif(b, 0.0) AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS a "
+        "FROM panel2"
+    )
 
     o["tlag"] = PSQL + f"SELECT time_id, unit_id, lag(value, 3) OVER ({W_UNIT}) AS value FROM panel"
     o["tlead"] = PSQL + f"SELECT time_id, unit_id, lead(value, 2) OVER ({W_UNIT}) AS value FROM panel"
