@@ -739,6 +739,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scan-pure except two shuffles (the dedup fingerprint window; the pack
 # shard window) — the whole chain is ONE Catalyst plan with ONE documents
 # scan (pinned in tests/test_plans.py).
+#
+# Step ORDER is a plan-shape decision: the keep-filter sits ABOVE
+# dedup_keep's window, not right after gopher_filter. A filter directly on
+# `keep` would be pushed through the projection into the scan predicate
+# with alias SUBSTITUTION — every Gopher rule re-deriving the full
+# 4-regex normalize chain (measured: 66 regexp_replace copies in the scan
+# filter, ~6s/run at sf0.1; ~0.9s after the reorder). The Window is a
+# pushdown barrier, so above it `keep` is a plain column reference.
+# Semantics are unchanged: exact-dup groups share text_norm, hence the
+# same keep flag, so filter-then-dedup == dedup-then-filter (the min-id
+# keeper of a kept group is itself kept). select_cols prunes the window
+# shuffle to the three columns downstream steps read.
 LLM_PIPELINE_SPEC: list[dict] = [
     {"type": "normalize_text", "kwargs": {
         "col": "text", "out": "text_norm", "lowercase": True,
@@ -747,8 +759,9 @@ LLM_PIPELINE_SPEC: list[dict] = [
         "col": "text_norm", "min_tokens": 30, "max_tokens": 100_000,
         "min_word_len": 3.0, "max_word_len": 10.0, "max_symbol_ratio": 0.1,
         "min_alpha_word_frac": 0.8, "min_stopword_hits": 2}},
-    {"type": "where_expr", "args": ["keep"]},
+    {"type": "select_cols", "args": ["doc_id", "text_norm", "keep"]},
     {"type": "dedup_keep", "kwargs": {"id_col": "doc_id", "text_col": "text_norm"}},
+    {"type": "where_expr", "args": ["keep"]},
     {"type": "with_expr", "args": ["stratum", "doc_id % 3"]},
     {"type": "stratified_sample", "kwargs": {
         "fractions": {0: 1.0, 1: 0.5, 2: 0.25},

@@ -56,6 +56,8 @@ HEADLINE = [
     # has a number
     "profile_approx_lineitem",
     "knn_graph",
+    # r4 end-to-end corpus pipeline flagship (one scan + two shuffles)
+    "llm_pipeline",
 ]
 
 

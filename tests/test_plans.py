@@ -164,6 +164,10 @@ def test_llm_pipeline_single_scan_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     # and the exchange is the fingerprint window's hash partitioning
     assert "hashpartitioning(_groupingexpression" in plan or "md5" in plan.lower()
+    # the keep-filter must NOT be pushed below the normalize projection
+    # (alias substitution re-derived the 4-regex chain per Gopher rule —
+    # 78 regexp_replace nodes and ~4x the runtime before the reorder)
+    assert plan.count("regexp_replace") <= 12, plan.count("regexp_replace")
 
 
 def test_pack_windows_checkpoints_its_input(spark):

@@ -181,8 +181,21 @@ def with_expr(df: DataFrame, out: str, expr: str) -> DataFrame:
 def where_expr(df: DataFrame, condition: str) -> DataFrame:
     """Spec-surface row filter from a SQL boolean expression
     (`{"type": "where_expr", "args": ["keep"]}`). Declarative, so Catalyst
-    pushes it down as far as the referenced columns allow."""
+    pushes it down as far as the referenced columns allow — note that
+    pushing a predicate through a Project SUBSTITUTES aliases: filtering
+    on an expensively-derived column right above its projection re-derives
+    the whole expression tree inside the scan predicate (measured 66
+    regexp_replace copies in the llm_pipeline scan filter). Place such
+    filters above a pushdown barrier (Window/Aggregate) when the deriving
+    expressions are heavy — see LLM_PIPELINE_SPEC's ordering."""
     return df.filter(F.expr(condition))
+
+
+def select_cols(df: DataFrame, *cols: str) -> DataFrame:
+    """Spec-surface projection (`{"type": "select_cols", "args":
+    ["doc_id", "text_norm"]}`): prune carried columns before a shuffle so
+    the exchange moves only what downstream steps read."""
+    return df.select(*cols)
 
 
 def parse_json_fields(

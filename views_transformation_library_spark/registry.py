@@ -117,6 +117,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "parse_json_fields": relational.parse_json_fields,
     "with_expr": relational.with_expr,
     "where_expr": relational.where_expr,
+    "select_cols": relational.select_cols,
     "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
     # missing (§2.3)
