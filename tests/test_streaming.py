@@ -300,3 +300,60 @@ def test_sessionize_stream_batch_equivalence(spark, tmp_path):
     }
     assert len(expected) >= 8  # the construction makes multiple sessions/user
     assert streamed == expected
+
+
+def test_dedup_stream_batch_equivalence(spark, tmp_path):
+    """Streamed exact dedup == batch dedup_keep over the same parquet when
+    arrival order matches id order (streaming keeps first-arrival, batch
+    keeps min-id — identical under ordered ingest, the normal case for an
+    append-only corpus). 3 micro-batches with dups planted within AND
+    across batches."""
+    texts = {
+        0: "alpha document body", 1: "beta content here", 2: "Alpha  Document BODY",
+        3: "gamma text", 4: "beta content here", 5: "delta doc",
+        6: "ALPHA document body", 7: "epsilon item", 8: "gamma  TEXT",
+        9: "zeta final",
+    }
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    src = str(tmp_path / "dedup_eq")
+    os.makedirs(src)
+    ids = sorted(texts)
+    for b in range(3):
+        chunk = ids[b * 4:(b + 1) * 4]
+        if not chunk:
+            continue
+        pd.DataFrame(
+            {"ts": [base + pd.Timedelta(minutes=i) for i in chunk],
+             "doc_id": chunk, "text": [texts[i] for i in chunk]}
+        ).to_parquet(f"{src}/b{b}.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    from views_transformation_library_spark.streaming.dedup import dedup_stream
+
+    stream = (
+        spark.readStream.schema("ts timestamp, doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, watermark="1 day")
+        .writeStream.format("memory").queryName("dedup_eq_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = sorted(
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_eq_out").collect()
+        )
+    finally:
+        q.stop()
+
+    from views_transformation_library_spark.operators import dedup
+
+    batch = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep(spark.read.parquet(src)).collect()
+    )
+    # cross-batch dup (6 dups 0 across files) and in-batch dup (2 dups 0)
+    # both dropped; equivalence exact under id-ordered arrival
+    assert streamed == batch == [0, 1, 3, 5, 7, 9]
