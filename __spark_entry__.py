@@ -427,6 +427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # max-gap tolerance variant (merge_asof semantics; local-only row —
     # asof_join_orders holds the family's driver slot)
     q["asof_join_orders_tol"] = lambda s, d: _asof_query(s, d, ASOF_TOL_US)
+    # forward / nearest directions (merge_asof parity; local-only rows)
+    q["asof_join_orders_fwd"] = lambda s, d: _asof_query(
+        s, d, direction="forward"
+    )
+    q["asof_join_orders_nearest"] = lambda s, d: _asof_query(
+        s, d, direction="nearest"
+    )
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
 
     # --- flagship composition
@@ -690,11 +697,15 @@ ASOF_TOL_US = 30 * 86_400 * 1_000_000  # 30-day max-gap variant
 
 
 def _asof_query(
-    spark: SparkSession, sf_dir: str, tolerance: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Each event joined to the customer's latest order at or before the
     event time (microsecond precision on both engines). ``tolerance``
-    bounds the gap (merge_asof semantics): too-old matches become NULLs."""
+    bounds the gap (merge_asof semantics): too-old matches become NULLs;
+    ``direction`` selects backward/forward/nearest."""
     ev0 = P.read_events(spark, sf_dir)
     ev = ev0.select(
         "event_id",
@@ -722,7 +733,7 @@ def _asof_query(
     )
     out = relational.asof_join(
         ev, rd, "k", "ets", "ots", ["o_orderkey", "o_totalprice"],
-        tolerance=tolerance,
+        tolerance=tolerance, direction=direction,
     )
     return out.select(
         "event_id", F.col("k").alias("user_id"), "o_orderkey", "o_totalprice"
@@ -2219,6 +2230,51 @@ SELECT l.event_id, l.user_id,
        CASE WHEN l.ets - rd.ots <= {ASOF_TOL_US} THEN rd.o_orderkey END AS o_orderkey,
        CASE WHEN l.ets - rd.ots <= {ASOF_TOL_US} THEN rd.o_totalprice END AS o_totalprice
 FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
+"""
+    # forward: DuckDB's ASOF direction follows the inequality — l.ets <=
+    # rd.ots picks the EARLIEST order at or after the event
+    o["asof_join_orders_fwd"] = """
+WITH r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS ots, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
+SELECT l.event_id, l.user_id, rd.o_orderkey, rd.o_totalprice
+FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets <= rd.ots
+"""
+    # nearest: both directions via two ASOF joins on the unique event_id,
+    # closer match wins, distance ties prefer backward (pandas semantics)
+    o["asof_join_orders_nearest"] = """
+WITH r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS ots, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+rd AS (SELECT k, ots, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events),
+bwd AS (
+  SELECT l.event_id, l.user_id, l.ets, rd.ots AS bts,
+         rd.o_orderkey AS bk, rd.o_totalprice AS bp
+  FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets >= rd.ots
+),
+fwd AS (
+  SELECT l.event_id, rd.ots AS fts, rd.o_orderkey AS fk, rd.o_totalprice AS fp
+  FROM l ASOF LEFT JOIN rd ON l.user_id = rd.k AND l.ets <= rd.ots
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b.bts IS NULL THEN f.fk
+            WHEN f.fts IS NULL THEN b.bk
+            WHEN f.fts - b.ets < b.ets - b.bts THEN f.fk
+            ELSE b.bk END AS o_orderkey,
+       CASE WHEN b.bts IS NULL THEN f.fp
+            WHEN f.fts IS NULL THEN b.bp
+            WHEN f.fts - b.ets < b.ets - b.bts THEN f.fp
+            ELSE b.bp END AS o_totalprice
+FROM bwd b JOIN fwd f USING (event_id)
 """
     o["interval_join_events"] = """
 WITH pts AS (

@@ -183,3 +183,20 @@ def test_pack_windows_checkpoints_its_input(spark):
     plan = plans.physical_plan(out)
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """direction='nearest' computes both sweeps in ONE pass: same hash
+    partitioning for both window specs -> one exchange, two in-partition
+    sorts — never a second shuffle or a join of two asof results."""
+    from views_transformation_library_spark.operators import relational
+
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, ts long")
+    right = spark.createDataFrame([(1, 5, 55.0)], "k long, rts long, val double")
+    out = relational.asof_join(
+        left, right, "k", "ts", "rts", ["val"], direction="nearest"
+    )
+    plan = plans.physical_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window [") == 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -121,10 +121,11 @@ def test_asof_join_pandas_merge_asof_differential(spark):
         assert got[row["id"]] == want, f"id {row['id']}"
 
 
-def test_asof_join_tolerance_pandas_differential(spark):
-    """Same randomized differential with a max-gap tolerance — pandas
-    merge_asof(tolerance=...) defines the semantics: the best backward
-    match is NULLed when left_ts - right_ts exceeds the bound."""
+def test_asof_join_tolerance_and_directions_pandas_differential(spark):
+    """Randomized differential across ALL merge_asof configurations the
+    operator supports: direction in {backward, forward, nearest} x
+    tolerance in {None, 0, 7, 50} — pandas defines the semantics (nearest
+    ties prefer backward)."""
     import numpy as np
     import pandas as pd
 
@@ -137,21 +138,43 @@ def test_asof_join_tolerance_pandas_differential(spark):
     right_rows = [(k, t, float(k * 10000 + t)) for k, t in sorted(right_keys)]
     left = spark.createDataFrame(left_rows, "id long, k long, ts long")
     right = spark.createDataFrame(right_rows, "k long, rts long, val double")
-    for tol in (0, 7, 50):
-        got = {
-            r["id"]: r["val"]
-            for r in relational.asof_join(
-                left, right, "k", "ts", "rts", ["val"], tolerance=tol
-            ).collect()
-        }
-        lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
-        rp = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).sort_values("rts")
-        exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
-                            direction="backward", allow_exact_matches=True,
-                            tolerance=tol)
-        for _, row in exp.iterrows():
-            want = None if pd.isna(row["val"]) else float(row["val"])
-            assert got[row["id"]] == want, f"tol {tol} id {row['id']}"
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).sort_values("rts")
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 0, 7, 50):
+            got = {
+                r["id"]: r["val"]
+                for r in relational.asof_join(
+                    left, right, "k", "ts", "rts", ["val"],
+                    tolerance=tol, direction=direction,
+                ).collect()
+            }
+            exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
+                                direction=direction, allow_exact_matches=True,
+                                tolerance=tol)
+            for _, row in exp.iterrows():
+                want = None if pd.isna(row["val"]) else float(row["val"])
+                assert got[row["id"]] == want, f"{direction} tol {tol} id {row['id']}"
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    """Crafted equidistant case: left ts=10, rights at 5 and 15 — pandas
+    nearest takes the backward (earlier) match on distance ties."""
+    import pandas as pd
+
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 55.0), (1, 15, 155.0)], "k long, rts long, val double"
+    )
+    got = relational.asof_join(
+        left, right, "k", "ts", "rts", ["val"], direction="nearest"
+    ).collect()[0]["val"]
+    exp = pd.merge_asof(
+        pd.DataFrame({"id": [1], "k": [1], "ts": [10]}),
+        pd.DataFrame({"k": [1, 1], "rts": [5, 15], "val": [55.0, 155.0]}),
+        left_on="ts", right_on="rts", by="k", direction="nearest",
+    )["val"][0]
+    assert got == float(exp)
 
 
 def test_topk_per_group(spark):

@@ -79,33 +79,40 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row of the
-    same key with right_ts <= left_ts (a native operator Spark lacks;
-    DuckDB/kdb call it ASOF JOIN). With ``tolerance`` (same units as the
-    ts columns), a match additionally requires
-    left_ts - right_ts <= tolerance — pandas `merge_asof(tolerance=...)`
-    semantics: too-old matches become NULLs, the left row survives.
+    """As-of join (a native operator Spark lacks; DuckDB/kdb call it ASOF
+    JOIN), pandas `merge_asof` semantics across all three directions:
+
+    - ``backward`` (default): latest right row with right_ts <= left_ts;
+    - ``forward``: earliest right row with right_ts >= left_ts;
+    - ``nearest``: whichever of the two is closer in time (ties prefer
+      backward, matching pandas).
+
+    ``tolerance`` (same ts units) bounds the match gap per direction; an
+    out-of-tolerance match becomes NULLs, the left row survives.
 
     Union-trick implementation — exact and single-shuffle: tag both sides,
-    sort (key, ts, side) with right rows first at equal ts (inclusive <=),
-    then carry the right payload forward atomically (one struct, so NULL
-    fields in a matched right row never mix with earlier rows) and keep the
-    left rows. The matched right timestamp travels INSIDE that struct, so
-    the tolerance check is a cheap post-projection on the carried pair —
-    still one shuffle, and rows outside tolerance null the whole payload
-    atomically. Scales as a window over |left| + |right| rows — no
-    range-join blowup, no per-key loops. Duplicate right rows per
+    sort (key, ts, side) with right rows first at equal ts (inclusive on
+    both bounds), then carry the right payload atomically (one struct, so
+    NULL fields in a matched right row never mix with other rows) and keep
+    the left rows. Backward carries last-over-preceding; forward carries
+    over the REVERSED in-partition sort (same hash partitioning — Spark
+    adds a second in-partition sort, never a second exchange); nearest
+    computes both in the one pass and picks per row. The matched right
+    timestamp rides inside the struct, so tolerance/nearest checks are
+    cheap post-projections. Scales as a window over |left| + |right| rows —
+    no range-join blowup, no per-key loops. Duplicate right rows per
     (key, ts) are resolved DETERMINISTICALLY: the window ordering carries a
     payload-hash tie-break column, so the winner (greatest xxhash64 of the
-    right payload) is stable across partitionings and runs — fully
-    identical duplicates are indistinguishable and therefore trivially
-    stable too.
+    right payload) is stable across partitionings and runs.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     rtypes = dict(right.dtypes)
     ts_type = rtypes[right_ts]
     # the matched right row's ts rides inside the carried struct so the
-    # (payload, ts) pair stays atomic under last(ignorenulls)
+    # (payload, ts) pair stays atomic under last/first(ignorenulls)
     rrow_type = (
         "struct<__rts:" + ts_type + ","
         + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
@@ -135,26 +142,55 @@ def asof_join(
         ).alias("__rrow"),
     )
     unioned = lk.unionByName(rk)
-    w = (
+    # backward sweep: ascending ts, right rows first at equal ts so the
+    # inclusive <= sees them in the preceding frame
+    w_back = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "__side",
-        "__ts",
-        "__lrow",
-        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
+    # forward sweep: DESCENDING ts with right rows still first at equal ts
+    # (side asc) — last-over-preceding in this order is the earliest right
+    # row with rts >= ts, inclusive. Same partitioning, so Catalyst plans
+    # one exchange + two in-partition sorts, never a second shuffle.
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), "__side", F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carry = {"__side": F.col("__side"), "__ts": F.col("__ts"), "__lrow": F.col("__lrow")}
+    if direction in ("backward", "nearest"):
+        carry["__b"] = F.last("__rrow", ignorenulls=True).over(w_back)
+    if direction in ("forward", "nearest"):
+        carry["__f"] = F.last("__rrow", ignorenulls=True).over(w_fwd)
+    carried = unioned.select(*[expr.alias(name) for name, expr in carry.items()])
     out = carried.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        out = out.withColumn(
-            "__rrow",
-            F.when(
-                F.col("__ts") - F.col("__rrow.__rts") <= F.lit(tolerance),
-                F.col("__rrow"),
-            ),  # otherwise NULL: the whole payload nulls atomically
+
+    def _within(struct_col, gap):
+        cond = struct_col.isNotNull()
+        if tolerance is not None:
+            cond = cond & (gap <= F.lit(tolerance))
+        return F.when(cond, struct_col)
+
+    if direction == "backward":
+        rrow = _within(F.col("__b"), F.col("__ts") - F.col("__b.__rts"))
+    elif direction == "forward":
+        rrow = _within(F.col("__f"), F.col("__f.__rts") - F.col("__ts"))
+    else:
+        b = _within(F.col("__b"), F.col("__ts") - F.col("__b.__rts"))
+        f = _within(F.col("__f"), F.col("__f.__rts") - F.col("__ts"))
+        # nearest: closer wins; ties prefer backward (pandas semantics)
+        rrow = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(
+                F.col("__f.__rts") - F.col("__ts")
+                < F.col("__ts") - F.col("__b.__rts"),
+                f,
+            )
+            .otherwise(b)
         )
+    out = out.withColumn("__rrow", rrow)
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],
