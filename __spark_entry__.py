@@ -340,6 +340,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ok_tokens", "ok_word_len", "ok_symbol", "ok_alpha",
             "ok_stopwords", "ok_dup_lines", "ok_top_word", "keep")],
     )
+    # C4-style line-level cleaning filter (Raffel et al. 2020; local-only
+    # row — gopher_filter holds the quality family's driver slot). Cleaned
+    # text surfaces as md5 so the gate compares a fingerprint, not blobs.
+    q["c4_filter"] = lambda s, d: text.c4_filter(
+        _docs(s, d), line_sep=" line ", join_sep=" line ",
+    ).select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"),
+        "n_lines_total", "n_lines_kept", "n_sentences",
+        F.col("keep").cast("int").alias("keep"),
+    )
     # BM25 keyword retrieval (fixed-order term sum, rank on rounded score)
     q["bm25_topk"] = lambda s, d: retrieval.bm25_topk(
         _docs(s, d), BM25_TERMS, k=25
@@ -2020,6 +2030,29 @@ SELECT doc_id,
     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
   '\+[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS text_masked
 FROM documents
+"""
+    o["c4_filter"] = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         string_split_regex(text, ' line ') AS lines,
+         list_filter(string_split_regex(text, ' line '),
+           x -> regexp_matches(rtrim(x), '[.!?"]$')
+                AND len(string_split_regex(trim(x), '\s+')) >= 3
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, len(lines)::BIGINT AS n_lines_total,
+         len(kept)::BIGINT AS n_lines_kept,
+         coalesce(array_to_string(kept, ' line '), '') AS cleaned
+  FROM f
+)
+SELECT doc_id, md5(cleaned) AS clean_md5, n_lines_total, n_lines_kept,
+       len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+       (len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+        AND NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum'))::INT AS keep
+FROM c
 """
     o["gopher_filter"] = r"""
 WITH base AS (

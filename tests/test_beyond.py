@@ -1044,3 +1044,42 @@ def test_derived_n_centroids_resplits_with_corpus(spark):
         similarity._derived_n_centroids(df, 64)
         == 4 * similarity._derived_n_centroids(df.limit(128), 64)
     )
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    """Planted C4 rule cases: line retention (terminal punct, min words,
+    javascript ban) and document rejection (few sentences, curly braces,
+    lorem ipsum). Pure scan expressions — plan has no explode/shuffle."""
+    from views_transformation_library_spark import plans
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [
+        (1, "Good first line here.\nshort.\nNo terminal punct\n"
+            "contains JavaScript code today.\nAnother proper sentence stays!"),
+        (2, "Only one good sentence here."),          # < 3 sentences -> drop
+        (3, "Has braces { inside }. A sentence more. And a third one."),
+        (4, "Lorem Ipsum filler text here. Real sentence one. Real two!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.c4_filter(df).collect()}
+    # doc 1: lines 'short.' (<3 words), 'No terminal punct' (no punct),
+    # 'contains JavaScript...' (banned word) all drop; 2 survive
+    assert out[1]["n_lines_total"] == 5 and out[1]["n_lines_kept"] == 2
+    assert out[1]["text_clean"] == (
+        "Good first line here.\nAnother proper sentence stays!")
+    assert out[1]["keep"] is False  # only 2 sentences survive (< 3)
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is False  # curly brace
+    assert out[4]["keep"] is False  # lorem ipsum (case-insensitive)
+    plan = plans.physical_plan(T.c4_filter(df))
+    assert "Generate" not in plan and "Exchange" not in plan
+
+
+def test_c4_filter_keeps_clean_doc(spark):
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [(9, "One full sentence right here.\nSecond proper sentence now!\n"
+                "And a third sentence to finish?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = T.c4_filter(df).collect()[0]
+    assert r["keep"] is True and r["n_lines_kept"] == 3 and r["n_sentences"] == 3

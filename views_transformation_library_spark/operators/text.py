@@ -176,6 +176,57 @@ def mask_pii(
     return df.withColumn(out, c)
 
 
+def c4_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+    join_sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 3,
+    out: str = "text_clean",
+) -> DataFrame:
+    """C4-style cleaning filter (Raffel et al. 2020, §2.2 public rules):
+    line-level retention + document-level rejection, the standard
+    complement to the Gopher row rules.
+
+    Line rules (a line survives iff ALL hold):
+      - ends in terminal punctuation (. ! ? or a closing quote),
+      - has at least ``min_words_per_line`` whitespace words,
+      - does not contain the word 'javascript' (case-insensitive).
+    Document rules (``keep``):
+      - the CLEANED text has >= ``min_sentences`` sentence terminators,
+      - the raw text contains no curly brace (code page proxy),
+      - the raw text does not contain 'lorem ipsum' (case-insensitive).
+
+    Scale shape: the line filter is an array HOF (`split` + `filter` +
+    `array_join`) — pure scan expressions, no explode, no shuffle, no UDF;
+    a 100 TB corpus pays one pass. ``line_sep`` is a Java/RE2-portable
+    split regex; ``join_sep`` is the literal separator for the cleaned
+    text. Output adds: ``out`` (cleaned text), n_lines_total,
+    n_lines_kept, n_sentences, keep."""
+    lines = F.split(F.col(col), line_sep)
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= int(min_words_per_line))
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, join_sep)
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]")).cast("long")
+    return df.withColumns(
+        {
+            out: cleaned,
+            "n_lines_total": F.size(lines).cast("long"),
+            "n_lines_kept": F.size(kept).cast("long"),
+            "n_sentences": n_sent,
+            "keep": (n_sent >= int(min_sentences))
+            & ~F.col(col).contains("{")
+            & ~F.lower(F.col(col)).contains("lorem ipsum"),
+        }
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     col: str = "text",

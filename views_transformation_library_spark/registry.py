@@ -104,6 +104,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "weighted_sample": sampling.weighted_sample,
     "mask_pii": text.mask_pii,
     "gopher_filter": text.gopher_filter,
+    "c4_filter": text.c4_filter,
     "semantic_dedup": similarity.semantic_dedup,
     "pq_topk": similarity.pq_topk,
     "knn_graph": similarity.knn_graph,
