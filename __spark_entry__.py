@@ -340,6 +340,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ok_tokens", "ok_word_len", "ok_symbol", "ok_alpha",
             "ok_stopwords", "ok_dup_lines", "ok_top_word", "keep")],
     )
+    # Gopher n-gram repetition signals (local-only row; gopher_filter
+    # holds the family's driver slot). Output = doc_id + the 9 fractions.
+    q["ngram_repetition"] = lambda s, d: text.ngram_repetition_stats(
+        _docs(s, d)
+    ).select(
+        "doc_id",
+        *[f"top_{n}gram_char_frac" for n in (2, 3, 4)],
+        *[f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)],
+    )
     # C4-style line-level cleaning filter (Raffel et al. 2020; local-only
     # row — gopher_filter holds the quality family's driver slot). Cleaned
     # text surfaces as md5 so the gate compares a fingerprint, not blobs.
@@ -2030,6 +2039,62 @@ SELECT doc_id,
     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
   '\+[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS text_masked
 FROM documents
+"""
+    _tops = ",\n       ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN top END) * 1.0"
+        f" / nullif(max(CASE WHEN n = {n} THEN tot END), 0), 0.0), 6) + 0.0"
+        f" AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    _dups = ",\n       ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN dup END) * 1.0"
+        f" / nullif(max(CASE WHEN n = {n} THEN tot END), 0), 0.0), 6) + 0.0"
+        f" AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    o["ngram_repetition"] = rf"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+g AS (
+  SELECT w.doc_id, tn.n,
+         array_to_string(w.ws[ti.i : ti.i + tn.n - 1], ' ') AS g
+  FROM words w,
+       unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS tn(n),
+       unnest(generate_series(1, greatest(len(w.ws) - tn.n + 1, 0))) AS ti(i)
+),
+gc AS (
+  SELECT doc_id, n, g, count(*) AS c, count(*) * length(g) AS chars
+  FROM g GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY c DESC, chars DESC, g) AS rk
+  FROM gc
+),
+st AS (
+  SELECT doc_id, n, sum(chars) AS tot,
+         sum(CASE WHEN c > 1 THEN chars ELSE 0 END) AS dup,
+         max(CASE WHEN rk = 1 THEN chars END) AS top
+  FROM rk GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+       {_tops},
+       {_dups}
+  FROM st GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(w.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(w.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+       coalesce(w.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+       coalesce(w.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+       coalesce(w.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+       coalesce(w.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+       coalesce(w.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+       coalesce(w.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+       coalesce(w.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+FROM documents d LEFT JOIN wide w USING (doc_id)
 """
     o["c4_filter"] = r"""
 WITH f AS (

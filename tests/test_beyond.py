@@ -1083,3 +1083,26 @@ def test_c4_filter_keeps_clean_doc(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = T.c4_filter(df).collect()[0]
     assert r["keep"] is True and r["n_lines_kept"] == 3 and r["n_sentences"] == 3
+
+
+def test_ngram_repetition_stats_planted(spark):
+    """Planted repetition: 'spam spam spam spam' — every 2-gram is 'spam
+    spam' (top_2gram_char_frac = 1.0, dup too); a no-repeat doc scores
+    0.0 dup fractions; a doc shorter than n scores 0.0 for that n."""
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.ngram_repetition_stats(
+        df, top_ns=(2,), dup_ns=(5,)
+    ).collect()}
+    assert out[1]["top_2gram_char_frac"] == 1.0
+    # doc 2: all 2-grams distinct -> top = 1/5 of total 2-gram chars
+    assert 0.0 < out[2]["top_2gram_char_frac"] < 0.3
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    # doc 3 has no 5-grams at all
+    assert out[3]["dup_5gram_char_frac"] == 0.0

@@ -167,3 +167,25 @@ def test_iterative_ridge_converges_on_planted_linear_relation():
     # observed entries bit-identical
     assert (filled[~hide, 0] == a[~hide]).all()
     assert (filled[:, 1] == b).all()
+
+
+def test_impute_mice_draws_generator_matches_list(spark):
+    """The lazy generator surface (reference missing.py:212-230 shape)
+    materializes to exactly the list API's draws: same per-draw seeding,
+    deterministic results."""
+    import types
+
+    rows = [(t, 1, float(t) if t % 3 else None, float(t) * 2) for t in range(1, 10)]
+    df = make_panel(spark, rows, cols=("time_id", "unit_id", "a", "b"))
+    gen = missing.impute_mice_draws(
+        df, n_imputations=2, n_shards=1, sample_posterior=False
+    )
+    assert isinstance(gen, types.GeneratorType)
+    from_gen = [sorted(map(tuple, d.collect())) for d in gen]
+    from_list = [
+        sorted(map(tuple, d.collect()))
+        for d in missing.impute_mice(
+            df, n_imputations=2, n_shards=1, sample_posterior=False
+        )
+    ]
+    assert from_gen == from_list

@@ -332,3 +332,14 @@ def impute_mice(
         imputed = sharded.groupBy("__shard").applyInPandas(fn, schema=schema)
         out.append(imputed)
     return out
+
+
+def impute_mice_draws(df: DataFrame, n_imputations: int = 5, seed: int = 1, **kwargs):
+    """Reference-shaped surface: YIELD the imputation draws lazily (the
+    reference returns a generator of N frames, `missing.py:212-230`) —
+    each draw's plan is built on demand, so a consumer that stops early
+    never constructs the remaining jobs. Draw i uses seed + i, matching
+    `impute_mice`'s own per-draw seeding, so materializing the generator
+    equals the list API exactly."""
+    for i in range(int(n_imputations)):
+        yield impute_mice(df, n_imputations=1, seed=seed + i, **kwargs)[0]

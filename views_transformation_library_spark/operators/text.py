@@ -405,6 +405,99 @@ def repetition_stats(
     )
 
 
+def ngram_repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher's n-gram repetition signals (Rae et al. 2021, table A1):
+    ``top_{n}gram_char_frac`` for n in ``top_ns`` — characters in
+    occurrences of the MOST frequent word n-gram over total n-gram
+    characters — and ``dup_{n}gram_char_frac`` for n in ``dup_ns`` —
+    characters in n-grams occurring more than once over total. All
+    occurrences (incl. overlapping) are counted; characters are the
+    space-joined gram string's length; both ratios are exact
+    integer/integer divisions on per-(doc, n) sums, so the fractions are
+    self-normalized to [0, 1]. The top gram ties deterministically on
+    (count desc, chars desc, gram asc).
+
+    Scale shape: ONE explode emits (doc, n, gram) for every requested n
+    (per-n gram arrays are built with array HOFs and flattened — no
+    per-n passes), then two hash aggregates with map-side combine —
+    linear in Σ_n (words - n + 1) per document. Docs shorter than n
+    contribute nothing for that n and score 0.0."""
+    all_ns = sorted({*map(int, top_ns), *map(int, dup_ns)})
+    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z0-9]+"), 0)
+    base = df.select(F.col(id_col), words.alias("__ws"))
+
+    def _gram_fn(n: int):
+        # NOTE: must be a 1-arg lambda from a factory — a 2-parameter
+        # lambda (e.g. `lambda i, n=n`) is treated by pyspark's transform
+        # as an (element, index) callback and the array index silently
+        # shadows the bound n
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice("__ws", i, n)).alias("g"),
+        )
+
+    per_n = [
+        F.when(
+            F.size("__ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - (n - 1)), _gram_fn(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+        for n in all_ns
+    ]
+    exploded = base.select(
+        id_col, F.explode(F.flatten(F.array(*per_n))).alias("__t")
+    ).select(id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+    gc = exploded.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__c"))
+    gc = gc.withColumn("__chars", F.col("__c") * F.length("__g"))
+    w = Window.partitionBy(id_col, "__n").orderBy(
+        F.col("__c").desc(), F.col("__chars").desc(), F.col("__g")
+    )
+    st = (
+        gc.withColumn("__rk", F.row_number().over(w))
+        .groupBy(id_col, "__n")
+        .agg(
+            F.sum("__chars").alias("__tot"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__chars")).otherwise(F.lit(0))).alias("__dup"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__chars"))).alias("__top"),
+        )
+    )
+
+    def _frac(num, den):
+        return F.round(
+            F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ) + F.lit(0.0)
+
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            _frac(
+                F.max(F.when(F.col("__n") == n, F.col("__top"))),
+                F.max(F.when(F.col("__n") == n, F.col("__tot"))),
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            _frac(
+                F.max(F.when(F.col("__n") == n, F.col("__dup"))),
+                F.max(F.when(F.col("__n") == n, F.col("__tot"))),
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    wide = st.groupBy(id_col).agg(*aggs)
+    out = df.join(wide, id_col, "left")
+    frac_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    return out.na.fill(0.0, subset=frac_cols)
+
+
 def vocab_top_terms(
     df: DataFrame,
     n: int = 1000,

@@ -99,6 +99,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "containment_pairs": dedup.containment_pairs,
     "normalize_text": text.normalize_text,
     "repetition_stats": text.repetition_stats,
+    "ngram_repetition_stats": text.ngram_repetition_stats,
     "stratified_sample": sampling.stratified_sample,
     "split_column": sampling.split_column,
     "weighted_sample": sampling.weighted_sample,
