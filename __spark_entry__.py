@@ -387,6 +387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train_distributed=True,
     )
 
+    # PCA dimension reduction (basis on the bounded hash-sample — mod 1 at
+    # the oracle SF, so the oracle replicates the fit bit-exactly;
+    # projection is k scan-side zip_with folds). Local-only strict row.
+    q["embedding_pca"] = lambda s, d: similarity.embedding_pca(
+        _embs(s, d), k=4
+    ).select("vec_id", "pc0", "pc1", "pc2", "pc3")
     # product-quantization ADC top-k with exact rerank of the k*4 ADC
     # candidates (approx candidate set -> rows-only gate; recall is
     # pytest-checked against cosine_topk)
@@ -593,6 +599,38 @@ def _semantic_centroids(n_clusters: int | None = None) -> list[list[float]]:
     ).fetchall()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     return similarity.lloyd_kmeans(X, n_clusters or SEMANTIC_DEDUP_CLUSTERS)
+
+
+def _pca_oracle(k: int = 4) -> str:
+    """Replicate the Spark query's PCA fit for the oracle: at the oracle SF
+    the derived sample_mod is 1, so the fit consumes ALL vectors in vec_id
+    order — the same matrix through the same `similarity.pca_fit` yields a
+    bit-identical basis; the projection is the established
+    list_sum-comprehension mirror of the zip_with fold."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    mean, comps = similarity.pca_fit(X, k)
+    mean_sql = f"{[float(v) for v in mean]!r}::DOUBLE[]"
+    pcs = ",\n       ".join(
+        "round(list_sum([(e.embedding[i]::DOUBLE - m.m[i]) * "
+        f"({[float(v) for v in comp]!r}::DOUBLE[])[i] "
+        "for i in generate_series(1, len(e.embedding))]), 6) + 0.0"
+        f" AS pc{j}"
+        for j, comp in enumerate(comps)
+    )
+    return f"""
+WITH m(m) AS (VALUES ({mean_sql}))
+SELECT e.vec_id,
+       {pcs}
+FROM embeddings e, m
+"""
 
 
 def _semantic_dedup_oracle(keep: str = "min_id") -> str:
@@ -2175,6 +2213,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["semantic_dedup"] = _semantic_dedup_oracle()
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
     o["knn_graph"] = _knn_graph_oracle()
+    o["embedding_pca"] = _pca_oracle(4)
     o["ann_join"] = _knn_graph_oracle(
         query_filter="AND vec_id % 5 = 0", exclude_self=False
     )

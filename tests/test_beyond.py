@@ -1106,3 +1106,39 @@ def test_ngram_repetition_stats_planted(spark):
     assert out[2]["dup_5gram_char_frac"] == 0.0
     # doc 3 has no 5-grams at all
     assert out[3]["dup_5gram_char_frac"] == 0.0
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """Projection differential: Spark's zip_with folds on the hash-sample
+    basis equal a local numpy (X - mean) @ comps.T, and explained variance
+    is non-increasing across components."""
+    rng = np.random.RandomState(21)
+    base = rng.randn(60, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"])
+           for r in similarity.embedding_pca(df, k=3).collect()}
+    # replicate: sample_mod derives to 1 -> fit on all rows in id order,
+    # through the float32 storage round-trip
+    X32 = np.array([[np.float32(x) for x in base[i]] for i in range(60)],
+                   dtype=np.float64)
+    mean, comps = similarity.pca_fit(X32, 3)
+    proj = (X32 - np.array(mean)) @ np.array(comps).T
+    for i in range(60):
+        for j in range(3):
+            assert out[i][j] == pytest.approx(round(proj[i, j], 6), abs=2e-6), (i, j)
+    variances = np.var(proj, axis=0)
+    assert variances[0] >= variances[1] >= variances[2]
+
+
+def test_train_pca_distributed_close_to_sample_path(spark):
+    """The 100 TB Gram-partial fit agrees with the driver-sample fit when
+    both see every row (last-ulp float reduction order aside)."""
+    rng = np.random.RandomState(22)
+    base = rng.randn(80, 5)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    m1, c1 = similarity.train_pca(df, k=2, sample_mod=1)
+    m2, c2 = similarity.train_pca_distributed(df, k=2)
+    assert np.allclose(m1, m2, atol=1e-9)
+    assert np.allclose(c1, c2, atol=1e-7)

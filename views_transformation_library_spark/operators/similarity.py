@@ -247,6 +247,146 @@ def embedding_neardup_pairs(
     ).filter(F.col("cosine") >= t)
 
 
+def pca_fit(X: "np.ndarray", k: int) -> tuple[list[float], list[list[float]]]:
+    """Deterministic PCA basis from a sample matrix: covariance eigh, top-k
+    eigenvectors by descending eigenvalue, each component's sign
+    canonicalized so its largest-|entry| coordinate is positive (eigh's
+    sign is otherwise arbitrary — canonicalization makes the basis, and
+    every oracle replication of it, reproducible). Returns
+    (mean[dim], components[k][dim])."""
+    X = X.astype(np.float64, copy=False)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    C = (Xc.T @ Xc) / len(X)
+    wvals, vecs = np.linalg.eigh(C)
+    order = np.argsort(wvals)[::-1][: int(k)]
+    comps = vecs[:, order].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean.tolist(), comps.T.tolist()
+
+
+def train_pca(
+    vectors: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    sample_cap: int = 100_000,
+) -> tuple[list[float], list[list[float]]]:
+    """PCA basis from a BOUNDED deterministic driver sample (the
+    train_ivf_centroids pattern): xxhash64(id) % mod == 0 keeps ≤
+    ~sample_cap vectors regardless of table size, sorted by id so the
+    numpy pass is bit-reproducible — at 100 TB you fit the basis on ~1e5
+    hash-sampled vectors and PROJECT distributed."""
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = max(1, -(-n // sample_cap))
+    pdf = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    return pca_fit(X, k)
+
+
+def train_pca_distributed(
+    vectors: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """Fully distributed basis fit — the 100 TB path: each partition emits
+    ONE (count, sum, Gram) partial via mapInPandas (numpy accumulates
+    inside the task; nothing per-row crosses the wire), the driver reduces
+    #partitions small rows and runs the same eigh. Float reduction order
+    across partials costs a last-ulp nondeterminism vs the sample path, so
+    the strict gate trains via `train_pca`; closeness is pytest-attested."""
+    import pandas as pd
+
+    def partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if not len(X):
+                continue
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pca_distributed: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    dim = len(s)
+    g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    C = g / n - np.outer(mean, mean)
+    wvals, vecs = np.linalg.eigh(C)
+    order = np.argsort(wvals)[::-1][: int(k)]
+    comps = vecs[:, order].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean.tolist(), comps.T.tolist()
+
+
+def project_pca(
+    vectors: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project onto a fitted basis with pure column expressions:
+    pc_j = Σ_i (x_i − mean_i)·comp_ji as a left-associated zip_with fold —
+    the exact fold order DuckDB's list_sum comprehension reproduces
+    (CLAUDE.md float-parity rule), 6dp-rounded and -0.0-canonicalized.
+    Scan-side, no shuffle, no UDF; k folds of dim each."""
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    cols = {}
+    for j, comp in enumerate(components):
+        comp_lit = F.array(*[F.lit(float(v)) for v in comp])
+        centered = F.zip_with(
+            F.col(vec_col), mean_lit, lambda a, b: a.cast("double") - b
+        )
+        term = F.zip_with(centered, comp_lit, lambda a, b: a * b)
+        fold = F.aggregate(term, F.lit(0.0), lambda acc, v: acc + v)
+        cols[f"{prefix}{j}"] = F.round(fold, 6) + F.lit(0.0)
+    return vectors.withColumns(cols)
+
+
+def embedding_pca(
+    vectors: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Dimension reduction for an embedding column: fit on the bounded
+    hash-sample, project every row. Output: input + pc0..pc{k-1}."""
+    mean, comps = train_pca(
+        vectors, k, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+    )
+    return project_pca(vectors, mean, comps, vec_col=vec_col)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -109,6 +109,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "semantic_dedup": similarity.semantic_dedup,
     "pq_topk": similarity.pq_topk,
     "knn_graph": similarity.knn_graph,
+    "embedding_pca": similarity.embedding_pca,
     "ann_join": similarity.ann_join,
     "bm25_topk": retrieval.bm25_topk,
     "term_frequencies": retrieval.term_frequencies,
