@@ -271,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count_bpe"] = lambda s, d: text.token_count_bpe(_docs(s, d)).select(
         "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
     )
+    q["passage_dedup"] = lambda s, d: dedup.passage_dedup(
+        _docs(s, d), n_words=8
+    ).select("doc_id", "n_passages", "n_kept", "text_deduped")
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
     # benchmark decontamination: eval set = every 97th doc (deterministic
@@ -1851,6 +1854,38 @@ cc AS (
   SELECT e.src AS node, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
 )
 SELECT node, min(comp) AS component FROM cc GROUP BY node
+"""
+    # first-occurrence chunked-passage dedup: all integer/string output, no
+    # float parity concerns. Chunk bounds mirror dedup.passage_dedup exactly
+    # (ceil(len/8) passages, 1-based inclusive slices).
+    o["passage_dedup"] = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(ws[i.i*8+1 : i.i*8+8], ' ') AS passage
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1)) AS i
+  ) i
+  WHERE len(ws) > 0
+),
+k AS (
+  SELECT doc_id, pos, passage,
+         (row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos)) = 1 AS keep
+  FROM p
+),
+a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_passages,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY pos), '')
+           AS text_deduped
+  FROM k GROUP BY doc_id
+)
+SELECT d0.doc_id, coalesce(a.n_passages, 0) AS n_passages,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_deduped, '') AS text_deduped
+FROM documents d0 LEFT JOIN a USING (doc_id)
 """
     o["token_count_bpe"] = (
         r"SELECT doc_id, len(regexp_extract_all(text, '"

@@ -69,6 +69,34 @@ def test_exact_dedup(docs):
     assert groups[3] == 1
 
 
+def test_passage_dedup_first_occurrence_semantics(spark):
+    rows = [
+        (1, "a b c d e f"),   # passages (n=3): "a b c", "d e f" — both first
+        (2, "a b c x y z"),   # "a b c" already seen in doc 1 -> removed
+        (3, "d e f d e f"),   # both passages dup (first "d e f" is doc 1's)
+        (4, ""),              # zero passages, survives with empty text
+        (5, "q r"),           # short doc -> one sub-width passage
+        (6, "q r"),           # exact dup of doc 5's passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.passage_dedup(df, n_words=3).collect()}
+    assert (out[1]["n_passages"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["text_deduped"] == "a b c d e f"
+    assert out[2]["text_deduped"] == "x y z"
+    assert (out[3]["n_kept"], out[3]["text_deduped"]) == (0, "")
+    assert (out[4]["n_passages"], out[4]["text_deduped"]) == (0, "")
+    assert out[5]["text_deduped"] == "q r" and out[6]["text_deduped"] == ""
+
+
+def test_passage_dedup_partition_invariance(spark):
+    # first-occurrence is defined by (id, pos), not physical row order
+    rows = [(i, "dup passage text here") for i in range(10, 0, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    out = dedup.passage_dedup(df, n_words=4).collect()
+    kept = sorted(r["doc_id"] for r in out if r["n_kept"] == 1)
+    assert kept == [1]
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in
              dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}

@@ -410,3 +410,80 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 16,
+    out: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-level passage deduplication: split every document into
+    consecutive ``n_words``-token passages, keep only the globally FIRST
+    occurrence of each distinct passage (ordered by (id, passage index)),
+    and reassemble each document from its surviving passages in order.
+
+    This is the passage-granular counterpart of repeated-span removal in
+    LLM corpus curation (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — exact substring matching there;
+    RefinedWeb/Penedo et al. 2023 do it at paragraph granularity):
+    boilerplate repeated across pages is removed from every document
+    except the first one that contains it, instead of dropping whole
+    near-duplicate documents. The fixed-width passage definition keeps
+    the operator exactly SQL-expressible (the driver gate mirrors it in
+    DuckDB) where a suffix-array span match would not be.
+
+    Output: the input rows (all of them — documents reduced to zero
+    passages survive with an empty ``out``) plus
+    (n_passages, n_kept, ``out``).
+
+    Scale shape: tokenize + chunk are scan-side array expressions; ONE
+    wide shuffle keys the exploded passages by passage text for the
+    first-occurrence window (min-struct over the whole partition — no
+    sort-by-rank, so a hot boilerplate passage costs a big-but-cheap
+    min scan, not a per-row rank); the reassembly groupBy(id) and the
+    join back to the corpus co-partition on the id. Passage rows are
+    ~|corpus words| / n_words — the shuffle is a fraction of corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__pid"), tokens_expr(text_col).alias("__toks")
+    )
+    chunks = F.when(
+        F.size("__toks") > 0,
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(__toks) / {n_words}.0)) - 1), "
+            f"i -> concat_ws(' ', slice(__toks, i * {n_words} + 1, {n_words})))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    ex = toks.select("__pid", F.posexplode(chunks).alias("__pos", "__passage"))
+    w = Window.partitionBy("__passage")
+    kept = ex.withColumn(
+        "__first", F.min(F.struct(F.col("__pid"), F.col("__pos"))).over(w)
+    ).withColumn(
+        "__keep",
+        (F.col("__pid") == F.col("__first.__pid"))
+        & (F.col("__pos") == F.col("__first.__pos")),
+    )
+    agg = kept.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__pos", "__passage"))
+                    )
+                ),
+                lambda x: x["__passage"],
+            ),
+            " ",
+        ).alias(out),
+    )
+    return (
+        df.join(agg, F.col(id_col) == F.col("__pid"), "left")
+        .drop("__pid")
+        .withColumn("n_passages", F.coalesce("n_passages", F.lit(0).cast("long")))
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0).cast("long")))
+        .withColumn(out, F.coalesce(out, F.lit("")))
+    )

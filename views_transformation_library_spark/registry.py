@@ -87,6 +87,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "connected_components": dedup.connected_components,
     "token_count_bpe": text.token_count_bpe,
+    "passage_dedup": dedup.passage_dedup,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
