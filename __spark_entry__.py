@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["passage_dedup"] = lambda s, d: dedup.passage_dedup(
         _docs(s, d), n_words=8
     ).select("doc_id", "n_passages", "n_kept", "text_deduped")
+    q["fuzzy_dedup_keep"] = lambda s, d: dedup.fuzzy_dedup_keep(
+        _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
+    ).select("doc_id", "source", "n_chars")
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
     # benchmark decontamination: eval set = every 97th doc (deterministic
@@ -1405,6 +1408,31 @@ WHERE j.jac >= {threshold!r}
 """
 
 
+def _fuzzy_keep_oracle(n: int, n_hashes: int, bands: int, threshold: float) -> str:
+    """MinHash pairs -> recursive-CTE connected components -> anti-join
+    keep list: the SQL mirror of dedup.fuzzy_dedup_keep (same composition
+    the dedup_clusters oracle uses, applied back to the corpus)."""
+    pairs_sql = _minhash_oracle(n, n_hashes, bands, threshold)
+    head, final = pairs_sql.rsplit("SELECT j.a, j.b", 1)
+    return (
+        head.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + ",\ndpairs AS (\n  SELECT j.a, j.b"
+        + final
+        + """),
+edges AS (SELECT a AS src, b AS dst FROM dpairs UNION SELECT b AS src, a AS dst FROM dpairs),
+cc AS (
+  SELECT DISTINCT src AS node, src AS comp FROM edges
+  UNION
+  SELECT e.src AS node, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
+),
+comp AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+dropped AS (SELECT node FROM comp WHERE node <> component)
+SELECT d0.doc_id, d0.source, d0.n_chars
+FROM documents d0 ANTI JOIN dropped ON d0.doc_id = dropped.node
+"""
+    )
+
+
 def _kernel_values(inner: int, width: int, power: float, norm: int) -> str:
     """Kernel offsets as a SQL VALUES list (full-precision float repr)."""
     from views_transformation_library_spark.operators.spatial_grid import kernel_offsets
@@ -1845,6 +1873,7 @@ FROM documents GROUP BY 1
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
+    o["fuzzy_dedup_keep"] = _fuzzy_keep_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     o["dedup_clusters"] = _ngram_sql(3, 1000).replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """,
 dpairs AS (SELECT a, b FROM jacc WHERE jac >= 0.5),
 edges AS (SELECT a AS src, b AS dst FROM dpairs UNION SELECT b AS src, a AS dst FROM dpairs),

@@ -141,6 +141,19 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 20}
 
 
+def test_fuzzy_dedup_keep_end_to_end(spark):
+    # three exact copies (1,2,100) + one unrelated doc: keeper is min id,
+    # all non-clustered rows pass through untouched
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base), (100, base), (7, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep(df, n=2, threshold=0.8).collect()
+    )
+    assert kept == [1, 7]
+
+
 def test_dedup_clusters_end_to_end(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
     comps = dedup.connected_components(pairs)

@@ -487,3 +487,38 @@ def passage_dedup(
         .withColumn("n_kept", F.coalesce("n_kept", F.lit(0).cast("long")))
         .withColumn(out, F.coalesce(out, F.lit("")))
     )
+
+
+def fuzzy_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_hashes: int = 24,
+    bands: int = 6,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_iters: int = 20,
+) -> DataFrame:
+    """End-to-end fuzzy corpus deduplication: MinHash-LSH near-duplicate
+    pairs -> connected components over the pair graph -> keep exactly ONE
+    representative (the minimum id) per duplicate cluster, dropping the
+    rest. Rows in no cluster pass through untouched — the output is the
+    INPUT frame filtered, ready for the next pipeline stage (the standard
+    corpus-curation composition; cf. the GPT-3/Gopher dedup recipes built
+    from the same three stages).
+
+    Scale shape: pair generation and clustering run on the (small)
+    near-duplicate subgraph only; the final filter is a left_anti join of
+    the corpus against the drop list (nodes whose component label differs
+    from their own id) — AQE broadcasts it when small, so the 100 TB side
+    is shuffled at most once on the id.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, n_hashes, bands, threshold, seed
+    )
+    comp = connected_components(pairs, max_iters=max_iters)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -88,6 +88,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "connected_components": dedup.connected_components,
     "token_count_bpe": text.token_count_bpe,
     "passage_dedup": dedup.passage_dedup,
+    "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
