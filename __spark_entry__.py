@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_dedup_keep"] = lambda s, d: dedup.fuzzy_dedup_keep(
         _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("doc_id", "source", "n_chars")
+    q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
+        "doc_id", "n_tokens", "sum_logprob"
+    )
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
     # benchmark decontamination: eval set = every 97th doc (deterministic
@@ -1874,6 +1877,31 @@ SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     o["fuzzy_dedup_keep"] = _fuzzy_keep_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
+    # per-token logprob is rounded to 6dp BEFORE the fold on both engines;
+    # the per-doc sum is a position-ordered sequential fold (Spark aggregate
+    # == DuckDB list_sum over an ordered list) — the proven cosine shape.
+    o["unigram_logprob"] = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+counts AS (
+  SELECT w AS tok, count(*)::BIGINT AS c FROM tk, unnest(ws) AS t(w) GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS N, count(*)::BIGINT AS V FROM counts),
+lm AS (SELECT tok, round(ln((c + 0.5) / (N + 0.5 * V)), 6) AS lp FROM counts, tot),
+ex AS (
+  SELECT doc_id, i.i AS pos, ws[i.i] AS w
+  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
+  WHERE len(ws) > 0
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(list_sum(list(lp ORDER BY pos)), 6) + 0.0 AS s
+  FROM ex JOIN lm ON ex.w = lm.tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.s AS sum_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
     o["dedup_clusters"] = _ngram_sql(3, 1000).replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """,
 dpairs AS (SELECT a, b FROM jacc WHERE jac >= 0.5),
 edges AS (SELECT a AS src, b AS dst FROM dpairs UNION SELECT b AS src, a AS dst FROM dpairs),

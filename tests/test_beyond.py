@@ -51,6 +51,35 @@ def test_quality_score(docs):
     assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
 
 
+def test_unigram_logprob_frequency_ordering(spark):
+    # "common" appears many times corpus-wide, "rare" once: a doc made of
+    # common tokens must score higher (less negative) per token than one
+    # containing the rare token; empty doc passes through with 0 tokens.
+    rows = [
+        (1, "common common common common"),
+        (2, "common rare"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[3]["n_tokens"] == 0 and out[3]["sum_logprob"] is None
+    # exact check: p(common) = (5 + .5) / (6 + .5 * 2)
+    import math
+    lp_common = round(math.log(5.5 / 7.0), 6)
+    assert out[1]["sum_logprob"] == pytest.approx(4 * lp_common, abs=1e-6)
+
+
+def test_unigram_logprob_partition_invariance(spark):
+    rows = [(i, f"tok{i % 3} shared shared") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["sum_logprob"]
+         for r in text.unigram_logprob(df).collect()}
+    b = {r["doc_id"]: r["sum_logprob"]
+         for r in text.unigram_logprob(df.repartition(13)).collect()}
+    assert a == b
+
+
 def test_fingerprint_normalization(spark):
     rows = [(1, "  Hello   World "), (2, "hello world"), (3, "hello  world!")]
     df = spark.createDataFrame(rows, schema="doc_id long, text string")

@@ -626,3 +626,84 @@ def pack_windows(
         )
     )
     return out
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    out: str = "sum_logprob",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    log-probability of each document under an add-k-smoothed unigram LM
+    fit on the SAME corpus — the cheap, library-free stand-in for the
+    perplexity-based quality filters of the CCNet/LLaMA data recipes
+    (there: KenLM 5-gram; here: the unigram term, which already separates
+    natural text from boilerplate/noise by word-frequency profile).
+
+    p(t) = (c(t) + k) / (N + k·V); score = Σ_tokens round(ln p(t), 6),
+    emitted as ``out`` (round 6) plus n_tokens and avg_logprob. Unseen
+    tokens (scoring a held-out doc against this corpus's LM) get the
+    c=0 smoothed mass.
+
+    Float-parity discipline: each token's log-prob is rounded to 6dp
+    BEFORE the per-document sum, and the sum is a position-ordered
+    sequential list fold (collect_list sorted by token position →
+    aggregate), mirroring DuckDB's list_sum comprehension — the
+    hash-aggregate double-sum order dependence never enters.
+
+    Scale shape: ONE token hash-aggregate (map-side combined) builds the
+    LM; two scalars (N, V) come to the driver; scoring is an equi-join of
+    exploded tokens against the |vocab|-row LM table (AQE broadcasts it
+    when small) and a groupBy(id) fold. The corpus shuffles once on the
+    token and once on the id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__uid"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0).alias(
+            "__toks"
+        ),
+    )
+    counts = toks.select(F.explode("__toks").alias("__tok")).groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n_v = counts.agg(
+        F.sum("__c").alias("N"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    big_n, vocab_v = int(n_v["N"] or 0), int(n_v["V"] or 0)
+    if big_n == 0:
+        raise ValueError("unigram_logprob: corpus has no tokens to fit the LM on")
+    # identical literal arithmetic on both engines: (c + k) / (N + k*V)
+    lp = F.round(F.log((F.col("__c") + F.lit(k)) / F.expr(f"{big_n} + {k!r} * {vocab_v}")), 6)
+    lm = counts.select("__tok", lp.alias("__lp"))
+    unseen = F.round(
+        F.log(F.lit(k) / F.expr(f"{big_n} + {k!r} * {vocab_v}")), 6
+    )
+    ex = toks.select("__uid", F.posexplode("__toks").alias("__pos", "__tok"))
+    scored = ex.join(lm, "__tok", "left").select(
+        "__uid", "__pos", F.coalesce("__lp", unseen).alias("__lp")
+    )
+    agg = scored.groupBy("__uid").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__lp"))),
+                lambda x: x["__lp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    return (
+        df.join(agg, F.col(id_col) == F.col("__uid"), "left")
+        .drop("__uid")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("long")))
+        .withColumn(out, F.round(F.col("__sum"), 6) + F.lit(0.0))
+        .withColumn(
+            "avg_logprob",
+            F.round(F.col("__sum") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6)
+            + F.lit(0.0),
+        )
+        .drop("__sum")
+    )

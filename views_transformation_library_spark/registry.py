@@ -89,6 +89,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "token_count_bpe": text.token_count_bpe,
     "passage_dedup": dedup.passage_dedup,
     "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
+    "unigram_logprob": text.unigram_logprob,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
