@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
         _embs(s, d), threshold=0.45
     )
+    q["quantized_cosine_topk"] = lambda s, d: similarity.quantized_cosine_topk(
+        _embs(s, d), _queries(s, d), k=10
+    )
     q["lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _embs(s, d), _queries(s, d), k=10, n_planes=6
     )
@@ -2348,6 +2351,41 @@ scored AS (
   JOIN nrm nq ON nq.vec_id = q.vec_id
   JOIN nrm nv2 ON nv2.vec_id = v.vec_id
   WHERE q.vec_id % 50 = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored WHERE cosine IS NOT NULL
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+    # int8 quantize -> reconstruct -> exact cosine rank. floor(x/scale+0.5)
+    # on identical IEEE doubles is engine-exact (no decimal-repr rounding),
+    # so the dequantized arrays are bit-identical on both sides.
+    o["quantized_cosine_topk"] = f"""
+WITH dq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN [floor(x::DOUBLE / scale + 0.5) * scale FOR x IN embedding]
+              ELSE [0.0 FOR x IN embedding] END AS e
+  FROM (
+    SELECT vec_id, embedding,
+           coalesce(list_max([abs(x::DOUBLE) FOR x IN embedding]) / 127.0, 0.0)
+             AS scale
+    FROM embeddings
+  )
+),
+nrm AS (
+  SELECT vec_id, sqrt(list_sum([x * x FOR x IN e])) AS nv FROM dq
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_sum([q.e[i] * v.e[i] FOR i IN generate_series(1, len(q.e))])
+               / nullif(nq.nv * nv2.nv, 0.0), 6) + 0.0 AS cosine
+  FROM dq q
+  JOIN dq v ON v.vec_id != q.vec_id
+  JOIN nrm nq ON nq.vec_id = q.vec_id
+  JOIN nrm nv2 ON nv2.vec_id = v.vec_id
+  WHERE q.vec_id % 50 = 0 AND nq.nv > 0 AND nv2.nv > 0
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank

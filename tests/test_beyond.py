@@ -224,6 +224,41 @@ def vectors(spark):
     return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
 
 
+def test_quantize_embeddings_roundtrip_bound(vectors):
+    # |dequant - x| <= scale/2 per element; zero vector -> scale 0, all-zero q
+    from views_transformation_library_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+    df = vectors.union(
+        vectors.sparkSession.createDataFrame(
+            [(200, [0.0] * 8)], "vec_id long, embedding array<float>"
+        )
+    )
+    out = quantize_embeddings(df).withColumn("dq", dequantize_expr()).collect()
+    for r in out:
+        assert all(-127 <= qi <= 127 for qi in r["q"])
+        if r["scale"] == 0.0:
+            assert all(qi == 0 for qi in r["q"]) and r["vec_id"] == 200
+            continue
+        for x, d in zip(r["embedding"], r["dq"]):
+            assert abs(float(x) - d) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_float(vectors):
+    queries = vectors.filter(F.col("vec_id") == 100)
+    exact = {r["neighbor_id"] for r in
+             similarity.cosine_topk(vectors, queries, k=5).collect()}
+    quant = {r["neighbor_id"] for r in
+             similarity.quantized_cosine_topk(vectors, queries, k=5).collect()}
+    # int8 reconstruction keeps ~2 decimal places of each coordinate:
+    # the top-5 neighbour set should be nearly unchanged on this geometry
+    assert len(exact & quant) >= 4
+    # and the planted near-dup is always found first
+    top = similarity.quantized_cosine_topk(vectors, queries, k=1).collect()[0]
+    assert top["neighbor_id"] == 101
+
+
 def test_cosine_topk_exact(vectors):
     queries = vectors.filter(F.col("vec_id") == 100)
     out = similarity.cosine_topk(vectors, queries, k=3).collect()

@@ -1305,3 +1305,78 @@ def lsh_topk(
     )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     return _score_and_rank(pairs, k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column: the
+    100 TB memory/shuffle lever (array<tinyint> stores and shuffles at 1/4
+    of array<float>, before parquet byte-packing).
+
+    scale = max(|x|) / 127; q_i = floor(x_i / scale + 0.5) as TINYINT.
+    floor(· + 0.5) — not round() — is the DEFINITION on purpose: floor on
+    identical IEEE doubles is engine-exact, while Spark's round() rounds
+    the shortest decimal repr (BigDecimal HALF_UP) and diverges from
+    C-family rounding on boundary values (the divide_column lesson).
+    Zero/empty vectors quantize to all-zero with scale 0.
+
+    Pure scan-side array expressions: no shuffle, no UDF.
+    """
+    x = F.col(vec_col)
+    out = df.withColumn(
+        scale_col,
+        F.coalesce(
+            F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+            / F.lit(127.0),
+            F.lit(0.0),
+        ),
+    )
+    return out.withColumn(
+        q_col,
+        F.when(
+            F.col(scale_col) > 0,
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(
+                    v.cast("double") / F.col(scale_col) + F.lit(0.5)
+                ).cast("tinyint"),
+            ),
+        ).otherwise(
+            F.transform(F.col(vec_col), lambda v: F.lit(0).cast("tinyint"))
+        ),
+    )
+
+
+def dequantize_expr(q_col: str = "q", scale_col: str = "scale"):
+    """Reconstruction q_i * scale as a scan-side array expression."""
+    return F.transform(
+        F.col(q_col), lambda v: v.cast("double") * F.col(scale_col)
+    )
+
+
+def quantized_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine over int8-quantized vectors: quantize both sides,
+    reconstruct, and rank with the shared exact scorer — what a deployment
+    that stores embeddings quantized computes. Same output contract as
+    cosine_topk; recall vs the float path is a test concern
+    (test_beyond), not an operator knob.
+    """
+    dq = dequantize_expr()
+    v = quantize_embeddings(vectors, id_col, vec_col).select(
+        F.col(id_col), dq.alias(vec_col)
+    )
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col), dq.alias(vec_col)
+    )
+    return cosine_topk(v, q, k=k, id_col=id_col, vec_col=vec_col)

@@ -90,6 +90,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "passage_dedup": dedup.passage_dedup,
     "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
     "unigram_logprob": text.unigram_logprob,
+    "quantize_embeddings": similarity.quantize_embeddings,
+    "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
     "cosine_topk": similarity.cosine_topk,
