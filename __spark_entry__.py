@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, direction="nearest"
     )
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
+    q["time_bucket_rollup"] = lambda s, d: _time_rollup_query(s, d)
 
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
@@ -733,6 +734,18 @@ def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = relational.sessionize(ev_us, gap_minutes=30, ts_unit="us")
     return out.select(
         "unit_id", "session_id", "n_events", F.col("duration_ticks").alias("duration_us")
+    )
+
+
+def _time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    ev2 = ev.select(
+        P.epoch_micros(ev).alias("__us"), "event_type", "value"
+    )
+    out = relational.time_bucket_rollup(ev2)
+    return out.select(
+        "granularity", "bucket", "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -2445,6 +2458,32 @@ SELECT user_id AS unit_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        max(tus) - min(tus) AS duration_us
 FROM s GROUP BY 1, 2
+"""
+    # hour level from raw events, day level FROM the hour aggregate —
+    # DECIMAL sums make the chained rollup exactly associative, so the
+    # oracle's direct day aggregate matches byte-for-byte.
+    o["time_bucket_rollup"] = """
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+h AS (
+  SELECT bucket, event_type, count(*)::BIGINT AS n_events,
+         CAST(sum(v) AS DECIMAL(18,2)) AS sv
+  FROM e GROUP BY 1, 2
+),
+d AS (
+  SELECT bucket // 24 AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(sv) AS DECIMAL(18,2)) AS sv
+  FROM h GROUP BY 1, 2
+)
+SELECT 'hour' AS granularity, bucket, event_type, n_events,
+       CAST(sv AS DOUBLE) AS sum_value FROM h
+UNION ALL
+SELECT 'day' AS granularity, bucket, event_type, n_events,
+       CAST(sv AS DOUBLE) AS sum_value FROM d
 """
     o["pivot_event_types"] = """
 SELECT user_id,

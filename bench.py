@@ -58,6 +58,15 @@ HEADLINE = [
     "knn_graph",
     # r4 end-to-end corpus pipeline flagship (one scan + two shuffles)
     "llm_pipeline",
+    # r4 additions: cleaning/repetition rules, corpus-level passage +
+    # fuzzy dedup, LM quality scoring, PCA + int8-quantized similarity
+    "c4_filter",
+    "ngram_repetition",
+    "passage_dedup",
+    "fuzzy_dedup_keep",
+    "unigram_logprob",
+    "embedding_pca",
+    "quantized_cosine_topk",
 ]
 
 

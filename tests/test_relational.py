@@ -221,3 +221,44 @@ def test_interval_join_keyed(spark):
         pts, iv, "ts_s", "start_s", "end_s", bucket_width=4, key_col="k"
     )
     assert [(r["pid"], r["iv_id"]) for r in out.collect()] == [(1, 10)]
+
+
+# ---------------------------------------------------------------------------
+# time_bucket_rollup
+
+
+def _rollup_events(spark):
+    # 2 users-worth of events across 3 hours / 2 days, values with 2dp
+    rows = [
+        (0, "click", 1.25), (1800_000_000, "click", 2.50),
+        (3600_000_000, "view", 0.10), (5400_000_000, "click", 7.07),
+        (86400_000_000, "click", 3.33), (90000_000_000, "view", 9.99),
+    ]
+    return spark.createDataFrame(rows, "__us long, event_type string, value double")
+
+
+def test_time_bucket_rollup_levels_and_associativity(spark):
+    out = relational.time_bucket_rollup(_rollup_events(spark)).collect()
+    hours = {(r["bucket"], r["event_type"]): r for r in out if r["granularity"] == "hour"}
+    days = {(r["bucket"], r["event_type"]): r for r in out if r["granularity"] == "day"}
+    assert hours[(0, "click")]["n_events"] == 2
+    assert str(hours[(0, "click")]["sum_value"]) == "3.75"
+    # day level is rolled up FROM hours; must equal a direct day aggregate
+    assert days[(0, "click")]["n_events"] == 3
+    assert str(days[(0, "click")]["sum_value"]) == "10.82"
+    assert str(days[(1, "view")]["sum_value"]) == "9.99"
+
+
+def test_time_bucket_rollup_custom_widths_and_validation(spark):
+    import pytest as _pytest
+
+    ev = _rollup_events(spark)
+    # custom integer widths (30 min -> 2 h)
+    out = relational.time_bucket_rollup(
+        ev, granularities=(1800_000_000, 7200_000_000)
+    ).collect()
+    assert {r["granularity"] for r in out} == {"1800000000", "7200000000"}
+    with _pytest.raises(ValueError, match="exact multiple"):
+        relational.time_bucket_rollup(ev, granularities=("hour", 5000_000_000))
+    with _pytest.raises(ValueError, match="unknown granularity"):
+        relational.time_bucket_rollup(ev, granularities=("fortnight",))

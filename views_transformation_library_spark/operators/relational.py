@@ -301,3 +301,86 @@ def interval_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("__bk")
     )
+
+
+# canonical bucket widths in MICROSECONDS (finest -> coarsest)
+TIME_BUCKET_WIDTHS = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    epoch_us_col: str = "__us",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    granularities: tuple[str, ...] = ("hour", "day"),
+    value_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Multi-granularity time-bucket rollup — the continuous-aggregate /
+    OLAP-cube-over-time shape (TimescaleDB continuous aggregates, Druid
+    rollup): ONE pass over the raw events aggregates to the FINEST bucket;
+    every coarser level is then rolled up FROM the previous level's
+    aggregate, never from raw events again. At 100 TB that's the whole
+    point: the raw scan happens once, and each further level aggregates
+    |buckets_finer| rows.
+
+    ``epoch_us_col`` must hold integer epoch microseconds (use
+    panel.epoch_micros — type-adaptive across the testdata's nanos/micros
+    parquet generations). Buckets are integer indices us // width, so the
+    whole pipeline is integer-exact; each coarser width must be an exact
+    multiple of the previous one. The measure sums through DECIMAL
+    (``value_decimal``), which makes sums-of-sums exactly associative —
+    level k computed from level k-1 equals level k computed from raw, and
+    both engines agree byte-for-byte (the panel-aggregation parity rule).
+
+    Output: (granularity, bucket, *key_cols, n_events, sum_value) for
+    every requested granularity, unioned. Each intermediate level is
+    localCheckpointed — it feeds both its coarser level and the union
+    (the quadtree-levels lesson: un-checkpointed chained aggregates
+    re-run the whole chain per union branch).
+    """
+    from ..panel import materialize
+
+    widths = []
+    for g in granularities:
+        w = TIME_BUCKET_WIDTHS.get(g) if isinstance(g, str) else int(g)
+        if w is None:
+            raise ValueError(f"unknown granularity {g!r}; use one of "
+                             f"{sorted(TIME_BUCKET_WIDTHS)} or an int width in µs")
+        widths.append((str(g), w))
+    for (_, a), (_, b) in zip(widths, widths[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"granularities must be fine->coarse with exact multiples; "
+                f"{b} µs is not a multiple of {a} µs"
+            )
+    keys = list(key_cols)
+    g0, w0 = widths[0]
+    level = events.groupBy(
+        F.expr(f"{epoch_us_col} DIV {w0}").alias("bucket"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast(value_decimal))
+        .cast(value_decimal)
+        .alias("sum_value"),
+    )
+    out_levels = []
+    for i, (g, w) in enumerate(widths):
+        if i > 0:
+            ratio = w // widths[i - 1][1]
+            level = level.groupBy(
+                F.expr(f"bucket DIV {ratio}").alias("bucket"), *keys
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").cast(value_decimal).alias("sum_value"),
+            )
+        level = materialize(level)
+        out_levels.append(level.select(F.lit(g).alias("granularity"), "*"))
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -91,6 +91,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
     "unigram_logprob": text.unigram_logprob,
     "quantize_embeddings": similarity.quantize_embeddings,
+    "time_bucket_rollup": relational.time_bucket_rollup,
     "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
