@@ -40,6 +40,7 @@ from views_transformation_library_spark.operators import (
     text,
     trees,
 )
+from views_transformation_library_spark.sources import tables as srctables
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -473,6 +474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
     q["time_bucket_rollup"] = lambda s, d: _time_rollup_query(s, d)
+    q["zorder_key"] = lambda s, d: srctables.zorder_key(
+        s.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_linenumber"
+        ),
+        ["l_orderkey", "l_partkey"],
+        bits=16,
+    )
 
     # --- flagship composition
     q["flagship_decay_time_since"] = lambda s, d: _r6(
@@ -2485,6 +2493,12 @@ UNION ALL
 SELECT 'day' AS granularity, bucket, event_type, n_events,
        CAST(sv AS DOUBLE) AS sum_value FROM d
 """
+    # one generator emits both engines' spelling of the same Morton formula
+    o["zorder_key"] = (
+        "SELECT l_orderkey, l_partkey, l_linenumber, "
+        + srctables.zorder_key_sql(["l_orderkey", "l_partkey"], 16, "duckdb")
+        + "::BIGINT AS zorder FROM lineitem"
+    )
     o["pivot_event_types"] = """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -90,3 +90,60 @@ def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint up to boundary duplicates
     # full fidelity
     assert spark.read.parquet(path).count() == 10_000
+
+
+def _py_morton(vals, bits):
+    z = 0
+    k = len(vals)
+    for j, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * k + j)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 17, 65535, 70000) for y in (0, 1, 5, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = sources.zorder_key(df, ["x", "y"], bits=16).collect()
+    for r in out:
+        assert r["zorder"] == _py_morton([r["x"], r["y"]], 16)
+
+
+def test_zorder_key_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds 62"):
+        sources.zorder_key_sql(["a", "b", "c", "d"], bits=16)
+    with _pytest.raises(ValueError, match="at least one"):
+        sources.zorder_key_sql([], bits=8)
+
+
+def test_write_zordered_files_are_tight_on_both_dims(spark, tmp_path):
+    """Z-order layout: each file's bounding box covers a small fraction of
+    the (x, y) domain on BOTH dimensions — a single-column sort can only be
+    tight on its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 1 << 12
+    # x ~ row-major, y ~ bit-reversed x: decorrelated uniform grid
+    df = spark.range(n).selectExpr(
+        "id % 64 as x", "cast(conv(reverse(lpad(bin(id % 64), 6, '0')), 2, 10) as long) as y",
+        "id as payload"
+    )
+    path = str(tmp_path / "zord")
+    sources.write_zordered(df, path, ["x", "y"], bits=6, n_partitions=16)
+    areas = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        if xs:
+            areas.append(
+                (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1) / (64.0 * 64.0)
+            )
+    assert len(areas) >= 8
+    # average bounding-box area well under the full domain; random layout -> ~1.0
+    assert sum(areas) / len(areas) < 0.5
+    assert spark.read.parquet(path).count() == n

@@ -12,4 +12,7 @@ from .tables import (  # noqa: F401
     write_bucketed,
     write_parquet,
     write_range_sorted,
+    write_zordered,
+    zorder_key,
+    zorder_key_sql,
 )

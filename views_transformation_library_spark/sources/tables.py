@@ -170,3 +170,63 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
         raise NotImplementedError(
             "Delta Lake jars are not on the classpath in this environment"
         ) from exc
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16, dialect: str = "spark") -> str:
+    """Morton/Z-order interleave of ``len(cols)`` integer columns into one
+    BIGINT sort key: bit b of column j lands at position b*k + j. Values
+    are masked to ``bits`` low bits first (caller maps/normalizes into
+    [0, 2^bits)). One shared generator emits the Spark and DuckDB
+    spellings of the SAME integer formula (shiftleft/shiftright function
+    calls vs << >> operators), so the driver gate is engine-exact.
+    """
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key_sql needs at least one column")
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds 62 (BIGINT sign-safe)")
+    mask = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        for b in range(bits):
+            tgt = b * k + j
+            if dialect == "spark":
+                terms.append(
+                    f"shiftleft(shiftright(CAST({c} AS BIGINT) & {mask}, {b}) & 1, {tgt})"
+                )
+            else:
+                terms.append(
+                    f"((((CAST({c} AS BIGINT) & {mask}) >> {b}) & 1) << {tgt})"
+                )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out: str = "zorder"
+) -> DataFrame:
+    """Attach the Morton key as a column (see zorder_key_sql)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out, F.expr(zorder_key_sql(cols, bits, "spark")))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data-skipping layout: range-partition + sort the
+    corpus by the Morton key of ``cols``, so parquet min/max file stats
+    are simultaneously tight on EVERY interleaved dimension — a filter on
+    any of the z-ordered columns skips most files at planning time, where
+    a single-column range sort only helps its one column. This is the
+    standard Delta/Iceberg OPTIMIZE ZORDER layout, built from plain
+    repartitionByRange + sortWithinPartitions — no table format needed.
+    The key column is dropped from the files (recomputable)."""
+    keyed = zorder_key(df, cols, bits, out="__z")
+    out = keyed.repartitionByRange(int(n_partitions), "__z")
+    out = out.sortWithinPartitions("__z").drop("__z")
+    out.write.mode(mode).parquet(path)
