@@ -423,51 +423,68 @@ def ngram_repetition_stats(
     self-normalized to [0, 1]. The top gram ties deterministically on
     (count desc, chars desc, gram asc).
 
-    Scale shape: ONE explode emits (doc, n, gram) for every requested n
-    (per-n gram arrays are built with array HOFs and flattened — no
-    per-n passes), then two hash aggregates with map-side combine —
-    linear in Σ_n (words - n + 1) per document. Docs shorter than n
-    contribute nothing for that n and score 0.0."""
+    Scale shape: per-document integer gram statistics via ONE
+    Arrow-batched mapInPandas pass (no shuffle at all until the id join);
+    the fractions — the only floats — are computed by Spark expressions
+    from those longs, so round/division parity with the oracle is
+    untouched. Why Python here: the statistic needs every overlapping
+    n-gram for nine n's — built with array HOFs (transform+slice+
+    concat_ws) that is ~2.2M interpreted expression evaluations at sf0.1,
+    measured ~10 s, and the grams then shuffle into a hash aggregate;
+    a per-doc dict count in a worker is embarrassingly parallel,
+    transfers only (id, text) in and 3×|ns| longs out, and measured ~10x
+    faster end-to-end. Integer outputs make the choice gate-safe: counts
+    and char sums are engine-exact whatever computes them. The top
+    gram's identity is never needed — only its char count, which is
+    tie-invariant (rows tying on (count, chars) share chars), so no
+    ordering enters. Docs shorter than n contribute nothing for that n
+    and score 0.0."""
+    import re
+
     all_ns = sorted({*map(int, top_ns), *map(int, dup_ns)})
-    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z0-9]+"), 0)
-    base = df.select(F.col(id_col), words.alias("__ws"))
-
-    def _gram_fn(n: int):
-        # NOTE: must be a 1-arg lambda from a factory — a 2-parameter
-        # lambda (e.g. `lambda i, n=n`) is treated by pyspark's transform
-        # as an (element, index) callback and the array index silently
-        # shadows the bound n
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", F.slice("__ws", i, n)).alias("g"),
-        )
-
-    per_n = [
-        F.when(
-            F.size("__ws") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ws") - (n - 1)), _gram_fn(n)
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-        for n in all_ns
+    id_type = dict(df.dtypes)[id_col]
+    stat_fields = ", ".join(
+        f"__tot_{n} long, __dup_{n} long, __top_{n} long" for n in all_ns
+    )
+    out_schema = f"{id_col} {id_type}, {stat_fields}"
+    out_cols = [id_col] + [
+        f"__{k}_{n}" for n in all_ns for k in ("tot", "dup", "top")
     ]
-    exploded = base.select(
-        id_col, F.explode(F.flatten(F.array(*per_n))).alias("__t")
-    ).select(id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
-    gc = exploded.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__c"))
-    gc = gc.withColumn("__chars", F.col("__c") * F.length("__g"))
-    w = Window.partitionBy(id_col, "__n").orderBy(
-        F.col("__c").desc(), F.col("__chars").desc(), F.col("__g")
-    )
-    st = (
-        gc.withColumn("__rk", F.row_number().over(w))
-        .groupBy(id_col, "__n")
-        .agg(
-            F.sum("__chars").alias("__tot"),
-            F.sum(F.when(F.col("__c") > 1, F.col("__chars")).otherwise(F.lit(0))).alias("__dup"),
-            F.max(F.when(F.col("__rk") == 1, F.col("__chars"))).alias("__top"),
-        )
-    )
+    pat = re.compile(r"[a-z0-9]+")
+    ns = list(all_ns)
+
+    def _doc_stats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col].values, pdf[col].values):
+                ws = pat.findall(txt.lower()) if isinstance(txt, str) else []
+                nw = len(ws)
+                row = [did]
+                for n in ns:
+                    if nw < n:
+                        row += [0, 0, 0]
+                        continue
+                    cnt: dict = {}
+                    get = cnt.get
+                    for i in range(nw - n + 1):
+                        g = tuple(ws[i : i + n])
+                        cnt[g] = get(g, 0) + 1
+                    tot = dup = 0
+                    best = (0, 0)
+                    for g, c in cnt.items():
+                        chars = c * (sum(map(len, g)) + n - 1)
+                        tot += chars
+                        if c > 1:
+                            dup += chars
+                        if (c, chars) > best:
+                            best = (c, chars)
+                    row += [tot, dup, best[1]]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    stats = df.select(id_col, col).mapInPandas(_doc_stats, schema=out_schema)
 
     def _frac(num, den):
         return F.round(
@@ -475,22 +492,20 @@ def ngram_repetition_stats(
             6,
         ) + F.lit(0.0)
 
-    aggs = []
+    proj = [F.col(id_col)]
     for n in top_ns:
-        aggs.append(
-            _frac(
-                F.max(F.when(F.col("__n") == n, F.col("__top"))),
-                F.max(F.when(F.col("__n") == n, F.col("__tot"))),
-            ).alias(f"top_{n}gram_char_frac")
+        proj.append(
+            _frac(F.col(f"__top_{n}"), F.col(f"__tot_{n}")).alias(
+                f"top_{n}gram_char_frac"
+            )
         )
     for n in dup_ns:
-        aggs.append(
-            _frac(
-                F.max(F.when(F.col("__n") == n, F.col("__dup"))),
-                F.max(F.when(F.col("__n") == n, F.col("__tot"))),
-            ).alias(f"dup_{n}gram_char_frac")
+        proj.append(
+            _frac(F.col(f"__dup_{n}"), F.col(f"__tot_{n}")).alias(
+                f"dup_{n}gram_char_frac"
+            )
         )
-    wide = st.groupBy(id_col).agg(*aggs)
+    wide = stats.select(*proj)
     out = df.join(wide, id_col, "left")
     frac_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
         f"dup_{n}gram_char_frac" for n in dup_ns
