@@ -325,11 +325,27 @@ def test_minhash_band_validation(docs):
 
 def test_connected_components_nonconvergence_raises(spark):
     # a 6-node chain needs ~5 rounds; max_iters=2 must raise, not lie
+    # (driver_cap=0 forces the distributed path — the union-find fast
+    # path solves any driver-sized graph without iterating)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 7)], schema="a long, b long"
     )
     with pytest.raises(RuntimeError):
-        dedup.connected_components(pairs, max_iters=2)
+        dedup.connected_components(pairs, max_iters=2, driver_cap=0)
+
+
+def test_connected_components_paths_agree(spark):
+    # union-find fast path == distributed propagation on the same graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 30), (30, 21)],
+        schema="a long, b long",
+    )
+    fast = {(r["node"], r["component"])
+            for r in dedup.connected_components(pairs).collect()}
+    dist = {(r["node"], r["component"])
+            for r in dedup.connected_components(pairs, driver_cap=0).collect()}
+    assert fast == dist
+    assert (4, 1) in fast and (21, 20) in fast
 
 
 def test_lsh_topk_recall(vectors):

@@ -246,22 +246,63 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 20
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+    driver_cap: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair graph: each node labeled with
     the minimum id reachable from it (the cluster's canonical keeper).
 
-    Iterated min-label propagation: each round joins every node's label with
-    its neighbours' labels and takes the min; converges in O(diameter)
-    rounds (dup clusters are shallow — a handful of rounds in practice),
-    checked via a driver-side fixpoint count per round. All set-based —
-    works on billions of pairs; no GraphFrames dependency.
+    Two exact paths behind a runtime size gate (the spacetime driver_cap
+    pattern): the near-dup pair graph is usually TINY next to the corpus
+    (it only contains documents with a verified near-duplicate), so when
+    the distinct edge list fits the ``driver_cap`` bound it is collected
+    once and solved with union-find on the driver — O(E α) and ZERO
+    iterative Spark jobs, identical labels by construction. Past the cap,
+    iterated min-label propagation: each round joins every node's label
+    with its neighbours' labels and takes the min; converges in
+    O(diameter) rounds (dup clusters are shallow), checked via a
+    driver-side fixpoint count per round. All set-based — works on
+    billions of pairs; no GraphFrames dependency.
 
     Returns (node, component) for every node appearing in pairs.
     """
+    und = materialize(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).distinct()
+    )
+    if und.count() <= driver_cap:
+        id_type = dict(pairs.dtypes)[a_col]
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in und.collect():
+            a, b = row["src"], row["dst"]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots: dict = {}
+        for v in parent:
+            r = find(v)
+            if r not in roots or v < roots[r]:
+                roots[r] = v
+        labels = [(v, roots[find(v)]) for v in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            labels, schema=f"node {id_type}, component {id_type}"
+        )
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(

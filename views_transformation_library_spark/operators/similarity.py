@@ -76,19 +76,25 @@ def _score_and_rank(pairs: DataFrame, k: int) -> DataFrame:
     cos = _dot(F.col("__qv"), F.col("__vv")) / F.nullif(
         F.col("__qn") * F.col("__vn"), F.lit(0.0)
     )
-    # zero-norm exclusion happens on the CHEAP norm columns before scoring:
-    # a filter on the computed cosine would be pushed below the projection
-    # and evaluate the whole dot expression twice per pair (measured 2x the
-    # scoring cost at sf0.1). With positive norms the cosine is never NULL,
-    # so no post-filter is needed; nullif stays as belt-and-braces.
+    # Zero-norm exclusion must NOT be a pre-filter: any predicate above the
+    # per-row projections gets pushed below them with alias substitution,
+    # re-deriving the norm (and, for the quantized path, the whole
+    # quantize-roundtrip chain) inside the scan predicate — the
+    # llm_pipeline lesson, measured +1.8 s at sf0.1 here. Instead the
+    # nullif makes zero-norm cosines NULL, NULLS-LAST ordering parks them
+    # after every real neighbour (so valid rows' ranks are unchanged), and
+    # the filter sits ABOVE the rank window — a pushdown barrier.
     # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a true cosine in (-5e-7, 0)
     # rounds to -0.0 in DuckDB but +0.0 via Spark's BigDecimal round; the
     # driver hash is byte-exact, so both sides must agree)
-    scored = pairs.filter((F.col("__qn") > 0) & (F.col("__vn") > 0)).select(
+    scored = pairs.select(
         "query_id", "neighbor_id", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & F.col("cosine").isNotNull())
+    )
 
 
 def cosine_topk(
@@ -1372,11 +1378,35 @@ def quantized_cosine_topk(
     cosine_topk; recall vs the float path is a test concern
     (test_beyond), not an operator knob.
     """
-    dq = dequantize_expr()
-    v = quantize_embeddings(vectors, id_col, vec_col).select(
-        F.col(id_col), dq.alias(vec_col)
+    def _roundtrip(df: DataFrame) -> DataFrame:
+        # fused quantize+dequantize: floor(x/scale + 0.5) * scale in ONE
+        # array pass (the int8 codes themselves are a storage concern —
+        # the top-k path only needs the reconstructed values, and HOF
+        # passes are interpreted, so one fewer pass is ~30% here)
+        s = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__x"),
+            F.coalesce(
+                F.array_max(F.transform(vec_col, lambda v: F.abs(v.cast("double"))))
+                / F.lit(127.0),
+                F.lit(0.0),
+            ).alias("__s"),
+        )
+        return s.select(
+            id_col,
+            F.when(
+                F.col("__s") > 0,
+                F.transform(
+                    "__x",
+                    lambda v: F.floor(
+                        v.cast("double") / F.col("__s") + F.lit(0.5)
+                    ) * F.col("__s"),
+                ),
+            )
+            .otherwise(F.transform("__x", lambda v: F.lit(0.0)))
+            .alias(vec_col),
+        )
+
+    return cosine_topk(
+        _roundtrip(vectors), _roundtrip(queries), k=k, id_col=id_col, vec_col=vec_col
     )
-    q = quantize_embeddings(queries, id_col, vec_col).select(
-        F.col(id_col), dq.alias(vec_col)
-    )
-    return cosine_topk(v, q, k=k, id_col=id_col, vec_col=vec_col)
