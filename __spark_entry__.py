@@ -164,6 +164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators themselves are covered by pytest + reference differentials.
     q["mean"] = lambda s, d: _exact_mean_query(s, d, demean=False)
     q["demean"] = lambda s, d: _exact_mean_query(s, d, demean=True)
+    q["standardize"] = lambda s, d: temporal.standardize(_panel(s, d)).select(
+        P.TIME, P.UNIT, "value"
+    )
+    q["rolling_median"] = lambda s, d: temporal.rolling_median(
+        _panel(s, d).filter(F.col("value").isNotNull()), 12
+    ).select(P.TIME, P.UNIT, "value")
     q["cweq"] = lambda s, d: temporal.cweq(
         scalar.greater_or_equal(_panel(s, d), 100.0), 0
     )
@@ -1526,6 +1532,34 @@ def oracle_sql() -> dict[str, str]:
     o["mean"] = PSQL + f"SELECT time_id, unit_id, round({dec_mean.format(p='unit_id')}, 6) AS value FROM panel"
     o["demean"] = PSQL + f"SELECT time_id, unit_id, round(value - ({dec_mean.format(p='unit_id')}), 6) AS value FROM panel"
 
+    # z-score: both moments through exact DECIMAL sums (value fixed-2dp →
+    # value² fixed-4dp), then one fixed double expression; var clamped at 0
+    # for the all-equal fp case; σ=0 → NULL via nullif (both engines)
+    o["standardize"] = PSQL + """
+SELECT time_id, unit_id,
+       round((value - m) / nullif(sqrt(greatest(s2 - m * m, 0.0)), 0.0), 6) + 0.0
+         AS value
+FROM (
+  SELECT time_id, unit_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / count(value) OVER w AS m,
+         CAST(sum(CAST(value * value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+           / count(value) OVER w AS s2
+  FROM panel WINDOW w AS (PARTITION BY unit_id)
+)
+"""
+    # discrete trailing median = lower-middle of the sorted frame — an
+    # actual data value, engine-exact; null rows filtered on BOTH sides
+    # (Spark collect_list skips nulls, DuckDB list() keeps them)
+    o["rolling_median"] = PSQL + """
+SELECT time_id, unit_id, (list_sort(l))[(len(l) + 1) // 2] AS value
+FROM (
+  SELECT time_id, unit_id,
+         list(value) OVER (PARTITION BY unit_id ORDER BY time_id
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l
+  FROM panel WHERE value IS NOT NULL
+)
+"""
     o["cweq"] = PSQL + "," + CWEQ_SQL + """
 SELECT time_id, unit_id,
        CAST(sum(m) OVER (PARTITION BY unit_id, blk ORDER BY time_id

@@ -67,6 +67,8 @@ HEADLINE = [
     "unigram_logprob",
     "embedding_pca",
     "quantized_cosine_topk",
+    "time_bucket_rollup",
+    "zorder_key",
 ]
 
 

@@ -200,3 +200,32 @@ def test_asof_nearest_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window [") == 2, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_quantized_topk_roundtrip_evaluated_once_per_side(spark):
+    """The quantize-roundtrip (FLOOR chain) must appear exactly once per
+    join side in the optimized plan. A zero-norm PRE-filter used to be
+    pushed below the projections with alias substitution, re-deriving the
+    whole chain in the scan predicate (+1.8 s at sf0.1); the exclusion now
+    lives above the rank window."""
+    from views_transformation_library_spark.operators import similarity
+
+    vec = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.quantized_cosine_topk(
+        vec, vec.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FLOOR") == 2
+    assert plan.count("array_max") == 2
+
+
+def test_passage_dedup_two_shuffles(spark):
+    """passage_dedup: one wide shuffle on the passage key (window min) and
+    the id-keyed reassembly/join — no rank sort, no extra scans."""
+    from views_transformation_library_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.passage_dedup(docs, n_words=8)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") <= 4  # passage, groupBy id, join sides
+    assert "SortMergeJoin" in phys or "BroadcastHashJoin" in phys

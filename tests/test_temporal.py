@@ -130,3 +130,26 @@ def test_temporal_entropy(spark):
     df2 = make_panel(spark, rows2)
     expected = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))
     assert vals(temporal.temporal_entropy(df2, 2))[1] == pytest.approx(expected)
+
+
+def test_standardize(two_units):
+    # unit 10: 1,2,3,4 -> mean 2.5, pop sigma = sqrt(1.25)
+    out = vals(temporal.standardize(two_units))
+    sig = math.sqrt(1.25)
+    exp = [round((x - 2.5) / sig, 6) for x in (1.0, 2.0, 3.0, 4.0)]
+    assert out[:4] == pytest.approx(exp, abs=1e-9)
+    # unit 11 is 10x unit 10: identical z-scores (scale invariance)
+    assert out[4:] == out[:4]
+
+
+def test_standardize_constant_series_is_null(spark):
+    pn = make_panel(spark, [(t, 1, 7.0) for t in range(1, 4)])
+    assert vals(temporal.standardize(pn)) == [None, None, None]
+
+
+def test_rolling_median(spark):
+    pn = make_panel(
+        spark, [(t, 1, v) for t, v in enumerate([5.0, 1.0, 9.0, 3.0, 7.0])]
+    )
+    # window=3, lower-middle median: [5], [1,5], [1,5,9], [1,3,9], [3,7,9]
+    assert vals(temporal.rolling_median(pn, 3)) == [5.0, 1.0, 5.0, 3.0, 7.0]

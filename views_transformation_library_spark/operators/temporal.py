@@ -238,3 +238,46 @@ def temporal_entropy(
     S = F.sum(xlog).over(w)
     h = F.when(X > 0, F.log2(X) - S / X).otherwise(F.lit(0.0))
     return df.withColumn(out or col, h)
+
+
+def standardize(
+    df: DataFrame, col: str | None = None, out: str | None = None
+) -> DataFrame:
+    """Per-unit z-score (beyond-reference; the feature-scaling companion of
+    `demean`): (s - mean) / σ with population σ.
+
+    Float-parity discipline: both moments go through exact DECIMAL sums —
+    value is fixed-2dp so value² is fixed-4dp, and DECIMAL(18,2)/(38,4)
+    sums are order-independent — then a fixed double expression
+    (Σx²/n − mean², clamped at 0 for the all-equal fp case) computes σ.
+    Zero σ yields NULL (constant series has no z-score) instead of an
+    ANSI DIVIDE_BY_ZERO."""
+    col = col or one_feature(df)
+    w = Window.partitionBy(UNIT)
+    n = F.count(col).over(w)
+    mean_d = F.sum(F.col(col).cast("decimal(18,2)")).over(w).cast("double") / n
+    sxx_d = (
+        F.sum((F.col(col) * F.col(col)).cast("decimal(38,4)")).over(w).cast("double")
+        / n
+    )
+    var = F.greatest(sxx_d - mean_d * mean_d, F.lit(0.0))
+    z = (F.col(col) - mean_d) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return df.withColumn(out or col, F.round(z, 6) + F.lit(0.0))
+
+
+def rolling_median(
+    df: DataFrame, window: int, col: str | None = None, out: str | None = None
+) -> DataFrame:
+    """Exact discrete trailing median over the last ``window`` rows per
+    unit (beyond-reference; the robust companion of `moving_average`):
+    the lower-middle element of the sorted trailing values — always an
+    ACTUAL data value, so no float arithmetic is invented and both
+    engines agree exactly. Trailing ROWS frames are order-deterministic
+    (the safe window-aggregate class). O(window log window) per row via
+    collect+sort on the frame — fine for panel-sized windows (the
+    reference's windows are 12-ish); a streaming histogram would replace
+    it for window >> 10³."""
+    col = col or one_feature(df)
+    arr = F.array_sort(F.collect_list(col).over(_trailing(window)))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    return df.withColumn(out or col, med)

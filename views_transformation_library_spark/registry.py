@@ -92,6 +92,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "unigram_logprob": text.unigram_logprob,
     "quantize_embeddings": similarity.quantize_embeddings,
     "time_bucket_rollup": relational.time_bucket_rollup,
+    "standardize": temporal.standardize,
+    "rolling_median": temporal.rolling_median,
     "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
