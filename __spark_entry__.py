@@ -287,6 +287,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
         "doc_id", "n_tokens", "sum_logprob"
     )
+    q["chunk_text"] = lambda s, d: retrieval.chunk_text(
+        _docs(s, d), size=24, overlap=8
+    )
+    q["rrf_fuse"] = lambda s, d: retrieval.rrf_fuse(
+        [
+            similarity.cosine_topk(_embs(s, d), _queries(s, d), k=10),
+            similarity.quantized_cosine_topk(_embs(s, d), _queries(s, d), k=10),
+        ]
+    )
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=3)
     # benchmark decontamination: eval set = every 97th doc (deterministic
@@ -2448,6 +2457,43 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
+    o["chunk_text"] = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         ws[i.i*16+1 : i.i*16+24] AS ch, len(ws) AS nw
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws)/16.0) AS INT) - 1)) AS i
+  ) i
+  WHERE len(ws) > 0
+)
+SELECT doc_id, chunk_idx, array_to_string(ch, ' ') AS chunk_text,
+       len(ch)::INT AS n_words
+FROM c WHERE chunk_idx = 0 OR chunk_idx*16 + 8 < nw
+"""
+    # hybrid fusion of the two strict top-k oracles: fixed left-to-right
+    # contribution sum (never a hash agg), rank on the ROUNDED score
+    o["rrf_fuse"] = f"""
+WITH ra AS ({{cos}}), rb AS ({{quant}}),
+j AS (
+  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         coalesce(ra.neighbor_id, rb.neighbor_id) AS doc_id,
+         coalesce(1.0::DOUBLE / (60 + ra.rank), 0.0)
+           + coalesce(1.0::DOUBLE / (60 + rb.rank), 0.0) AS s
+  FROM ra FULL JOIN rb
+    ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id
+)
+SELECT query_id, doc_id, round(s, 6) + 0.0 AS rrf,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY round(s, 6) + 0.0 DESC, doc_id
+       ) AS INT) AS rrf_rank
+FROM j
+"""
+    o["rrf_fuse"] = o["rrf_fuse"].format(
+        cos=o["cosine_topk"], quant=o["quantized_cosine_topk"]
+    )
     o["embedding_neardup"] = _COSINE_COMP_SQL + f""",
 scored AS (
   SELECT a.vec_id AS a, b.vec_id AS b,

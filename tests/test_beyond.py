@@ -1263,3 +1263,49 @@ def test_train_pca_distributed_close_to_sample_path(spark):
     m2, c2 = similarity.train_pca_distributed(df, k=2)
     assert np.allclose(m1, m2, atol=1e-9)
     assert np.allclose(c1, c2, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# chunking + fusion
+
+
+def test_chunk_text_windows_and_tails(spark):
+    from views_transformation_library_spark.operators import retrieval
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+        (2, "a b"),                                  # shorter than size
+        (3, ""),                                     # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_words"])
+        for r in retrieval.chunk_text(df, size=8, overlap=4)
+        .orderBy("doc_id", "chunk_idx").collect()
+    ]
+    # doc 1: starts 0 and 4 (start 8 is subsumed: 8 + 4 >= 10)
+    assert out == [
+        (1, 0, "w0 w1 w2 w3 w4 w5 w6 w7", 8),
+        (1, 1, "w4 w5 w6 w7 w8 w9", 6),
+        (2, 0, "a b", 2),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        retrieval.chunk_text(df, size=8, overlap=8)
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    from views_transformation_library_spark.operators import retrieval
+
+    ra = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    rb = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    out = {r["doc_id"]: (r["rrf"], r["rrf_rank"])
+           for r in retrieval.rrf_fuse([ra, rb], k=60).collect()}
+    # doc 11 in both lists wins; 10 and 12 tie-break... 1/61 > 1/62
+    assert out[11][0] == round(1 / 62 + 1 / 61, 6) and out[11][1] == 1
+    assert out[10] == (round(1 / 61, 6), 2)
+    assert out[12] == (round(1 / 62, 6), 3)

@@ -357,3 +357,87 @@ def test_dedup_stream_batch_equivalence(spark, tmp_path):
     # cross-batch dup (6 dups 0 across files) and in-batch dup (2 dups 0)
     # both dropped; equivalence exact under id-ordered arrival
     assert streamed == batch == [0, 1, 3, 5, 7, 9]
+
+
+def test_sliding_sum_stream_batch_equivalence(spark, tmp_path):
+    """Streamed sliding-window sums across micro-batches (including a
+    late-but-in-watermark arrival) == one batch groupBy over the same
+    files. Append mode only emits windows the watermark has CLOSED, so a
+    far-future flush event forces every real window out."""
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.streaming.windows import (
+        sliding_sum_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    b1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 12:00", "2024-01-02 03:00"]
+            ),
+            "user_id": [1, 1, 2],
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    b1.to_parquet(src + "/b1.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = sliding_sum_stream(
+        stream, window="1 day", slide="12 hours", watermark="6 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late event still inside the watermark, + flush event
+        b2 = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-02 01:00", "2024-03-01 00:00"]),
+                "user_id": [2, 99],
+                "value": [8.0, 0.0],
+            }
+        )
+        b2.to_parquet(src + "/b2.parquet", coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        q.processAllAvailable()
+        streamed = {
+            (r["unit_id"], r["window_start"]): (r["moving_sum"], r["n_events"])
+            for r in spark.sql("SELECT * FROM slide_out").collect()
+            if r["unit_id"] != 99
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(src)
+        .filter(F.col("user_id") != 99)
+        .groupBy(
+            F.window("ts", "1 day", "12 hours").alias("__w"),
+            F.col("user_id").alias("unit_id"),
+        )
+        .agg(F.sum("value").alias("moving_sum"), F.count("*").alias("n_events"))
+        .select(F.col("__w.start").alias("window_start"), "unit_id",
+                "moving_sum", "n_events")
+    )
+    expected = {
+        (r["unit_id"], r["window_start"]): (r["moving_sum"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    # the late 01:00 event really landed in both its sliding windows
+    assert sum(1 for (u, _) in expected if u == 2) >= 2

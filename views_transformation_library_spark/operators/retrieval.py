@@ -215,3 +215,89 @@ SELECT {id_col}, bm25,
 FROM scored
 QUALIFY rank <= {int(k)}
 """
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG-ingestion shape): word
+    windows of ``size`` tokens starting every ``size - overlap`` tokens,
+    one output row per chunk — (id, chunk_idx, chunk_text, n_words).
+    Chunks start while any words remain, so the trailing chunk may be
+    short; empty documents produce no chunks (explode semantics,
+    documented). Pure scan-side array expressions + one posexplode — no
+    shuffle, no UDF; at 100 TB this is a map-only pass whose output is
+    ~1/(1-overlap/size)x the corpus."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < size ({size})")
+    stride = size - overlap
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    chunks = F.when(
+        F.size("__toks") > 0,
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(__toks) / {stride}.0)) - 1), "
+            f"i -> slice(__toks, i * {stride} + 1, {size}))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    ex = base.select(
+        id_col, F.size("__toks").alias("__nw"),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    )
+    # a chunk starting at i*stride only adds content if the PREVIOUS chunk
+    # (which covers through i*stride + overlap) stopped short of the end:
+    # trailing subsumed/empty slices are dropped, genuine short tails kept
+    return ex.filter(
+        (F.col("chunk_idx") == 0)
+        | (F.col("chunk_idx") * stride + overlap < F.col("__nw"))
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        F.size("__chunk").alias("n_words"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings — the standard hybrid-retrieval combiner (dense + sparse +
+    rerankers): score(q, d) = Σ_i 1/(k + rank_i(q, d)), summed over the
+    rankings that retrieved (q, d).
+
+    Float parity: the contributions are combined in a FIXED left-to-right
+    expression over the full-outer-joined per-ranking columns (never a
+    hash-aggregate double sum), rounded to 6dp, and re-ranked on the
+    ROUNDED score with doc-id tie-breaks — the established rules. N-1
+    equi-joins on (query, doc): rankings are top-k lists, tiny next to
+    their corpora."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        c = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (
+                F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias(f"__c{i}"),
+        )
+        out = c if out is None else out.join(c, ["query_id", "doc_id"], "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        t = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        score = t if score is None else score + t
+    fused = out.select(
+        "query_id", "doc_id", (F.round(score, 6) + F.lit(0.0)).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return fused.withColumn("rrf_rank", F.row_number().over(w))

@@ -94,6 +94,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "time_bucket_rollup": relational.time_bucket_rollup,
     "standardize": temporal.standardize,
     "rolling_median": temporal.rolling_median,
+    "chunk_text": retrieval.chunk_text,
+    "rrf_fuse": retrieval.rrf_fuse,
     "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
