@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
     q["time_bucket_rollup"] = lambda s, d: _time_rollup_query(s, d)
+    q["funnel"] = lambda s, d: _funnel_query(s, d)
+    q["cohort_retention"] = lambda s, d: _cohort_query(s, d)
+    q["tfidf"] = lambda s, d: retrieval.tfidf(_docs(s, d))
     q["zorder_key"] = lambda s, d: srctables.zorder_key(
         s.read.parquet(f"{d}/lineitem.parquet").select(
             "l_orderkey", "l_partkey", "l_linenumber"
@@ -770,6 +773,22 @@ def _time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "granularity", "bucket", "event_type", "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def _funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    ev2 = ev.select(
+        "user_id", "event_type", P.epoch_micros(ev).alias("__t")
+    )
+    return relational.funnel(
+        ev2, steps=["click", "view", "purchase"], ts_col="__t"
+    )
+
+
+def _cohort_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    ev2 = ev.select("user_id", P.epoch_day(ev).alias("__day"))
+    return relational.cohort_retention(ev2)
 
 
 def _pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,6 +2591,49 @@ SELECT 'hour' AS granularity, bucket, event_type, n_events,
 UNION ALL
 SELECT 'day' AS granularity, bucket, event_type, n_events,
        CAST(sv AS DOUBLE) AS sum_value FROM d
+"""
+    # greedy earliest-completion funnel: stacked window mins, each step's
+    # candidate set conditioned on the previous step's chosen time
+    o["funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'click' THEN t END)
+                 OVER (PARTITION BY user_id) AS s1 FROM e),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND t > s1 THEN t END)
+                 OVER (PARTITION BY user_id) AS s2 FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > s2 THEN t END)
+                 OVER (PARTITION BY user_id) AS s3 FROM w2)
+SELECT user_id AS unit_id, min(s1) AS step_1_ts, min(s2) AS step_2_ts,
+       min(s3) AS step_3_ts,
+       CAST(CASE WHEN min(s3) IS NOT NULL THEN 3
+                 WHEN min(s2) IS NOT NULL THEN 2
+                 WHEN min(s1) IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_reached
+FROM w3 GROUP BY user_id
+"""
+    o["cohort_retention"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+  FROM events
+),
+c AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS cohort_day FROM a)
+SELECT cohort_day, d - cohort_day AS day_offset, count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2
+"""
+    o["tfidf"] = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS dfr FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM documents),
+lm AS (
+  SELECT term, round(ln((nd + 1.0) / (dfr + 1.0)) + 1.0, 6) AS idf FROM dfq, n
+)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf::DOUBLE * lm.idf, 6) + 0.0 AS weight
+FROM tf JOIN lm USING (term)
 """
     # one generator emits both engines' spelling of the same Morton formula
     o["zorder_key"] = (

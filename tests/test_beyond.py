@@ -1309,3 +1309,20 @@ def test_rrf_fuse_combines_and_ranks(spark):
     assert out[11][0] == round(1 / 62 + 1 / 61, 6) and out[11][1] == 1
     assert out[10] == (round(1 / 61, 6), 2)
     assert out[12] == (round(1 / 62, 6), 3)
+
+
+def test_tfidf_weights(spark):
+    from views_transformation_library_spark.operators import retrieval
+
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["weight"])
+           for r in retrieval.tfidf(df).collect()}
+    idf = lambda dfr: round(math.log(4.0 / (dfr + 1.0)) + 1.0, 6)
+    assert out[(1, "apple")] == (2, round(2 * idf(1), 6))
+    assert out[(1, "banana")][0] == 1 and out[(2, "banana")][0] == 1
+    # banana appears in 2 docs -> lower idf than apple
+    assert out[(1, "banana")][1] < out[(1, "apple")][1] / 2 + 1e-9
+    # min_df drops singletons
+    kept = {r["term"] for r in retrieval.tfidf(df, min_df=2).collect()}
+    assert kept == {"banana"}

@@ -262,3 +262,47 @@ def test_time_bucket_rollup_custom_widths_and_validation(spark):
         relational.time_bucket_rollup(ev, granularities=("hour", 5000_000_000))
     with _pytest.raises(ValueError, match="unknown granularity"):
         relational.time_bucket_rollup(ev, granularities=("fortnight",))
+
+
+# ---------------------------------------------------------------------------
+# funnel + cohort retention
+
+
+def test_funnel_ordered_semantics(spark):
+    # user 1 completes a->b->c in order; user 2 has c BEFORE b (no step 3);
+    # user 3 only a; user 4 nothing relevant
+    rows = [
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        (2, "a", 10), (2, "c", 15), (2, "b", 20),
+        (3, "a", 5),
+        (4, "x", 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, __t long")
+    out = {r["unit_id"]: r for r in
+           relational.funnel(ev, ["a", "b", "c"], ts_col="__t").collect()}
+    assert (out[1]["step_1_ts"], out[1]["step_2_ts"], out[1]["step_3_ts"]) == (10, 20, 30)
+    assert out[1]["steps_reached"] == 3
+    assert out[2]["steps_reached"] == 2 and out[2]["step_3_ts"] is None
+    assert out[3]["steps_reached"] == 1
+    assert out[4]["steps_reached"] == 0
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # b appears between two a's: greedy picks a@1 then b@5; a second chance
+    # (a@10, b@?) must not be needed
+    rows = [(1, "a", 1), (1, "a", 10), (1, "b", 5)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, __t long")
+    out = relational.funnel(ev, ["a", "b"], ts_col="__t").collect()[0]
+    assert (out["step_1_ts"], out["step_2_ts"], out["steps_reached"]) == (1, 5, 2)
+
+
+def test_cohort_retention_triangle(spark):
+    # user 1 first day 0, active days 0,1,3; user 2 first day 1, active 1;
+    # user 3 first day 0, active 0,1
+    rows = [(1, 0), (1, 1), (1, 3), (1, 1), (2, 1), (3, 0), (3, 1)]
+    ev = spark.createDataFrame(rows, "user_id long, __day long")
+    out = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in relational.cohort_retention(ev).collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 2 and out[(0, 3)] == 1
+    assert out[(1, 0)] == 1
+    assert (1, 1) not in out

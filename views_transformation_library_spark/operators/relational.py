@@ -384,3 +384,78 @@ def time_bucket_rollup(
     for lv in out_levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time each step
+    can be completed IN ORDER (step k's event must be strictly after the
+    chosen step k-1 event — the classic product-analytics funnel, greedy
+    earliest-completion semantics, which is optimal: taking the earliest
+    valid event for each step never excludes a later completion).
+
+    Output: (user_id, step_1_ts..step_K_ts, steps_reached). ONE shuffle:
+    all K step times are stacked conditional window-mins over the same
+    user partition — min(ts WHERE type=s_k AND ts > t_{k-1}) — so the
+    whole funnel is a single pass whatever K is. Times are integer epoch
+    ticks (caller supplies, e.g. panel.epoch_micros) — engine-exact.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    out = events
+    prev: F.Column | None = None
+    ts_cols = []
+    for k, s in enumerate(steps, start=1):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        t_k = F.min(F.when(cond, F.col(ts_col))).over(w)
+        name = f"step_{k}_ts"
+        out = out.withColumn(name, t_k)
+        ts_cols.append(name)
+        prev = F.col(name)
+    # single row per user
+    agg = out.groupBy(F.col(user_col).alias("unit_id")).agg(
+        *[F.min(c).alias(c) for c in ts_cols]
+    )
+    reached = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        reached = F.when(F.col(f"step_{k}_ts").isNotNull(), F.lit(k)).otherwise(
+            reached
+        )
+    return agg.withColumn("steps_reached", reached.cast("int"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    epoch_day_col: str = "__day",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their FIRST active
+    day; for every (cohort_day, day_offset) the number of cohort users
+    active exactly day_offset days after their first day. The classic
+    growth-analytics rollup, all integer counting.
+
+    Two hash aggregates: distinct (user, day) activity (map-side
+    combined), a cohort window-min per user, then the (cohort, offset)
+    count — shuffle volume is active-days, then one row per user-day.
+    ``epoch_day_col`` holds integer epoch days (panel.epoch_day).
+    """
+    act = events.select(
+        F.col(user_col).alias("u"), F.col(epoch_day_col).alias("d")
+    ).distinct()
+    with_cohort = act.withColumn(
+        "cohort_day", F.min("d").over(Window.partitionBy("u"))
+    )
+    return (
+        with_cohort.groupBy(
+            "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

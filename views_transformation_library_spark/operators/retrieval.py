@@ -301,3 +301,47 @@ def rrf_fuse(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return fused.withColumn("rrf_rank", F.row_number().over(w))
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF document-term weights (the classic IR vectorization,
+    sklearn's smooth-idf convention): idf(t) = ln((N+1)/(df_t+1)) + 1,
+    weight = tf · idf. Output exploded as (id, term, tf, weight) — the
+    sparse representation IS the scalable one (a dense vocab-width array
+    per doc is exactly what breaks at web scale). ``min_df`` drops
+    hapax-style noise terms.
+
+    Float parity: idf is rounded to 6dp straight off the ln, weight is
+    round(tf · idf_r6, 6) — products of identical doubles, engine-exact.
+    Plan: one (doc, term) hash aggregate (map-side combined), one term
+    aggregate for document frequencies, one join back on the term (AQE
+    broadcasts small vocabularies); N is a driver scalar.
+    """
+    terms = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("__d", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("__df") >= min_df)
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("__df") + F.lit(1.0))) + 1.0, 6
+    )
+    return (
+        tf.join(dfreq.select("term", idf.alias("__idf")), "term")
+        .select(
+            F.col("__d").alias(id_col),
+            "term",
+            "tf",
+            (F.round(F.col("tf") * F.col("__idf"), 6) + F.lit(0.0)).alias("weight"),
+        )
+    )

@@ -96,6 +96,9 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "rolling_median": temporal.rolling_median,
     "chunk_text": retrieval.chunk_text,
     "rrf_fuse": retrieval.rrf_fuse,
+    "tfidf": retrieval.tfidf,
+    "funnel": relational.funnel,
+    "cohort_retention": relational.cohort_retention,
     "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
     "simhash_pairs": dedup.simhash_pairs,
