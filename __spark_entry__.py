@@ -491,6 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["time_bucket_rollup"] = lambda s, d: _time_rollup_query(s, d)
     q["funnel"] = lambda s, d: _funnel_query(s, d)
     q["cohort_retention"] = lambda s, d: _cohort_query(s, d)
+    q["transition_counts"] = lambda s, d: relational.transition_counts(
+        P.read_events(s, d)
+    )
+    q["mad_outliers"] = lambda s, d: temporal.mad_outliers(_panel(s, d)).select(
+        P.TIME, P.UNIT, "value", "unit_median", "unit_mad", "is_outlier"
+    )
     q["tfidf"] = lambda s, d: retrieval.tfidf(_docs(s, d))
     q["zorder_key"] = lambda s, d: srctables.zorder_key(
         s.read.parquet(f"{d}/lineitem.parquet").select(
@@ -2609,6 +2615,39 @@ SELECT user_id AS unit_id, min(s1) AS step_1_ts, min(s2) AS step_2_ts,
                  WHEN min(s1) IS NOT NULL THEN 1 ELSE 0 END AS INT)
          AS steps_reached
 FROM w3 GROUP BY user_id
+"""
+    o["transition_counts"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n_transitions
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+    # both medians are the exact lower-middle discrete statistic computed
+    # from the SAME sorted per-unit array — actual data values, engine-exact
+    o["mad_outliers"] = PSQL + """
+, agg AS (
+  SELECT unit_id, list_sort(list(value)) AS arr FROM panel GROUP BY unit_id
+),
+m1 AS (
+  SELECT unit_id, arr,
+         CASE WHEN len(arr) > 0 THEN arr[(len(arr) + 1) // 2] END AS unit_median
+  FROM agg
+),
+m2 AS (
+  SELECT unit_id, unit_median,
+         CASE WHEN len(arr) > 0 THEN
+           (list_sort([abs(x - unit_median) FOR x IN arr]))[(len(arr) + 1) // 2]
+         END AS unit_mad
+  FROM m1
+)
+SELECT p.time_id, p.unit_id, p.value, m2.unit_median, m2.unit_mad,
+       CAST(abs(p.value - m2.unit_median) > 3.0 * m2.unit_mad AS INT)
+         AS is_outlier
+FROM panel p JOIN m2 USING (unit_id)
 """
     o["cohort_retention"] = """
 WITH a AS (

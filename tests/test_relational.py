@@ -306,3 +306,17 @@ def test_cohort_retention_triangle(spark):
     assert out[(0, 0)] == 2 and out[(0, 1)] == 2 and out[(0, 3)] == 1
     assert out[(1, 0)] == 1
     assert (1, 1) not in out
+
+
+def test_transition_counts(spark):
+    rows = [
+        (1, 1, "a", 10), (2, 1, "b", 20), (3, 1, "a", 30),
+        (4, 2, "a", 5), (5, 2, "a", 6),
+        (6, 3, "c", 1),  # single event: no transition
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    out = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in relational.transition_counts(ev).collect()}
+    assert out == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}

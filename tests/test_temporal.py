@@ -153,3 +153,18 @@ def test_rolling_median(spark):
     )
     # window=3, lower-middle median: [5], [1,5], [1,5,9], [1,3,9], [3,7,9]
     assert vals(temporal.rolling_median(pn, 3)) == [5.0, 1.0, 5.0, 3.0, 7.0]
+
+
+def test_mad_outliers(spark):
+    # unit 1: tight cluster + one wild value; unit 2: constant (MAD 0)
+    rows = [(t, 1, v) for t, v in enumerate([10.0, 11.0, 9.0, 10.0, 100.0])]
+    rows += [(t, 2, 5.0) for t in range(3)]
+    pn = make_panel(spark, rows)
+    out = {(r["unit_id"], r["time_id"]): r
+           for r in temporal.mad_outliers(pn, k=3.0).collect()}
+    # unit 1: sorted [9,10,10,11,100] -> median 10; |x-10| sorted
+    # [0,0,1,1,90] -> MAD 1; only 100 exceeds 10 +/- 3
+    assert out[(1, 4)]["is_outlier"] == 1 and out[(1, 4)]["unit_mad"] == 1.0
+    assert all(out[(1, t)]["is_outlier"] == 0 for t in range(4))
+    # constant unit: MAD 0 -> nothing beats the threshold
+    assert all(out[(2, t)]["is_outlier"] == 0 for t in range(3))

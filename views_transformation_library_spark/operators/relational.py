@@ -459,3 +459,30 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tie_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order event-transition counts (the Markov-chain view of user
+    behaviour): for each consecutive pair of events per user (time order,
+    ``tie_col`` breaking equal timestamps deterministically), count
+    (from_type, to_type) occurrences corpus-wide.
+
+    One window shuffle on the user + one map-side-combined hash aggregate
+    over |type|² keys — trivially scalable. Integer output.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    nxt = events.withColumn("__next", F.lead(type_col).over(w))
+    return (
+        nxt.filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -281,3 +281,51 @@ def rolling_median(
     arr = F.array_sort(F.collect_list(col).over(_trailing(window)))
     med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
     return df.withColumn(out or col, med)
+
+
+def mad_outliers(
+    df: DataFrame,
+    k: float = 3.0,
+    col: str | None = None,
+) -> DataFrame:
+    """Robust per-unit outlier flags via the median absolute deviation
+    (beyond-reference): flag = |s - median| > k · MAD, with BOTH medians
+    the exact lower-middle discrete statistic (actual data values — the
+    rolling_median trick, so no float arithmetic is invented and both
+    engines agree byte-exact; |s-med| and k·MAD are single IEEE ops).
+
+    Adds (unit_median, unit_mad, is_outlier). Nulls flag NULL. One
+    groupBy(unit) computes med and MAD from the SAME sorted array in one
+    aggregate row; one join back (co-partitioned). A unit's full series
+    sits in one task — the same bound every per-unit window op has.
+    """
+    col = col or one_feature(df)
+    lower_mid = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")),
+    )
+    agg = (
+        df.groupBy(UNIT)
+        .agg(F.array_sort(F.collect_list(col)).alias("__arr"))
+        .select(UNIT, "__arr", lower_mid(F.col("__arr")).alias("unit_median"))
+        .select(
+            UNIT,
+            "unit_median",
+            lower_mid(
+                F.array_sort(
+                    F.transform(
+                        F.col("__arr"),
+                        lambda v: F.abs(v - F.col("unit_median")),
+                    )
+                )
+            ).alias("unit_mad"),
+        )
+    )
+    out = df.join(agg, UNIT)
+    return out.withColumn(
+        "is_outlier",
+        (
+            F.abs(F.col(col) - F.col("unit_median"))
+            > F.lit(float(k)) * F.col("unit_mad")
+        ).cast("int"),
+    )

@@ -98,6 +98,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "rrf_fuse": retrieval.rrf_fuse,
     "tfidf": retrieval.tfidf,
     "funnel": relational.funnel,
+    "transition_counts": relational.transition_counts,
+    "mad_outliers": temporal.mad_outliers,
     "cohort_retention": relational.cohort_retention,
     "quantized_cosine_topk": similarity.quantized_cosine_topk,
     "simhash": dedup.simhash,
