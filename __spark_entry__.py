@@ -494,6 +494,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_counts"] = lambda s, d: relational.transition_counts(
         P.read_events(s, d)
     )
+    # link graph: supplier -> customer through (lineitem, orders); rows-only
+    # (no oracle_sql: float power iteration — hash-agg sum order makes a
+    # byte-hash oracle a documented flake class; determinism of the driver
+    # fast path is pytest-attested instead)
+    q["pagerank"] = lambda s, d: dedup.pagerank(
+        s.read.parquet(f"{d}/lineitem.parquet")
+        .select("l_orderkey", F.col("l_suppkey").alias("src"))
+        .join(
+            s.read.parquet(f"{d}/orders.parquet").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                # customers offset into their own id space (supplier and
+                # customer keys overlap numerically — bipartite nodes must
+                # be disjoint)
+                (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+            ),
+            "l_orderkey",
+        )
+        .select("src", "dst"),
+        max_iters=20,
+    ).select("node", F.round("pagerank", 6).alias("pagerank"))
     q["mad_outliers"] = lambda s, d: temporal.mad_outliers(_panel(s, d)).select(
         P.TIME, P.UNIT, "value", "unit_median", "unit_mad", "is_outlier"
     )

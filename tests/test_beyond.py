@@ -1326,3 +1326,42 @@ def test_tfidf_weights(spark):
     # min_df drops singletons
     kept = {r["term"] for r in retrieval.tfidf(df, min_df=2).collect()}
     assert kept == {"banana"}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def test_pagerank_star_graph_closed_form(spark):
+    # star: 1..4 all point at 0; closed form for the center:
+    # r0 = (1-d)/n + d*(4*rleaf_contrib + dangling/n) at the fixpoint
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    out = {r["node"]: r["pagerank"] for r in dedup.pagerank(edges, max_iters=100).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9  # mass conserved (dangling fix)
+    leaves = [out[i] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry
+    assert out[0] > 4 * leaves[0] / 2  # center dominates
+
+
+def test_pagerank_paths_agree(spark):
+    rng = np.random.RandomState(7)
+    edges = spark.createDataFrame(
+        [(int(rng.randint(0, 20)), int(rng.randint(0, 20))) for _ in range(60)],
+        "src long, dst long",
+    )
+    fast = {r["node"]: r["pagerank"]
+            for r in dedup.pagerank(edges, max_iters=40).collect()}
+    dist = {r["node"]: r["pagerank"]
+            for r in dedup.pagerank(edges, max_iters=40, driver_cap=0).collect()}
+    assert set(fast) == set(dist)
+    for n in fast:
+        assert abs(fast[n] - dist[n]) < 1e-9
+
+
+def test_pagerank_deterministic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    a = sorted((r["node"], r["pagerank"]) for r in dedup.pagerank(edges).collect())
+    b = sorted((r["node"], r["pagerank"]) for r in dedup.pagerank(edges).collect())
+    assert a == b  # driver path is bit-reproducible

@@ -563,3 +563,107 @@ def fuzzy_dedup_keep(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 30,
+    tol: float = 1e-9,
+    driver_cap: int = 2_000_000,
+) -> DataFrame:
+    """PageRank over a directed edge list (beyond-reference; link-based
+    quality scoring is a standard web-corpus curation signal — e.g.
+    harmonic-centrality / rank filtering in CommonCrawl-derived corpora).
+
+    Returns (node, pagerank) for every node appearing in edges. Dangling
+    nodes (no out-edges) redistribute their mass uniformly each step —
+    the standard correction, so ranks sum to 1.
+
+    Two exact paths behind the connected_components-style runtime gate:
+    <= ``driver_cap`` distinct edges collect once and run a DETERMINISTIC
+    numpy power iteration (nodes sorted, fixed reduction order — repeated
+    runs are bit-identical); past the cap, the distributed loop is
+    join-aggregate per iteration with localCheckpoint lineage truncation
+    (results then deterministic up to float hash-agg reduction order —
+    the documented double-sum caveat, which is why the driver gate for
+    this operator is rows-only rather than byte-hash).
+    """
+    e = materialize(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)[src_col]
+    if e.count() <= driver_cap:
+        import numpy as np
+
+        rows = e.collect()
+        nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        if not nodes:
+            return spark.createDataFrame(
+                [], schema=f"node {id_type}, pagerank double"
+            )
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out_deg = np.zeros(n)
+        src_i = np.array([idx[r["src"]] for r in rows])
+        dst_i = np.array([idx[r["dst"]] for r in rows])
+        np.add.at(out_deg, src_i, 1.0)
+        r_vec = np.full(n, 1.0 / n)
+        for _ in range(max_iters):
+            contrib = np.zeros(n)
+            # fixed reduction order: edges sorted by (dst, src) — np.add.at
+            # applies in index order, deterministic
+            w = r_vec[src_i] / out_deg[src_i]
+            order = np.lexsort((src_i, dst_i))
+            np.add.at(contrib, dst_i[order], w[order])
+            dangling = r_vec[out_deg == 0].sum()
+            new_r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            if np.abs(new_r - r_vec).max() < tol:
+                r_vec = new_r
+                break
+            r_vec = new_r
+        return spark.createDataFrame(
+            [(nodes[i], float(r_vec[i])) for i in range(n)],
+            schema=f"node {id_type}, pagerank double",
+        )
+    # distributed path
+    nodes_df = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes_df.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes_df.withColumn("pagerank", F.lit(1.0 / n_nodes))
+    for _ in range(max_iters):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node", "pagerank", "__deg"
+        )
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        contrib = (
+            e.join(with_deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pagerank") / F.col("__deg")).alias("__c"))
+        )
+        ranks = (
+            nodes_df.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("pagerank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

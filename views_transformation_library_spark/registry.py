@@ -89,6 +89,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "token_count_bpe": text.token_count_bpe,
     "passage_dedup": dedup.passage_dedup,
     "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
+    "pagerank": dedup.pagerank,
     "unigram_logprob": text.unigram_logprob,
     "quantize_embeddings": similarity.quantize_embeddings,
     "time_bucket_rollup": relational.time_bucket_rollup,
