@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators themselves are covered by pytest + reference differentials.
     q["mean"] = lambda s, d: _exact_mean_query(s, d, demean=False)
     q["demean"] = lambda s, d: _exact_mean_query(s, d, demean=True)
+    q["ewma"] = lambda s, d: temporal.ewma(_panel(s, d), alpha=0.3).select(
+        P.TIME, P.UNIT, (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
     q["standardize"] = lambda s, d: temporal.standardize(_panel(s, d)).select(
         P.TIME, P.UNIT, "value"
     )
@@ -1586,6 +1589,24 @@ def oracle_sql() -> dict[str, str]:
     o["mean"] = PSQL + f"SELECT time_id, unit_id, round({dec_mean.format(p='unit_id')}, 6) AS value FROM panel"
     o["demean"] = PSQL + f"SELECT time_id, unit_id, round(value - ({dec_mean.format(p='unit_id')}), 6) AS value FROM panel"
 
+    # recursive EWMA: the CTE steps through rn per unit with the SAME
+    # a*x + b*y_prev double arithmetic the numpy loop runs (b = 1-a
+    # precomputed, left-associated) — bit-identical states, round 6 at the end
+    o["ewma"] = (PSQL + f""",
+numbered AS (
+  SELECT unit_id, time_id, value,
+         row_number() OVER (PARTITION BY unit_id ORDER BY time_id) AS rn
+  FROM panel
+),
+rec AS (
+  SELECT unit_id, time_id, rn, value AS y FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.unit_id, n.time_id, n.rn,
+         {0.3!r} * n.value + {1.0 - 0.3!r} * r.y
+  FROM numbered n JOIN rec r ON n.unit_id = r.unit_id AND n.rn = r.rn + 1
+)
+SELECT time_id, unit_id, round(y, 6) + 0.0 AS value FROM rec
+""").replace("WITH ", "WITH RECURSIVE ", 1)
     # z-score: both moments through exact DECIMAL sums (value fixed-2dp →
     # value² fixed-4dp), then one fixed double expression; var clamped at 0
     # for the all-equal fp case; σ=0 → NULL via nullif (both engines)

@@ -168,3 +168,32 @@ def test_mad_outliers(spark):
     assert all(out[(1, t)]["is_outlier"] == 0 for t in range(4))
     # constant unit: MAD 0 -> nothing beats the threshold
     assert all(out[(2, t)]["is_outlier"] == 0 for t in range(3))
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    rows = [(t, u, float(rng.randn())) for u in (1, 2) for t in range(40)]
+    pn = make_panel(spark, rows)
+    out = temporal.ewma(pn, alpha=0.25).collect()
+    got = {(r["unit_id"], r["time_id"]): r["value"] for r in out}
+    pdf = pd.DataFrame(rows, columns=["time_id", "unit_id", "value"])
+    for u, grp in pdf.groupby("unit_id"):
+        exp = grp.sort_values("time_id")["value"].ewm(alpha=0.25, adjust=False).mean()
+        for t, e in zip(sorted(grp["time_id"]), exp):
+            assert got[(u, t)] == pytest.approx(e, rel=1e-12)
+
+
+def test_ewma_null_rows_skip_state(spark):
+    pn = make_panel(spark, [(0, 1, 2.0), (1, 1, None), (2, 1, 4.0)])
+    out = {r["time_id"]: r["value"] for r in temporal.ewma(pn, alpha=0.5).collect()}
+    assert out[0] == 2.0 and out[1] is None
+    assert out[2] == pytest.approx(0.5 * 4.0 + 0.5 * 2.0)
+
+
+def test_ewma_alpha_validation(spark):
+    pn = make_panel(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError):
+        temporal.ewma(pn, alpha=0.0)

@@ -329,3 +329,56 @@ def mad_outliers(
             > F.lit(float(k)) * F.col("unit_mad")
         ).cast("int"),
     )
+
+
+def ewma(
+    df: DataFrame, alpha: float, col: str | None = None, out: str | None = None
+) -> DataFrame:
+    """Exponentially weighted moving average, recursive form (pandas
+    ``ewm(alpha).mean(adjust=False)``): y_1 = s_1; y_t = α·s_t + (1−α)·y_{t−1}.
+    The recursive companion of the reference's `decay` (which rescales
+    time_since, not the series itself).
+
+    The recursion is inherently sequential per unit, so each unit's
+    time-sorted series runs through ONE Arrow-batched applyInPandas pass —
+    linear work, state is two floats, exactly the impute_mice shard
+    pattern. Float parity: numpy evaluates α·x + β·y_prev with the SAME
+    two products and one add (left-associated, β = 1−α precomputed once)
+    as the oracle's recursive CTE, so doubles are bit-identical; output
+    rounds to 6dp. Null inputs yield a null output row and leave the
+    state unchanged (pandas semantics).
+    """
+    col = col or one_feature(df)
+    out = out or col
+    alpha = float(alpha)
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    cols = [f.name for f in df.schema.fields]
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = out_fields if out in cols else f"{out_fields}, `{out}` double"
+
+    def _run(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(TIME, kind="mergesort").reset_index(drop=True)
+        x = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+        y = np.empty(len(x))
+        state = np.nan
+        for i in range(len(x)):
+            xi = x[i]
+            if np.isnan(xi):
+                y[i] = np.nan
+            else:
+                state = xi if np.isnan(state) else alpha * xi + beta * state
+                y[i] = state
+        import pandas as pd
+
+        s = pd.array(y, dtype="Float64")
+        s[np.isnan(y)] = pd.NA  # Arrow null, not double NaN (oracle parity)
+        pdf[out] = s
+        return pdf
+
+    return df.groupBy(UNIT).applyInPandas(_run, schema=schema)

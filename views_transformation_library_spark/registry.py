@@ -94,6 +94,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "quantize_embeddings": similarity.quantize_embeddings,
     "time_bucket_rollup": relational.time_bucket_rollup,
     "standardize": temporal.standardize,
+    "ewma": temporal.ewma,
     "rolling_median": temporal.rolling_median,
     "chunk_text": retrieval.chunk_text,
     "rrf_fuse": retrieval.rrf_fuse,
