@@ -147,3 +147,24 @@ def test_write_zordered_files_are_tight_on_both_dims(spark, tmp_path):
     # average bounding-box area well under the full domain; random layout -> ~1.0
     assert sum(areas) / len(areas) < 0.5
     assert spark.read.parquet(path).count() == n
+
+
+def test_read_parquet_pruned_skips_files(spark, tmp_path):
+    df = spark.range(10_000).selectExpr(
+        "id % 500 as time_id", "id as unit_id", "cast(id as double) as value"
+    )
+    path = str(tmp_path / "pruned")
+    sources.write_range_sorted(df, path, "time_id", 8, secondary_sort=["unit_id"])
+    stats = {}
+    from views_transformation_library_spark.sources import read_parquet_pruned
+
+    out = read_parquet_pruned(spark, path, "time_id", lo=100, hi=120, stats=stats)
+    assert stats["files_total"] >= 4
+    assert stats["files_scanned"] < stats["files_total"]  # real skipping
+    expected = df.filter("time_id between 100 and 120")
+    assert out.count() == expected.count()
+    assert out.agg(F.sum("unit_id")).collect()[0][0] == \
+        expected.agg(F.sum("unit_id")).collect()[0][0]
+    # empty range: no files, schema preserved
+    none = read_parquet_pruned(spark, path, "time_id", lo=10_000, stats={})
+    assert none.count() == 0 and set(none.columns) == {"time_id", "unit_id", "value"}

@@ -6,6 +6,7 @@ from .tables import (  # noqa: F401
     read_csv,
     read_json,
     read_parquet,
+    read_parquet_pruned,
     read_stream_parquet,
     read_table,
     read_tables,

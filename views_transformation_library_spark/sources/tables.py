@@ -230,3 +230,81 @@ def write_zordered(
     out = keyed.repartitionByRange(int(n_partitions), "__z")
     out = out.sortWithinPartitions("__z").drop("__z")
     out.write.mode(mode).parquet(path)
+
+
+def read_parquet_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """File-skipping reader driven by parquet footer statistics: list the
+    dataset's files, read each footer's per-column min/max (driver-side,
+    pyarrow), DROP every file whose [min, max] cannot intersect
+    [lo, hi], and hand Spark only the survivors — then apply the row-level
+    filter on top (footer pruning is necessary-not-sufficient).
+
+    This is the manifest-pruning half of a table format (Delta/Iceberg
+    data skipping) from plain parquet + pyarrow; it composes with
+    `write_range_sorted` (tight single-column ranges) and
+    `write_zordered` (simultaneously tight multi-dim ranges). At cluster
+    scale a catalog's manifest replaces the footer reads — the footer
+    loop here is O(files) driver work, the same order as the file listing
+    Spark already performs; Spark's own row-group pruning then works
+    within the surviving files.
+
+    Pass a dict as ``stats`` to receive {"files_total", "files_scanned"}.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        + _glob.glob(_os.path.join(path, "part-*"))
+        if f.endswith(".parquet")
+    )
+    files = sorted(set(files))
+    keep = []
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        have = True
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            cstat = None
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col:
+                    cstat = c.statistics
+                    break
+            if cstat is None or not cstat.has_min_max:
+                have = False
+                break
+            fmin = cstat.min if fmin is None else min(fmin, cstat.min)
+            fmax = cstat.max if fmax is None else max(fmax, cstat.max)
+        if not have:
+            keep.append(f)  # no stats -> cannot prune, must scan
+            continue
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            continue
+        keep.append(f)
+    if stats is not None:
+        stats["files_total"] = len(files)
+        stats["files_scanned"] = len(keep)
+    if not keep:
+        # preserve schema: read the dataset lazily and filter to nothing
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty
+    df = spark.read.parquet(*keep)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return df.filter(cond)
