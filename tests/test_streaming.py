@@ -441,3 +441,86 @@ def test_sliding_sum_stream_batch_equivalence(spark, tmp_path):
     assert streamed == expected
     # the late 01:00 event really landed in both its sliding windows
     assert sum(1 for (u, _) in expected if u == 2) >= 2
+
+
+def test_minhash_candidates_stream_batch_equivalence(spark, tmp_path):
+    """Streamed LSH candidates across micro-batches == the batch band
+    collisions on the same corpus: every colliding (bucket, pair) is
+    emitted exactly once whatever the arrival order, and an exact dup
+    arriving in a LATER batch is caught against first-batch state."""
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.operators import dedup as bdedup
+    from views_transformation_library_spark.streaming.dedup import (
+        minhash_candidates_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    b1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]),
+            "doc_id": [1, 2],
+            "text": [base, "unrelated words entirely different content here now"],
+        }
+    )
+    b1.to_parquet(src + "/b1.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = minhash_candidates_stream(stream, n=2, n_hashes=12, bands=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_cand")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # doc 3 = exact copy of doc 1, arrives in a later micro-batch
+        b2 = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 02:00"]),
+                "doc_id": [3],
+                "text": [base],
+            }
+        )
+        b2.to_parquet(src + "/b2.parquet", coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        q.processAllAvailable()
+        streamed = [
+            (r["band"], r["a"], r["b"], r["est_jaccard"])
+            for r in spark.sql("SELECT * FROM mh_cand").collect()
+        ]
+    finally:
+        q.stop()
+
+    # batch expectation: band collisions over the full corpus
+    docs = spark.read.parquet(src)
+    sh = bdedup._shingles(docs, "doc_id", "text", 2)
+    sig = bdedup.minhash_signatures(sh, n_hashes=12)
+    rows = {r["doc"]: [r[f"mh_{j}"] for j in range(12)] for r in sig.collect()}
+    expected = set()
+    r_width = 12 // 4
+    for band in range(4):
+        buckets = {}
+        for doc, s in rows.items():
+            key = tuple(s[band * r_width : (band + 1) * r_width])
+            buckets.setdefault(key, []).append(doc)
+        for key, ds in buckets.items():
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    est = sum(
+                        1 for u, v in zip(rows[ds[i]], rows[ds[j]]) if u == v
+                    ) / 12
+                    expected.add((band, ds[i], ds[j], est))
+    assert set(streamed) == expected
+    assert len(streamed) == len(expected)  # exactly-once per (band, pair)
+    # the planted cross-batch dup really collided in every band
+    assert sum(1 for (band, a, b, _) in expected if (a, b) == (1, 3)) == 4
