@@ -2011,26 +2011,22 @@ SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     o["fuzzy_dedup_keep"] = _fuzzy_keep_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # per-token logprob is rounded to 6dp BEFORE the fold on both engines;
-    # the per-doc sum is a position-ordered sequential fold (Spark aggregate
-    # == DuckDB list_sum over an ordered list) — the proven cosine shape.
+    # the per-doc sum is a token-sorted sequential fold over tf·lp
+    # contributions (Spark aggregate == DuckDB ordered list_sum) — the
+    # proven cosine shape, driven off ONE (doc, token, tf) aggregate.
     o["unigram_logprob"] = r"""
-WITH tk AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+WITH tf AS (
+  SELECT doc_id, w AS tok, count(*)::BIGINT AS tf
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+  GROUP BY 1, 2
 ),
-counts AS (
-  SELECT w AS tok, count(*)::BIGINT AS c FROM tk, unnest(ws) AS t(w) GROUP BY 1
-),
+counts AS (SELECT tok, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
 tot AS (SELECT sum(c)::BIGINT AS N, count(*)::BIGINT AS V FROM counts),
 lm AS (SELECT tok, round(ln((c + 0.5) / (N + 0.5 * V)), 6) AS lp FROM counts, tot),
-ex AS (
-  SELECT doc_id, i.i AS pos, ws[i.i] AS w
-  FROM tk CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
-  WHERE len(ws) > 0
-),
 agg AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         round(list_sum(list(lp ORDER BY pos)), 6) + 0.0 AS s
-  FROM ex JOIN lm ON ex.w = lm.tok GROUP BY doc_id
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(list_sum(list(tf::DOUBLE * lp ORDER BY tok)), 6) + 0.0 AS s
+  FROM tf JOIN lm USING (tok) GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.s AS sum_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)

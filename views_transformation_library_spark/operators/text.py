@@ -658,31 +658,37 @@ def unigram_logprob(
     natural text from boilerplate/noise by word-frequency profile).
 
     p(t) = (c(t) + k) / (N + k·V); score = Σ_tokens round(ln p(t), 6),
-    emitted as ``out`` (round 6) plus n_tokens and avg_logprob. Unseen
-    tokens (scoring a held-out doc against this corpus's LM) get the
-    c=0 smoothed mass.
+    emitted as ``out`` (round 6) plus n_tokens and avg_logprob. The LM
+    is fit on the SAME frame it scores, so every token is in-vocabulary
+    by construction.
 
     Float-parity discipline: each token's log-prob is rounded to 6dp
-    BEFORE the per-document sum, and the sum is a position-ordered
-    sequential list fold (collect_list sorted by token position →
-    aggregate), mirroring DuckDB's list_sum comprehension — the
+    BEFORE the per-document sum, and the sum is a token-sorted sequential
+    list fold over (tf · lp) contributions (collect_list sorted by token
+    → aggregate), mirroring DuckDB's ordered list_sum — the
     hash-aggregate double-sum order dependence never enters.
 
-    Scale shape: ONE token hash-aggregate (map-side combined) builds the
-    LM; two scalars (N, V) come to the driver; scoring is an equi-join of
-    exploded tokens against the |vocab|-row LM table (AQE broadcasts it
-    when small) and a groupBy(id) fold. The corpus shuffles once on the
-    token and once on the id.
+    Scale shape (r4 rewrite — the first version scanned the corpus 3×):
+    the corpus is scanned ONCE into a (doc, token, tf) aggregate — the
+    single wide shuffle; corpus token counts, the two driver scalars
+    (N, V), the LM join (AQE broadcasts small vocabularies) and the
+    per-doc fold all derive from that frame (the doc-level groupBy
+    reuses its partitioning — no second wide exchange). An id-only
+    column-pruned second scan joins the scores back onto the input rows.
     """
-    toks = df.select(
-        F.col(id_col).alias("__uid"),
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0).alias(
-            "__toks"
-        ),
+    tf = materialize(
+        df.select(
+            F.col(id_col).alias("__uid"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("__tok"),
+        )
+        .groupBy("__uid", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    counts = toks.select(F.explode("__toks").alias("__tok")).groupBy("__tok").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    counts = tf.groupBy("__tok").agg(F.sum("__tf").alias("__c"))
     n_v = counts.agg(
         F.sum("__c").alias("N"), F.count(F.lit(1)).alias("V")
     ).collect()[0]
@@ -692,19 +698,18 @@ def unigram_logprob(
     # identical literal arithmetic on both engines: (c + k) / (N + k*V)
     lp = F.round(F.log((F.col("__c") + F.lit(k)) / F.expr(f"{big_n} + {k!r} * {vocab_v}")), 6)
     lm = counts.select("__tok", lp.alias("__lp"))
-    unseen = F.round(
-        F.log(F.lit(k) / F.expr(f"{big_n} + {k!r} * {vocab_v}")), 6
-    )
-    ex = toks.select("__uid", F.posexplode("__toks").alias("__pos", "__tok"))
-    scored = ex.join(lm, "__tok", "left").select(
-        "__uid", "__pos", F.coalesce("__lp", unseen).alias("__lp")
+    scored = tf.join(lm, "__tok", "left").select(
+        "__uid",
+        "__tok",
+        "__tf",
+        (F.col("__tf").cast("double") * F.col("__lp")).alias("__contrib"),
     )
     agg = scored.groupBy("__uid").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__tf").alias("n_tokens"),
         F.aggregate(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__lp"))),
-                lambda x: x["__lp"],
+                F.array_sort(F.collect_list(F.struct("__tok", "__contrib"))),
+                lambda x: x["__contrib"],
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
