@@ -69,6 +69,12 @@ HEADLINE = [
     "quantized_cosine_topk",
     "time_bucket_rollup",
     "zorder_key",
+    # session-2 families: event analytics, robust stats, IR, graph
+    "funnel",
+    "mad_outliers",
+    "ewma",
+    "tfidf",
+    "pagerank",
 ]
 
 
