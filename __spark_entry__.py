@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewma"] = lambda s, d: temporal.ewma(_panel(s, d), alpha=0.3).select(
         P.TIME, P.UNIT, (F.round("value", 6) + F.lit(0.0)).alias("value")
     )
+    q["cusum"] = lambda s, d: temporal.cusum(_panel(s, d)).select(
+        P.TIME, P.UNIT, "cusum_pos", "cusum_neg", "cusum_alarm"
+    )
     q["standardize"] = lambda s, d: temporal.standardize(_panel(s, d)).select(
         P.TIME, P.UNIT, "value"
     )
@@ -1606,6 +1609,45 @@ rec AS (
   FROM numbered n JOIN rec r ON n.unit_id = r.unit_id AND n.rn = r.rn + 1
 )
 SELECT time_id, unit_id, round(y, 6) + 0.0 AS value FROM rec
+""").replace("WITH ", "WITH RECURSIVE ", 1)
+    # CUSUM: moments via the standardize DECIMAL rule; the recursive CTE
+    # steps greatest(0, prev + z - k) with the same guarded z and
+    # left-associated doubles numpy runs; alarm compares UNROUNDED states
+    o["cusum"] = (PSQL + """,
+m AS (
+  SELECT time_id, unit_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / count(value) OVER w AS mu,
+         sqrt(greatest(
+           CAST(sum(CAST(value * value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+             / count(value) OVER w
+           - (CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                / count(value) OVER w)
+             * (CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                / count(value) OVER w),
+           0.0)) AS sigma
+  FROM panel WINDOW w AS (PARTITION BY unit_id)
+),
+numbered AS (
+  SELECT *, CASE WHEN sigma = 0.0 THEN 0.0 ELSE (value - mu) / sigma END AS z,
+         row_number() OVER (PARTITION BY unit_id ORDER BY time_id) AS rn
+  FROM m
+),
+rec AS (
+  SELECT unit_id, time_id, rn,
+         greatest(0.0, 0.0 + z - 0.5) AS cp,
+         greatest(0.0, 0.0 - z - 0.5) AS cn
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.unit_id, n.time_id, n.rn,
+         greatest(0.0, r.cp + n.z - 0.5),
+         greatest(0.0, r.cn - n.z - 0.5)
+  FROM numbered n JOIN rec r ON n.unit_id = r.unit_id AND n.rn = r.rn + 1
+)
+SELECT time_id, unit_id, round(cp, 6) + 0.0 AS cusum_pos,
+       round(cn, 6) + 0.0 AS cusum_neg,
+       CAST(greatest(cp, cn) > 5.0 AS INT) AS cusum_alarm
+FROM rec
 """).replace("WITH ", "WITH RECURSIVE ", 1)
     # z-score: both moments through exact DECIMAL sums (value fixed-2dp →
     # value² fixed-4dp), then one fixed double expression; var clamped at 0

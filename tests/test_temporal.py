@@ -197,3 +197,26 @@ def test_ewma_alpha_validation(spark):
     pn = make_panel(spark, [(0, 1, 1.0)])
     with pytest.raises(ValueError):
         temporal.ewma(pn, alpha=0.0)
+
+
+def test_cusum_detects_level_shift(spark):
+    # flat series then a sustained +3σ-ish shift: alarm fires after the shift
+    vals = [10.0, 10.2, 9.8, 10.0, 10.1, 9.9] * 3 + [14.0] * 6
+    pn = make_panel(spark, [(t, 1, v) for t, v in enumerate(vals)])
+    out = sorted(
+        (r["time_id"], r["cusum_pos"], r["cusum_alarm"])
+        for r in temporal.cusum(pn, k=0.5, h=4.0).collect()
+    )
+    pre = [a for (t, _, a) in out if t < 18]
+    post = [a for (t, _, a) in out if t >= 21]
+    assert not any(pre)
+    assert all(post)
+    # statistic is nonnegative and monotone while the shift persists
+    shift = [p for (t, p, _) in out if t >= 18]
+    assert all(b >= a for a, b in zip(shift, shift[1:]))
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    pn = make_panel(spark, [(t, 1, 7.0) for t in range(5)])
+    out = temporal.cusum(pn).collect()
+    assert all(r["cusum_alarm"] == 0 and r["cusum_pos"] == 0.0 for r in out)

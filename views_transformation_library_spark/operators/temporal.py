@@ -382,3 +382,96 @@ def ewma(
         return pdf
 
     return df.groupBy(UNIT).applyInPandas(_run, schema=schema)
+
+
+def cusum(
+    df: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    col: str | None = None,
+) -> DataFrame:
+    """Two-sided standardized CUSUM changepoint statistic per unit (Page
+    1954; beyond-reference — the classic drift monitor for a panel
+    series): with per-unit moments (μ, σ) and z_t = (s_t − μ)/σ,
+
+        c⁺_t = max(0, c⁺_{t−1} + z_t − k)   c⁻_t = max(0, c⁻_{t−1} − z_t − k)
+
+    and alarm_t = 1 iff max(c⁺, c⁻) > h. Adds (cusum_pos, cusum_neg,
+    cusum_alarm).
+
+    Float parity (the ewma pattern): moments go through exact DECIMAL
+    sums (the standardize rule), numpy then steps the recursion with the
+    SAME guarded expressions as the oracle's recursive CTE (σ=0 units
+    contribute z=0; null observations carry state and emit null) — every
+    intermediate is bit-identical; outputs round to 6dp. One Arrow pass
+    per unit after one moment aggregate: two shuffles total.
+    """
+    col = col or one_feature(df)
+    k = float(k)
+    h = float(h)
+    w = Window.partitionBy(UNIT)
+    n = F.count(col).over(w)
+    mean_d = F.sum(F.col(col).cast("decimal(18,2)")).over(w).cast("double") / n
+    sxx_d = (
+        F.sum((F.col(col) * F.col(col)).cast("decimal(38,4)")).over(w).cast("double")
+        / n
+    )
+    sigma = F.sqrt(F.greatest(sxx_d - mean_d * mean_d, F.lit(0.0)))
+    with_m = df.withColumn("__mu", mean_d).withColumn("__sigma", sigma)
+    cols = [f.name for f in with_m.schema.fields]
+    out_fields = ", ".join(
+        f"`{c}` {t}" for c, t in with_m.dtypes
+    )
+    schema = (
+        f"{out_fields}, `cusum_pos` double, `cusum_neg` double, `cusum_alarm` int"
+    )
+
+    def _run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(TIME, kind="mergesort").reset_index(drop=True)
+        x = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+        mu = pdf["__mu"].to_numpy(dtype="float64", na_value=np.nan)
+        sg = pdf["__sigma"].to_numpy(dtype="float64", na_value=np.nan)
+        cp = np.empty(len(x))
+        cn = np.empty(len(x))
+        sp = 0.0
+        sn = 0.0
+        for i in range(len(x)):
+            if np.isnan(x[i]):
+                cp[i] = np.nan
+                cn[i] = np.nan
+                continue
+            z = 0.0 if sg[i] == 0.0 else (x[i] - mu[i]) / sg[i]
+            sp = max(0.0, sp + z - k)
+            sn = max(0.0, sn - z - k)
+            cp[i] = sp
+            cn[i] = sn
+        # RAW doubles out — rounding happens Spark-side (np.round is
+        # half-even, a different animal from Spark/DuckDB round)
+        pos = pd.array(cp, dtype="Float64")
+        neg = pd.array(cn, dtype="Float64")
+        pos[np.isnan(cp)] = pd.NA
+        neg[np.isnan(cn)] = pd.NA
+        alarm = pd.array(
+            [
+                pd.NA
+                if np.isnan(cp[i])
+                else int(max(cp[i], cn[i]) > h)
+                for i in range(len(x))
+            ],
+            dtype="Int32",
+        )
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        pdf["cusum_alarm"] = alarm
+        return pdf
+
+    return (
+        with_m.groupBy(UNIT)
+        .applyInPandas(_run, schema=schema)
+        .drop("__mu", "__sigma")
+        .withColumn("cusum_pos", F.round("cusum_pos", 6) + F.lit(0.0))
+        .withColumn("cusum_neg", F.round("cusum_neg", 6) + F.lit(0.0))
+    )

@@ -95,6 +95,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "time_bucket_rollup": relational.time_bucket_rollup,
     "standardize": temporal.standardize,
     "ewma": temporal.ewma,
+    "cusum": temporal.cusum,
     "rolling_median": temporal.rolling_median,
     "chunk_text": retrieval.chunk_text,
     "rrf_fuse": retrieval.rrf_fuse,
