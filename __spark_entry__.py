@@ -524,6 +524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         P.TIME, P.UNIT, "value", "unit_median", "unit_mad", "is_outlier"
     )
     q["tfidf"] = lambda s, d: retrieval.tfidf(_docs(s, d))
+    for name in ("tpch_q3", "tpch_q5", "tpch_q6"):
+        q[name] = (
+            lambda s, d, _n=name: _shared_sql_query(s, d, _TPCH_SHARED_SQL[_n])
+        )
     q["zorder_key"] = lambda s, d: srctables.zorder_key(
         s.read.parquet(f"{d}/lineitem.parquet").select(
             "l_orderkey", "l_partkey", "l_linenumber"
@@ -805,6 +809,62 @@ def _time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "granularity", "bucket", "event_type", "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# TPC-H queries as ONE shared ANSI-SQL string executed verbatim by BOTH
+# engines (spark.sql here, DuckDB in the oracle) — the passthrough-parity
+# demonstration: money math through exact DECIMAL (2dp inputs → exact
+# products/sums in either engine's decimal arithmetic → the same double),
+# dates compared/emitted as DATE casts, no engine-specific functions.
+# Q3/Q5 adapted to the driver testdata's reduced column set (no
+# o_shippriority / s_address etc.); Q6 verbatim shape.
+_TPCH_SHARED_SQL = {
+    "tpch_q3": """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+""",
+    "tpch_q5": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    "tpch_q6": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+}
+
+
+def _shared_sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(sql)
 
 
 def _funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,6 +2813,9 @@ SELECT tf.doc_id, tf.term, tf.tf,
        round(tf.tf::DOUBLE * lm.idf, 6) + 0.0 AS weight
 FROM tf JOIN lm USING (term)
 """
+    # passthrough parity: the oracle runs the IDENTICAL SQL string Spark ran
+    for _n, _sql in _TPCH_SHARED_SQL.items():
+        o[_n] = _sql
     # one generator emits both engines' spelling of the same Morton formula
     o["zorder_key"] = (
         "SELECT l_orderkey, l_partkey, l_linenumber, "

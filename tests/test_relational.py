@@ -320,3 +320,21 @@ def test_transition_counts(spark):
     out = {(r["from_type"], r["to_type"]): r["n_transitions"]
            for r in relational.transition_counts(ev).collect()}
     assert out == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_tpch_shared_sql_passthrough(spark):
+    # the SAME SQL string runs on spark.sql and (in the oracle gate) DuckDB;
+    # here: sanity that the Spark side produces non-trivial, deterministic rows
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    out = e._shared_sql_query(
+        spark, "/root/testdata/sf0.001", e._TPCH_SHARED_SQL["tpch_q6"]
+    ).collect()
+    assert len(out) == 1 and out[0]["n_rows"] > 0
+    q5 = e._shared_sql_query(
+        spark, "/root/testdata/sf0.001", e._TPCH_SHARED_SQL["tpch_q5"]
+    ).collect()
+    assert 0 < len(q5) <= 25  # one row per nation in ASIA
