@@ -165,3 +165,89 @@ def test_repetition_stats_matches_python(spark, texts):
         assert out[i]["dup_line_frac"] == pytest.approx(exp_dlf)
         exp_dwf = round(1 - len(set(words)) / len(words), 6) if words else 0.0
         assert out[i]["dup_word_frac"] == pytest.approx(exp_dwf)
+
+
+# ---------------------------------------------------------------------------
+# r4 operators
+
+word_lists = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=word_lists)
+def test_passage_dedup_conservation(spark, docs):
+    """Kept passages across the corpus == distinct passages in the corpus;
+    the lowest-id document always keeps everything; every output word
+    multiset is a sub-multiset of its input."""
+    from views_transformation_library_spark.operators import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.passage_dedup(df, n_words=3).collect()}
+    n_kept = sum(r["n_kept"] for r in out.values())
+    distinct_passages = set()
+    for ws in docs:
+        for i in range(0, len(ws), 3):
+            distinct_passages.add(" ".join(ws[i : i + 3]))
+    distinct_passages.discard("")
+    assert n_kept == len(distinct_passages)
+    first_nonempty = next((i for i, ws in enumerate(docs) if ws), None)
+    if first_nonempty is not None:
+        r0 = out[first_nonempty]
+        assert r0["n_kept"] >= 1 or r0["n_passages"] == r0["n_kept"]
+    for i, ws in enumerate(docs):
+        kept_words = out[i]["text_deduped"].split() if out[i]["text_deduped"] else []
+        import collections as _c
+
+        assert not _c.Counter(kept_words) - _c.Counter(ws)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_events=st.integers(min_value=1, max_value=30),
+    widths=st.sampled_from([("hour", "day"), (1800_000_000, 3600_000_000, 7200_000_000)]),
+)
+def test_time_bucket_rollup_mass_conservation(spark, n_events, widths):
+    """Every granularity level carries the same total count and the same
+    exact decimal sum (sums-of-sums associativity)."""
+    from views_transformation_library_spark.operators import relational
+
+    rng = np.random.RandomState(n_events)
+    rows = [
+        (int(rng.randint(0, 3 * 86400)) * 1_000_000,
+         ["a", "b"][int(rng.randint(2))],
+         round(float(rng.uniform(0, 100)), 2))
+        for _ in range(n_events)
+    ]
+    ev = spark.createDataFrame(rows, "__us long, event_type string, value double")
+    out = relational.time_bucket_rollup(ev, granularities=widths).collect()
+    by_g = {}
+    for r in out:
+        g = by_g.setdefault(r["granularity"], [0, 0])
+        g[0] += r["n_events"]
+        g[1] += r["sum_value"]
+    totals = list(by_g.values())
+    assert all(t[0] == n_events for t in totals)
+    assert all(t[1] == totals[0][1] for t in totals)
+
+
+@settings(max_examples=6, deadline=None)
+@given(words=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40))
+def test_chunk_text_covers_every_word(spark, words):
+    from views_transformation_library_spark.operators import retrieval
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_idx"], r["chunk_text"].split())
+        for r in retrieval.chunk_text(df, size=8, overlap=3).collect()
+    )
+    stride = 5
+    covered = []
+    for idx, ws in chunks:
+        assert ws == words[idx * stride : idx * stride + 8]
+        covered.extend(range(idx * stride, idx * stride + len(ws)))
+    assert set(covered) == set(range(len(words)))  # full coverage, no gaps
