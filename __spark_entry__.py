@@ -167,6 +167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewma"] = lambda s, d: temporal.ewma(_panel(s, d), alpha=0.3).select(
         P.TIME, P.UNIT, (F.round("value", 6) + F.lit(0.0)).alias("value")
     )
+    q["cap_per_group"] = lambda s, d: sampling.cap_per_group(
+        _docs(s, d), "source", 40
+    ).select("doc_id", "source")
+    q["winsorize"] = lambda s, d: temporal.winsorize(_panel(s, d)).select(
+        P.TIME, P.UNIT, "value"
+    )
     q["cusum"] = lambda s, d: temporal.cusum(_panel(s, d)).select(
         P.TIME, P.UNIT, "cusum_pos", "cusum_neg", "cusum_alarm"
     )
@@ -1670,6 +1676,34 @@ rec AS (
 )
 SELECT time_id, unit_id, round(y, 6) + 0.0 AS value FROM rec
 """).replace("WITH ", "WITH RECURSIVE ", 1)
+    o["cap_per_group"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 40
+"""
+    # clip at exact discrete per-unit quantiles — actual data values (the
+    # mad_outliers array trick); floor(p*(n-1))+1 indices on both engines
+    o["winsorize"] = PSQL + """
+, agg AS (
+  SELECT unit_id, list_sort(list(value)) AS arr FROM panel GROUP BY unit_id
+),
+qs AS (
+  SELECT unit_id,
+         CASE WHEN len(arr) > 0
+              THEN arr[CAST(floor(0.05 * (len(arr) - 1)) AS INT) + 1] END AS qlo,
+         CASE WHEN len(arr) > 0
+              THEN arr[CAST(floor(0.95 * (len(arr) - 1)) AS INT) + 1] END AS qhi
+  FROM agg
+)
+SELECT p.time_id, p.unit_id, least(greatest(p.value, q.qlo), q.qhi) AS value
+FROM panel p JOIN qs q USING (unit_id)
+"""
     # CUSUM: moments via the standardize DECIMAL rule; the recursive CTE
     # steps greatest(0, prev + z - k) with the same guarded z and
     # left-associated doubles numpy runs; alarm compares UNROUNDED states

@@ -1365,3 +1365,25 @@ def test_pagerank_deterministic(spark):
     a = sorted((r["node"], r["pagerank"]) for r in dedup.pagerank(edges).collect())
     b = sorted((r["node"], r["pagerank"]) for r in dedup.pagerank(edges).collect())
     assert a == b  # driver path is bit-reproducible
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from views_transformation_library_spark.operators import sampling
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.cap_per_group(df, "source", 10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 10 for v in by_src.values())
+    # deterministic under repartition
+    out2 = {r["doc_id"] for r in
+            sampling.cap_per_group(df.repartition(7), "source", 10).collect()}
+    assert {r["doc_id"] for r in out} == out2
+    # growth-stable: adding docs never evicts more than it must — kept set
+    # for a group is the n smallest hashes, so a kept doc stays kept unless
+    # a new doc hashes below it
+    small = sampling.cap_per_group(df.filter("doc_id < 50"), "source", 10)
+    kept_small = {r["doc_id"] for r in small.collect()}
+    assert len(kept_small) == 30

@@ -220,3 +220,14 @@ def test_cusum_constant_series_never_alarms(spark):
     pn = make_panel(spark, [(t, 1, 7.0) for t in range(5)])
     out = temporal.cusum(pn).collect()
     assert all(r["cusum_alarm"] == 0 and r["cusum_pos"] == 0.0 for r in out)
+
+
+def test_winsorize_clips_to_data_values(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    pn = make_panel(spark, [(t, 1, v) for t, v in enumerate(vals)])
+    out = sorted(r["value"] for r in temporal.winsorize(pn, 0.0, 0.75).collect())
+    # qhi = sorted[floor(0.75*4)+1] = 4.0 -> 100 clips to 4; qlo = min
+    assert out == [1.0, 2.0, 3.0, 4.0, 4.0]
+    # identity when bounds are the full range
+    ident = sorted(r["value"] for r in temporal.winsorize(pn, 0.0, 1.0).collect())
+    assert ident == sorted(vals)

@@ -17,7 +17,7 @@ scan, and at 100 TB a 1 % sample never materializes the other 99 %.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = 1 << 32
 
@@ -150,4 +150,35 @@ def split_column(
     cut = int(float(holdout_fraction) * _BUCKETS)
     return df.withColumn(
         out, F.when(bucket < cut, F.lit("holdout")).otherwise(F.lit("train"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``n`` rows per group,
+    chosen by smallest salted hash (a uniform, corpus-growth-stable
+    'random' n — the standard per-domain document cap in web-corpus
+    curation, where one domain must not dominate the mix).
+
+    One rank window per group ordered by (md5(id:seed), id) — md5 of the
+    decimal-string id is engine-common (the stratified_sample rule; a
+    native hash like xxhash64 has no DuckDB mirror), and the id tie-break
+    makes the selection total and reproducible. Same shuffle shape as
+    dedup_keep; hot groups cost a per-group sort bounded by the group's
+    rows.
+    """
+    if n < 1:
+        raise ValueError(f"cap_per_group needs n >= 1, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
     )

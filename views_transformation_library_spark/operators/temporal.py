@@ -475,3 +475,45 @@ def cusum(
         .withColumn("cusum_pos", F.round("cusum_pos", 6) + F.lit(0.0))
         .withColumn("cusum_neg", F.round("cusum_neg", 6) + F.lit(0.0))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    col: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-unit winsorization at exact DISCRETE quantiles: clip s into
+    [q_lower, q_upper] where q_p is the sorted series' element at 1-based
+    index floor(p·(n−1)) + 1 — always an actual data value (the
+    rolling_median/mad trick), so both engines agree byte-exact and no
+    float arithmetic is invented; the clip itself is least/greatest on
+    identical doubles.
+
+    One groupBy(unit) computes both cut points from the same sorted
+    array; one co-partitioned join back. The standard heavy-tail taming
+    step before scaling/standardizing panel features.
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    col = col or one_feature(df)
+
+    def _q(arr, p: float):
+        idx = (F.floor(F.lit(p) * (F.size(arr) - 1)) + 1).cast("int")
+        return F.when(F.size(arr) > 0, F.element_at(arr, idx))
+
+    agg = (
+        df.groupBy(UNIT)
+        .agg(F.array_sort(F.collect_list(col)).alias("__arr"))
+        .select(
+            UNIT,
+            _q(F.col("__arr"), lower).alias("__qlo"),
+            _q(F.col("__arr"), upper).alias("__qhi"),
+        )
+    )
+    res = df.join(agg, UNIT).withColumn(
+        out or col,
+        F.least(F.greatest(F.col(col), F.col("__qlo")), F.col("__qhi")),
+    )
+    return res.drop("__qlo", "__qhi")

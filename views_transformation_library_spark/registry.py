@@ -96,6 +96,8 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "standardize": temporal.standardize,
     "ewma": temporal.ewma,
     "cusum": temporal.cusum,
+    "winsorize": temporal.winsorize,
+    "cap_per_group": sampling.cap_per_group,
     "rolling_median": temporal.rolling_median,
     "chunk_text": retrieval.chunk_text,
     "rrf_fuse": retrieval.rrf_fuse,
