@@ -335,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("event_id", "k")
     # deterministic data-mixing samplers: stratum = doc_id % 3 with per-
     # stratum keep fractions; split = 10% hash holdout
+    # targets deliberately non-uniform so every source gets a distinct rate
+    q["mixture_sample"] = lambda s, d: sampling.mixture_sample(
+        _docs(s, d),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        strata_col="source",
+    ).select("doc_id", "source")
     q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
         _docs(s, d).withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(3))),
         {0: 0.5, 1: 0.25, 2: 1.0}, "stratum",
@@ -1592,6 +1598,33 @@ FROM documents d0 ANTI JOIN dropped ON d0.doc_id = dropped.node
     )
 
 
+def _mixture_oracle(targets: dict) -> str:
+    import duckdb
+
+    from views_transformation_library_spark.operators.sampling import (
+        _BUCKETS,
+        mixture_plan,
+    )
+
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, count(*) FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    rates = mixture_plan(counts, targets)
+    cases = "\n          ".join(
+        f"WHEN '{s}' THEN {int(float(r) * _BUCKETS)}" for s, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT)
+      < CASE source
+          {cases}
+          ELSE 0 END
+"""
+
+
 def _kernel_values(inner: int, width: int, power: float, norm: int) -> str:
     """Kernel offsets as a SQL VALUES list (full-precision float repr)."""
     from views_transformation_library_spark.operators.spatial_grid import kernel_offsets
@@ -2357,6 +2390,12 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
     _B = 1 << 32
+    # thresholds inlined at oracle time from the SAME plan arithmetic the
+    # operator runs (counts via DuckDB on the oracle SF — the tree-lag
+    # inlined-table mechanism); the gate verifies the Spark-side filtering
+    o["mixture_sample"] = _mixture_oracle(
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )
     o["stratified_sample"] = f"""
 SELECT doc_id, doc_id % 3 AS stratum
 FROM documents

@@ -1387,3 +1387,25 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     small = sampling.cap_per_group(df.filter("doc_id < 50"), "source", 10)
     kept_small = {r["doc_id"] for r in small.collect()}
     assert len(kept_small) == 30
+
+
+def test_mixture_plan_and_sample(spark):
+    from views_transformation_library_spark.operators import sampling
+
+    # counts 100/50; targets 50/50 -> binding stratum b keeps rate 1,
+    # a downsamples to 50 expected
+    rates = sampling.mixture_plan({"a": 100, "b": 50}, {"a": 0.5, "b": 0.5})
+    assert rates == {"a": 0.5, "b": 1.0}
+    with pytest.raises(ValueError, match="no rows"):
+        sampling.mixture_plan({"a": 10}, {"a": 0.5, "missing": 0.5})
+    # end-to-end: shares approach targets in expectation
+    rows = [(i, "a" if i < 400 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mixture_sample(df, {"a": 0.5, "b": 0.5}).collect()
+    n_a = sum(1 for r in out if r["source"] == "a")
+    n_b = sum(1 for r in out if r["source"] == "b")
+    assert n_b == 100  # binding stratum keeps everything
+    assert abs(n_a - 100) < 30  # hash-threshold expectation
+    # deterministic
+    again = sampling.mixture_sample(df, {"a": 0.5, "b": 0.5}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

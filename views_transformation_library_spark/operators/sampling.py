@@ -182,3 +182,54 @@ def cap_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def mixture_plan(
+    counts: dict, targets: dict
+) -> dict:
+    """Per-stratum keep-fractions achieving target mixture SHARES by pure
+    downsampling: the output size is maximized subject to every stratum
+    hitting its share exactly — T = min_s count_s / share_s, then
+    rate_s = share_s · T / count_s (the binding stratum keeps rate 1).
+    Deterministic driver arithmetic over |strata| numbers.
+    """
+    if not targets:
+        raise ValueError("mixture_plan needs at least one target share")
+    tot_share = sum(targets.values())
+    if tot_share <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    shares = {s: w / tot_share for s, w in targets.items()}
+    missing = [s for s in shares if counts.get(s, 0) <= 0 and shares[s] > 0]
+    if missing:
+        raise ValueError(f"strata with positive target but no rows: {missing}")
+    t_max = min(counts[s] / shares[s] for s in shares if shares[s] > 0)
+    return {
+        s: (shares[s] * t_max / counts[s] if shares[s] > 0 else 0.0)
+        for s in shares
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Compose a training mix with target per-stratum SHARES (e.g.
+    {"web": 0.6, "code": 0.3, "books": 0.1}) by deterministic
+    downsampling: one count aggregate fixes the per-stratum rates
+    (mixture_plan — largest corpus where every share is exact in
+    expectation), then the stratified_sample hash-threshold CASE applies
+    them in the scan. Strata not named in ``targets`` are dropped.
+    Everything after the |strata|-row count collect is one scan
+    expression: no join, no shuffle, reproducible membership."""
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    rates = mixture_plan(counts, targets)
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
+        default_fraction=0.0,
+    )
