@@ -1409,3 +1409,17 @@ def test_mixture_plan_and_sample(spark):
     # deterministic
     again = sampling.mixture_sample(df, {"a": 0.5, "b": 0.5}).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_passage_dedup_hot_boilerplate_skew(spark):
+    # 2000 docs all sharing ONE boilerplate passage (plus a unique tail):
+    # the hot passage group hits a single min-struct window partition —
+    # must complete and keep exactly the (min doc, pos 0) occurrence
+    boiler = "subscribe to our newsletter for more great content today"
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = dedup.passage_dedup(df, n_words=8)
+    kept_boiler = out.filter(F.col("text_deduped").contains("subscribe")).collect()
+    assert len(kept_boiler) == 1 and kept_boiler[0]["doc_id"] == 0
+    # every doc keeps its unique tail passage
+    assert out.filter(F.col("n_kept") >= 1).count() == 2000
