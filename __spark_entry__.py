@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalize -> quality-filter -> dedup-keep -> mix -> pack, expressed
     # as ONE transform() spec (the composition surface is the product)
     q["llm_pipeline"] = lambda s, d: _llm_pipeline_query(s, d)
+    q["curation_pipeline"] = lambda s, d: _curation_pipeline_query(s, d)
     # The driver's CORRECTNESS gate covers the FIRST 50 registered queries
     # (verified against CORRECTNESS_r01.json: its rows == the first 50 of
     # r1's registration order). Order deliberately: every SURVEY §2
@@ -1010,6 +1011,29 @@ LLM_PIPELINE_SPEC: list[dict] = [
         "window": 512, "id_col": "doc_id", "token_col": "n_tok",
         "shard_size": 100}},
 ]
+
+
+# session-2 curation flagship: quality-filter -> passage-level repeated-span
+# removal -> per-source cap -> token accounting, all through transform()
+# specs — the composition demonstration for the r4 operator families.
+# All-integer/string output: no float-parity surface.
+CURATION_PIPELINE_SPEC: list[dict] = [
+    {"type": "gopher_filter", "kwargs": {
+        "min_tokens": 30, "max_tokens": 100_000,
+        "min_word_len": 3.0, "max_word_len": 10.0, "max_symbol_ratio": 0.1,
+        "min_alpha_word_frac": 0.8, "min_stopword_hits": 2}},
+    {"type": "where_expr", "args": ["keep"]},
+    {"type": "select_cols", "args": ["doc_id", "source", "text"]},
+    {"type": "passage_dedup", "kwargs": {"n_words": 8}},
+    {"type": "where_expr", "args": ["n_kept > 0"]},
+    {"type": "cap_per_group", "kwargs": {"group_col": "source", "n": 15}},
+    {"type": "token_count", "kwargs": {"col": "text_deduped", "out": "n_tokens"}},
+    {"type": "select_cols", "args": ["doc_id", "source", "n_kept", "n_tokens"]},
+]
+
+
+def _curation_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return registry.transform(_docs(spark, sf_dir), CURATION_PIPELINE_SPEC)
 
 
 def _llm_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2292,6 +2316,70 @@ FROM documents
     # end-to-end pipeline flagship: each spec step mirrored as a CTE.
     # Spark shards the packing prefix-sum (shard windows + broadcast bases);
     # integer arithmetic makes that exactly a global ordered prefix sum.
+    # the session-2 composition chain: gopher row rules (raw text) ->
+    # first-occurrence passage dedup among survivors -> per-source md5 cap
+    # -> token accounting. Integer/string output end to end.
+    o["curation_pipeline"] = r"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+         (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))::BIGINT AS n_alpha,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b'))::BIGINT AS n_stop
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, source, text,
+         round(coalesce(word_chars * 1.0 / nullif(n_words, 0), 0.0), 6) + 0.0 AS mwl,
+         round(coalesce(n_sym * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS sym,
+         round(coalesce(n_alpha * 1.0 / nullif(n_tokens, 0), 0.0), 6) + 0.0 AS alpha,
+         n_tokens, n_stop
+  FROM base
+),
+kept AS (
+  SELECT doc_id, source, text FROM rules
+  WHERE n_tokens BETWEEN 30 AND 100000
+    AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+    AND alpha >= 0.8 AND n_stop >= 2
+),
+d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS ws FROM kept),
+p AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(ws[i.i*8+1 : i.i*8+8], ' ') AS passage
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws)/8.0) AS INT) - 1)) AS i
+  ) i
+  WHERE len(ws) > 0
+),
+k AS (
+  SELECT doc_id, pos, passage,
+         (row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos)) = 1 AS kp
+  FROM p
+),
+a AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN kp THEN passage END, ' ' ORDER BY pos), '')
+           AS td
+  FROM k GROUP BY doc_id
+),
+surv AS (
+  SELECT d2.doc_id, d2.source, a.n_kept, a.td
+  FROM d d2 JOIN a USING (doc_id) WHERE a.n_kept > 0
+),
+capped AS (
+  SELECT doc_id, source, n_kept, td FROM (
+    SELECT surv.*, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS rk
+    FROM surv) WHERE rk <= 15
+)
+SELECT doc_id, source, n_kept,
+       len(regexp_extract_all(td, '\S+'))::BIGINT AS n_tokens
+FROM capped
+"""
     o["llm_pipeline"] = r"""
 WITH norm AS (
   SELECT doc_id, lower(trim(regexp_replace(

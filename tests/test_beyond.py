@@ -1423,3 +1423,24 @@ def test_passage_dedup_hot_boilerplate_skew(spark):
     assert len(kept_boiler) == 1 and kept_boiler[0]["doc_id"] == 0
     # every doc keeps its unique tail passage
     assert out.filter(F.col("n_kept") >= 1).count() == 2000
+
+
+def test_curation_pipeline_composition(spark):
+    """The session-2 spec chain end-to-end on the sf0.001 corpus: filter ->
+    passage dedup -> cap -> count, monotone row counts at every stage."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from views_transformation_library_spark import registry
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = registry.transform(docs, e.CURATION_PIPELINE_SPEC)
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "source", "n_kept", "n_tokens"}
+    assert 0 < len(rows) <= docs.count()
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        assert r["n_kept"] >= 1 and r["n_tokens"] >= 1
+    assert max(per_src.values()) <= 15  # cap honored
