@@ -1731,7 +1731,9 @@ rec AS (
          {0.3!r} * n.value + {1.0 - 0.3!r} * r.y
   FROM numbered n JOIN rec r ON n.unit_id = r.unit_id AND n.rn = r.rn + 1
 )
-SELECT time_id, unit_id, round(y, 6) + 0.0 AS value FROM rec
+SELECT time_id, unit_id,
+       round(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS value
+FROM rec
 """).replace("WITH ", "WITH RECURSIVE ", 1)
     o["cap_per_group"] = """
 WITH r AS (
@@ -1795,8 +1797,11 @@ rec AS (
          greatest(0.0, r.cn - n.z - 0.5)
   FROM numbered n JOIN rec r ON n.unit_id = r.unit_id AND n.rn = r.rn + 1
 )
-SELECT time_id, unit_id, round(cp, 6) + 0.0 AS cusum_pos,
-       round(cn, 6) + 0.0 AS cusum_neg,
+SELECT time_id, unit_id,
+       round(CAST(CAST(cp AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0
+         AS cusum_pos,
+       round(CAST(CAST(cn AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0
+         AS cusum_neg,
        CAST(greatest(cp, cn) > 5.0 AS INT) AS cusum_alarm
 FROM rec
 """).replace("WITH ", "WITH RECURSIVE ", 1)
