@@ -524,3 +524,74 @@ def test_minhash_candidates_stream_batch_equivalence(spark, tmp_path):
     assert len(streamed) == len(expected)  # exactly-once per (band, pair)
     # the planted cross-batch dup really collided in every band
     assert sum(1 for (band, a, b, _) in expected if (a, b) == (1, 3)) == 4
+
+
+def test_funnel_stream_batch_equivalence_out_of_order(spark, tmp_path):
+    """Streamed funnel == batch funnel after every batch-boundary tricky
+    case: a LATE step-1 event lowers t_1 and re-enables an EARLIER
+    step-2 event that was previously ineligible."""
+    import os
+
+    import pandas as pd
+
+    from views_transformation_library_spark.operators import relational
+    from views_transformation_library_spark.streaming.funnel import funnel_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+
+    def _write(name, rows):
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        ).to_parquet(f"{src}/{name}.parquet", coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+
+    # batch 1: user 1 does a@10:00, b@09:00 (b BEFORE a -> not eligible)
+    _write("b1", [("2024-01-01 10:00", 1, "a"), ("2024-01-01 09:00", 1, "b")])
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = funnel_stream(stream, ["a", "b"], watermark="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r["user_id"]: r for r in spark.sql(
+            "SELECT * FROM funnel_out").collect()}
+        assert mid[1]["steps_reached"] == 1  # b@09:00 not after a@10:00
+        # batch 2: LATE a@08:00 arrives -> t_1 drops, b@09:00 now eligible
+        _write("b2", [("2024-01-01 08:00", 1, "a"), ("2024-01-01 11:00", 2, "a")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM funnel_out ORDER BY user_id, steps_reached"
+        ).collect()
+    finally:
+        q.stop()
+    # latest update per user
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = r  # memory sink appends updates in order
+    ev = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+    batch = {
+        r["unit_id"]: r
+        for r in relational.funnel(
+            ev.select("user_id", "event_type",
+                      F.unix_micros(F.col("ts").cast("timestamp")).alias("__t")),
+            ["a", "b"], ts_col="__t",
+        ).collect()
+    }
+    for u, b in batch.items():
+        f = final[u]
+        assert f["steps_reached"] == b["steps_reached"]
+        assert f["step_1_ts"] == b["step_1_ts"] and f["step_2_ts"] == b["step_2_ts"]
+    assert batch[1]["steps_reached"] == 2  # the reopened chain really completed
