@@ -75,6 +75,8 @@ HEADLINE = [
     "ewma",
     "tfidf",
     "pagerank",
+    "cusum",
+    "curation_pipeline",
 ]
 
 

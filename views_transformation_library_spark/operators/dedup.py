@@ -601,17 +601,22 @@ def pagerank(
     if e.count() <= driver_cap:
         import numpy as np
 
-        rows = e.collect()
-        nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
-        if not nodes:
+        # Arrow transfer + vectorized node indexing: .collect()'s Row
+        # objects cost ~5 s for 600k edges where toPandas is ~0.5 s off
+        # the checkpoint
+        pdf = e.toPandas()
+        src_v = pdf["src"].to_numpy()
+        dst_v = pdf["dst"].to_numpy()
+        nodes_arr = np.unique(np.concatenate([src_v, dst_v]))
+        if nodes_arr.size == 0:
             return spark.createDataFrame(
                 [], schema=f"node {id_type}, pagerank double"
             )
-        idx = {n: i for i, n in enumerate(nodes)}
+        nodes = [v.item() for v in nodes_arr]
         n = len(nodes)
         out_deg = np.zeros(n)
-        src_i = np.array([idx[r["src"]] for r in rows])
-        dst_i = np.array([idx[r["dst"]] for r in rows])
+        src_i = np.searchsorted(nodes_arr, src_v)
+        dst_i = np.searchsorted(nodes_arr, dst_v)
         np.add.at(out_deg, src_i, 1.0)
         r_vec = np.full(n, 1.0 / n)
         for _ in range(max_iters):

@@ -339,12 +339,15 @@ def ewma(
     The recursive companion of the reference's `decay` (which rescales
     time_since, not the series itself).
 
-    The recursion is inherently sequential per unit, so each unit's
-    time-sorted series runs through ONE Arrow-batched applyInPandas pass —
-    linear work, state is two floats, exactly the impute_mice shard
-    pattern. Float parity: numpy evaluates α·x + β·y_prev with the SAME
-    two products and one add (left-associated, β = 1−α precomputed once)
-    as the oracle's recursive CTE, so doubles are bit-identical; output
+    The recursion is inherently sequential per unit, so units run through
+    ONE Arrow-batched applyInPandas pass — SHARDED, not per-unit keyed:
+    applyInPandas costs ~2.5 ms of dispatch per GROUP (measured: a no-op
+    over 1500 unit-groups is ~4 s), so units hash into ``n_shards``
+    groups and a single linear scan resets state at unit boundaries —
+    the impute_mice shard shape, identical per-unit float sequences.
+    Float parity: numpy evaluates α·x + β·y_prev with the SAME two
+    products and one add (left-associated, β = 1−α precomputed once) as
+    the oracle's recursive CTE, so doubles are bit-identical; output
     rounds to 6dp. Null inputs yield a null output row and leave the
     state unchanged (pandas semantics).
     """
@@ -354,6 +357,7 @@ def ewma(
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     beta = 1.0 - alpha
+    n_shards = 64
     cols = [f.name for f in df.schema.fields]
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
@@ -362,26 +366,34 @@ def ewma(
 
     def _run(pdf):
         import numpy as np
+        import pandas as pd
 
-        pdf = pdf.sort_values(TIME, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values([UNIT, TIME], kind="mergesort").reset_index(drop=True)
         x = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+        units = pdf[UNIT].to_numpy()
         y = np.empty(len(x))
         state = np.nan
+        prev_unit = None
         for i in range(len(x)):
+            if prev_unit is None or units[i] != prev_unit:
+                state = np.nan
+                prev_unit = units[i]
             xi = x[i]
             if np.isnan(xi):
                 y[i] = np.nan
             else:
                 state = xi if np.isnan(state) else alpha * xi + beta * state
                 y[i] = state
-        import pandas as pd
-
         s = pd.array(y, dtype="Float64")
         s[np.isnan(y)] = pd.NA  # Arrow null, not double NaN (oracle parity)
         pdf[out] = s
-        return pdf
+        return pdf.drop(columns=["__shard"]) if "__shard" in pdf else pdf
 
-    return df.groupBy(UNIT).applyInPandas(_run, schema=schema)
+    sharded = df.withColumn("__shard", F.pmod(F.hash(UNIT), F.lit(n_shards)))
+    return (
+        sharded.groupBy("__shard")
+        .applyInPandas(_run, schema=schema)
+    )
 
 
 def cusum(
@@ -403,8 +415,10 @@ def cusum(
     sums (the standardize rule), numpy then steps the recursion with the
     SAME guarded expressions as the oracle's recursive CTE (σ=0 units
     contribute z=0; null observations carry state and emit null) — every
-    intermediate is bit-identical; outputs round to 6dp. One Arrow pass
-    per unit after one moment aggregate: two shuffles total.
+    intermediate is bit-identical; outputs round to 6dp. Units are
+    SHARDED into the Arrow pass (the ewma lesson: per-group dispatch is
+    ~2.5 ms, so one linear scan resets state at unit boundaries instead
+    of one group per unit): two shuffles total.
     """
     col = col or one_feature(df)
     k = float(k)
@@ -430,15 +444,21 @@ def cusum(
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(TIME, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values([UNIT, TIME], kind="mergesort").reset_index(drop=True)
         x = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+        units = pdf[UNIT].to_numpy()
         mu = pdf["__mu"].to_numpy(dtype="float64", na_value=np.nan)
         sg = pdf["__sigma"].to_numpy(dtype="float64", na_value=np.nan)
         cp = np.empty(len(x))
         cn = np.empty(len(x))
         sp = 0.0
         sn = 0.0
+        prev_unit = None
         for i in range(len(x)):
+            if prev_unit is None or units[i] != prev_unit:
+                sp = 0.0
+                sn = 0.0
+                prev_unit = units[i]
             if np.isnan(x[i]):
                 cp[i] = np.nan
                 cn[i] = np.nan
@@ -466,10 +486,11 @@ def cusum(
         pdf["cusum_pos"] = pos
         pdf["cusum_neg"] = neg
         pdf["cusum_alarm"] = alarm
-        return pdf
+        return pdf.drop(columns=["__shard"]) if "__shard" in pdf else pdf
 
+    sharded = with_m.withColumn("__shard", F.pmod(F.hash(UNIT), F.lit(64)))
     return (
-        with_m.groupBy(UNIT)
+        sharded.groupBy("__shard")
         .applyInPandas(_run, schema=schema)
         .drop("__mu", "__sigma")
         .withColumn("cusum_pos", F.round("cusum_pos", 6) + F.lit(0.0))
