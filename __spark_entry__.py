@@ -536,7 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         P.TIME, P.UNIT, "value", "unit_median", "unit_mad", "is_outlier"
     )
     q["tfidf"] = lambda s, d: retrieval.tfidf(_docs(s, d))
-    for name in ("tpch_q3", "tpch_q5", "tpch_q6"):
+    for name in _TPCH_SHARED_SQL:
         q[name] = (
             lambda s, d, _n=name: _shared_sql_query(s, d, _TPCH_SHARED_SQL[_n])
         )
@@ -871,11 +871,83 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= 0.03 AND l_discount <= 0.07
   AND l_quantity < 24
 """,
+    # Q4 shape adapted (testdata has no l_commitdate: the EXISTS probe is
+    # "any line shipped after the order date" — same correlated-EXISTS
+    # decorrelation test for both planners)
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "tpch_q10": """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+""",
+    # Q14 emits numerator and denominator as separate exact DECIMAL sums
+    # instead of the ratio: the promo share's final division would sit in
+    # the round(x,6) engine-divergence class (CLAUDE.md divide_column
+    # lesson); two exact doubles carry strictly more information anyway
+    "tpch_q14": """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    # Q18: large-volume orders (threshold 250 fits the synthetic order-size
+    # distribution: p99 ≈ 262, max 458)
+    "tpch_q18": """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+""",
+    # Q19 shape: disjunction of brand/size/quantity bands (brands adapted
+    # to the synthetic Brand#1..25 domain) — OR-pushdown parity
+    "tpch_q19": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND l_quantity >= 1 AND l_quantity <= 11)
+    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+        AND l_quantity >= 10 AND l_quantity <= 20)
+    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+        AND l_quantity >= 20 AND l_quantity <= 30))
+""",
 }
 
 
 def _shared_sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region",
+              "part"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql(sql)
 
