@@ -229,3 +229,52 @@ def test_passage_dedup_two_shuffles(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange") <= 4  # passage, groupBy id, join sides
     assert "SortMergeJoin" in phys or "BroadcastHashJoin" in phys
+
+
+def test_no_corpus_linear_single_partition_windows():
+    """Grep-able scale invariant (VERDICT r4 #3): every unpartitioned Window
+    in the package source must sit over a bounded or sublinear input. The
+    allowlist is EXACT — adding a new `Window.orderBy(` / `Window.partitionBy()`
+    anywhere fails this test until its input bound is justified here.
+
+    Current sites, all bounded:
+      sampling.py  weighted_sample rank  — input limit(n), O(n)
+      retrieval.py bm25 rank            — input limit(k), O(k)
+      text.py      vocab_top_terms rank — input limit(n), O(n)
+      text.py      corpus_mix total     — input |strata| agg rows
+      text.py      pack_windows w_sup   — supershard totals,
+                                          N/(shard_size*65536) rows
+    """
+    import pathlib
+    import re
+
+    import views_transformation_library_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    counts: dict[str, int] = {}
+    pat = re.compile(r"Window\.orderBy\(|Window\.partitionBy\(\)")
+    for p in sorted(root.rglob("*.py")):
+        n = sum(1 for line in p.read_text().splitlines() if pat.search(line))
+        if n:
+            counts[p.name] = n
+    assert counts == {"retrieval.py": 1, "sampling.py": 1, "text.py": 3}, counts
+
+
+def test_pack_windows_two_level_shard_bases(spark, monkeypatch):
+    """The two-LEVEL prefix sum (shard -> supershard) must equal a global
+    cumulative sum when multiple supershards exist. SHARDS_PER_SUPER is
+    shrunk so a 30-doc corpus spans 5 supershards (shard span 3 x 2)."""
+    from views_transformation_library_spark.operators import text
+
+    monkeypatch.setattr(text, "SHARDS_PER_SUPER", 2)
+    rows = [(i, " ".join(["w"] * ((7 * i) % 5 + 1))) for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["start_offset"], r["end_offset"])
+        for r in text.pack_windows(df, window=8, shard_size=3).collect()
+    }
+    off = 0
+    for i in range(30):
+        n = (7 * i) % 5 + 1
+        assert out[i] == (off, off + n), (i, out[i], off)
+        off += n

@@ -61,3 +61,26 @@ def test_pipeline_spec_steps(spark):
     # doc 2 and 4 dedup onto doc 1 (case/whitespace-normalized fingerprint);
     # survivors {1, 3, 5} then filtered to odd ids
     assert got == [1, 3, 5]
+
+
+def test_densify_registry_step_repairs_gapped_axis(spark):
+    """VERDICT r4 #7 round-trip: temporal_tree_lag on a gapped time axis
+    raises an error that names the densify registry step, and running that
+    exact step first makes the same spec succeed."""
+    # time 2 missing for EVERY unit -> gapped integer axis
+    rows = [(t, u, float(t + u)) for t in (0, 1, 3, 4) for u in (1, 2)]
+    pn = make_panel(spark, rows)
+    with pytest.raises(ValueError, match=r'\{"type": "densify"'):
+        transform(pn, [{"type": "temporal_tree_lag", "args": [0.7, "oneovert"]}])
+    out = transform(pn, [
+        {"type": "densify", "kwargs": {"time_range": True}},
+        {"type": "temporal_tree_lag", "args": [0.7, "oneovert"]},
+    ])
+    assert out.count() == 10  # 5 times x 2 units after axis repair
+    # plain densify (observed times only) must NOT repair it — the axis gap
+    # is invisible to a distinct; the kwarg is the documented remedy
+    with pytest.raises(ValueError, match="gapless"):
+        transform(pn, [
+            {"type": "densify"},
+            {"type": "temporal_tree_lag", "args": [0.7, "oneovert"]},
+        ])

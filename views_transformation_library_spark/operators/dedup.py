@@ -540,6 +540,7 @@ def fuzzy_dedup_keep(
     threshold: float = 0.8,
     seed: int = 42,
     max_iters: int = 20,
+    driver_cap: int = 2_000_000,
 ) -> DataFrame:
     """End-to-end fuzzy corpus deduplication: MinHash-LSH near-duplicate
     pairs -> connected components over the pair graph -> keep exactly ONE
@@ -558,7 +559,7 @@ def fuzzy_dedup_keep(
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, n, n_hashes, bands, threshold, seed
     )
-    comp = connected_components(pairs, max_iters=max_iters)
+    comp = connected_components(pairs, max_iters=max_iters, driver_cap=driver_cap)
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

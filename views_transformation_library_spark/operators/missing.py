@@ -13,7 +13,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, feature_cols
+from ..panel import KEYS, TIME, UNIT, feature_cols, materialize
 
 
 def _w_unit() -> Window:
@@ -69,18 +69,24 @@ def fill_groups_with_time_means(df: DataFrame, cols: list[str] | None = None) ->
 def fill_with_group_and_global_means(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """NULL -> per-unit mean -> global column mean (reference `missing.py:58-69`).
 
-    coalesce over two window averages; the global mean is a whole-frame
-    window (Catalyst plans it as a single-partition agg broadcast — fine,
-    it is one value per column)."""
+    coalesce over a per-unit window average and a broadcast one-row global
+    aggregate. The global mean is NOT an empty-partition whole-frame
+    window — that plans as Exchange SinglePartition over EVERY row (a
+    corpus-linear single-partition sort, the pack_windows scale trap); a
+    scalar agg + broadcast cross join keeps the frame fully parallel. The
+    frame feeds two plan branches (agg + main), so it is materialized once.
+    """
     cols = cols or feature_cols(df)
+    df = materialize(df)
     w_unit_all = Window.partitionBy(UNIT)
-    w_global = Window.partitionBy()
-    out = df
+    glob = df.agg(*[F.avg(c).alias(f"__gmean_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(glob))
     for c in cols:
         out = out.withColumn(
-            c, F.coalesce(F.col(c), F.avg(c).over(w_unit_all), F.avg(c).over(w_global))
+            c,
+            F.coalesce(F.col(c), F.avg(c).over(w_unit_all), F.col(f"__gmean_{c}")),
         )
-    return out
+    return out.drop(*[f"__gmean_{c}" for c in cols])
 
 
 def _ffill(c: str):

@@ -573,6 +573,14 @@ def corpus_mix(
     return agg.withColumn("token_share", share)
 
 
+# shards per supershard for pack_windows' two-level prefix sum: the only
+# single-partition window operates on SUPERSHARD totals, |supers| =
+# N / (shard_size x SHARDS_PER_SUPER) rows — ~153 rows at 10^12 docs with
+# the defaults. Module-level so the scale test can shrink it and force
+# multiple supershards on a toy corpus.
+SHARDS_PER_SUPER = 65_536
+
+
 def pack_windows(
     df: DataFrame,
     window: int = 2048,
@@ -587,12 +595,15 @@ def pack_windows(
     pipeline runs before writing packed shards.
 
     Scale design: a global ordered prefix-sum over 10^9+ docs cannot be a
-    single Window.orderBy (one-partition sort). Two-phase instead: docs are
-    range-sharded by id (``shard = id div shard_size``), each shard does a
-    *partitioned* cumulative sum, and the per-shard totals — one row per
-    shard — are prefix-summed and broadcast back as shard base offsets.
-    Shuffle volume is one hash partition by shard plus a broadcast of
-    |shards| rows.
+    single Window.orderBy (one-partition sort). Two-LEVEL sharding instead:
+    docs are range-sharded by id (``shard = id div shard_size``), each shard
+    does a *partitioned* cumulative sum; shard totals are prefix-summed
+    WITHIN supershards of ``SHARDS_PER_SUPER`` shards (again a partitioned
+    window), and only the supershard totals — N/(shard_size x 65536) rows,
+    ~153 at a trillion docs — flow through the one unpartitioned window.
+    The shard-base join back to the doc frame is left to AQE (broadcast at
+    test scale; at 10^9+ shards a hash join that reuses the window's
+    existing __shard partitioning — never a forced ~100 MB+ broadcast).
 
     Output: (doc_id, n_tokens, start_offset, end_offset, first_window,
     last_window) with end exclusive; empty docs (0 tokens) get
@@ -603,9 +614,11 @@ def pack_windows(
         if token_col
         else F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
     ).cast("long")
+    super_span = shard_size * SHARDS_PER_SUPER
     base = df.select(
         F.col(id_col), token_expr.alias("n_tokens"),
         (F.col(id_col) - (F.col(id_col) % shard_size)).alias("__shard"),
+        (F.col(id_col) - (F.col(id_col) % super_span)).alias("__super"),
     )
     # two plan branches read `base` (the per-shard window AND the
     # shard-totals aggregate); Catalyst does not reuse the duplicated
@@ -616,16 +629,35 @@ def pack_windows(
     local = base.withColumn(
         "__local_end", F.sum("n_tokens").over(w_shard)
     )
-    # one row per shard -> prefix-summed base offsets, broadcast back
-    w_sh = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    # level 1: shard totals, prefix-summed WITHIN each supershard
+    # (partitioned window — at most SHARDS_PER_SUPER rows per partition)
+    shard_totals = base.groupBy("__super", "__shard").agg(
+        F.sum("n_tokens").alias("__total")
+    )
+    shard_totals = materialize(shard_totals)  # feeds level 2 AND the join
+    w_in_super = (
+        Window.partitionBy("__super")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # level 2: supershard totals through the ONLY unpartitioned window —
+    # |supers| rows, bounded far below any corpus-linear growth
+    w_sup = Window.orderBy("__super").rowsBetween(Window.unboundedPreceding, -1)
+    super_bases = (
+        shard_totals.groupBy("__super")
+        .agg(F.sum("__total").alias("__stotal"))
+        .withColumn("__sbase", F.coalesce(F.sum("__stotal").over(w_sup), F.lit(0)))
+        .select("__super", "__sbase")
+    )
     shard_offsets = (
-        base.groupBy("__shard")
-        .agg(F.sum("n_tokens").alias("__total"))
-        .withColumn("__base", F.coalesce(F.sum("__total").over(w_sh), F.lit(0)))
-        .select("__shard", "__base")
+        shard_totals.withColumn(
+            "__inbase", F.coalesce(F.sum("__total").over(w_in_super), F.lit(0))
+        )
+        .join(F.broadcast(super_bases), "__super")
+        .select("__shard", (F.col("__sbase") + F.col("__inbase")).alias("__base"))
     )
     out = (
-        local.join(F.broadcast(shard_offsets), "__shard")
+        local.join(shard_offsets, "__shard")
         .select(
             id_col,
             "n_tokens",

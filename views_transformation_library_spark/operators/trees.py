@@ -84,7 +84,10 @@ class TemporalTreeGeometry:
             raise ValueError(
                 "temporal tree needs a gapless integer time axis "
                 f"({nseq_initial + 1} expected between {tstart} and {tend}, "
-                f"got {len(times)}); densify the panel first"
+                f"got {len(times)}); densify the panel first — run the "
+                'registry step {"type": "densify", "kwargs": '
+                '{"time_range": true}} before this one, or build the panel '
+                "with panel.panel_from_events / panel.densify"
             )
         nseq = int(2 ** (1 + int(math.log2(nseq_initial))))
         self.npad = nseq - nseq_initial
@@ -559,6 +562,12 @@ GRID_DFUNCTIONS = {
     2: lambda d: 1.0 / (d * d),
 }
 
+# grid_lag broadcasts each per-feature mesh when its (upper-bounded or
+# exact) row count is at or below this; past it the cells-x-mesh join is a
+# plain shuffle join. Module-level so the over-cap bench/test can force the
+# non-broadcast path on small data (tools/bench_overcap.py).
+GRID_MESH_BROADCAST_CAP = 2_000_000
+
 
 def grid_lag(
     df: DataFrame,
@@ -636,7 +645,7 @@ def grid_lag(
     mesh_bound = (4 * df.count()) // 3 + 1
     for c in feats:
         mesh = _grid_mesh(nodevals, c, threshold, geo)
-        if keep_grids or mesh_bound > 2_000_000:
+        if keep_grids or mesh_bound > GRID_MESH_BROADCAST_CAP:
             # referenced from >1 branch, or needs an exact count: pin it
             mesh = materialize(mesh)
         if keep_grids:
@@ -651,7 +660,8 @@ def grid_lag(
         # so the cells side never shuffles
         mesh_side = (
             F.broadcast(mesh)
-            if mesh_bound <= 2_000_000 or mesh.count() <= 2_000_000
+            if mesh_bound <= GRID_MESH_BROADCAST_CAP
+            or mesh.count() <= GRID_MESH_BROADCAST_CAP
             else mesh
         )
         pairs = targets.join(mesh_side, F.col(TIME) == F.col("__mt")).filter(

@@ -80,15 +80,29 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-def densify(df: DataFrame, fill: float | None = 0.0) -> DataFrame:
+def densify(
+    df: DataFrame, fill: float | None = 0.0, time_range: bool = False
+) -> DataFrame:
     """Complete the (time, unit) grid; absent cells get ``fill`` (None -> NULL).
 
     Distinct-key dimensions are tiny -> broadcast cross join, then a single
     left join back to the data (one shuffle on the join keys, which Catalyst
     reuses for any subsequent window partitioned the same way).
+
+    ``time_range=True`` completes the integer time axis over the observed
+    ``[min, max]`` range instead of only the observed values — the repair for
+    the "gapless integer time axis" contract the tree/fourier operators
+    assert (a timestep with zero rows anywhere is invisible to a distinct).
+    Registry spec: ``{"type": "densify", "kwargs": {"time_range": true}}``.
     """
     validate(df)
-    times = df.select(TIME).distinct()
+    if time_range:
+        times = (
+            df.agg(F.min(TIME).alias("__tmin"), F.max(TIME).alias("__tmax"))
+            .select(F.explode(F.sequence("__tmin", "__tmax")).alias(TIME))
+        )
+    else:
+        times = df.select(TIME).distinct()
     units = df.select(UNIT).distinct()
     grid = F.broadcast(times).crossJoin(F.broadcast(units))
     out = grid.join(df, KEYS, "left")

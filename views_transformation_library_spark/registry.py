@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from . import panel as _panel
 from .operators import (
     dedup,
     fourier,
@@ -144,6 +145,10 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "select_cols": relational.select_cols,
     "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
+    # panel contract: gap-free (time x unit) grid. The tree/fourier family
+    # raises on a gapped time axis and its error message names this step —
+    # `{"type": "densify"}` before the lag step repairs the axis in-spec.
+    "densify": _panel.densify,
     # missing (§2.3)
     "replace_na": missing.replace_na,
     "fill": missing.fill,
