@@ -637,39 +637,58 @@ def pagerank(
             [(nodes[i], float(r_vec[i])) for i in range(n)],
             schema=f"node {id_type}, pagerank double",
         )
-    # distributed path
+    # distributed path. Per-iteration job budget matters as much as data
+    # volume (measured at sf0.1: the original loop spent 2 driver actions
+    # per iteration — a dangling-mass collect plus the checkpoint — and
+    # always ran max_iters). Three changes, r5: the out-degree aggregate is
+    # materialized ONCE (it is loop-invariant), the dangling mass stays a
+    # LAZY one-row aggregate broadcast into the rank update (no collect),
+    # and a max|delta| check on the checkpointed frames gives the same
+    # early exit as the driver path (tol), which at cluster scale saves
+    # whole iterations, not just driver latency.
     nodes_df = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_nodes = nodes_df.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = materialize(e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")))
     ranks = nodes_df.withColumn("pagerank", F.lit(1.0 / n_nodes))
     for _ in range(max_iters):
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
             "node", "pagerank", "__deg"
         )
-        dangling = (
-            with_deg.filter(F.col("__deg").isNull())
-            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("__dangling")
         )
         contrib = (
             e.join(with_deg.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pagerank") / F.col("__deg")).alias("__c"))
         )
-        ranks = (
+        new_ranks = (
             nodes_df.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
                 ).alias("pagerank"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # truncate iterative lineage
         )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.max(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
     return ranks

@@ -734,19 +734,31 @@ def _cogrouped_bucket_topk(
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, __cos double"
     CHUNK = 2048  # bounds the pair matrix at CHUNK^2 doubles per step
     prune_at, margin = PRUNE_AT, TOPK_MARGIN  # snapshot for the closure
+    # PRUNE_AT >= 2^60 disables pruning entirely (incl. the final output
+    # prune) — the pre-r4 scorer, kept reachable for A/B benchmarking
+    do_prune = prune_at < (1 << 60)
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         # bucket-local top-k guard (UNROUNDED cosines, margin-safe): keep
         # rows within TOPK_MARGIN of each query's k-th best so far; queries
-        # with fewer than k candidates keep everything
+        # with fewer than k candidates keep everything. Pure numpy lexsort
+        # (r5): the pandas groupby().nlargest() formulation cost 1.34x on
+        # even buckets (tools/exp_knn_prune.py interleaved A/B) — this
+        # keeps identical semantics (kth best = value at in-group rank k-1
+        # descending == min of the top-k) at a fraction of the constant.
         if pdf.empty:
             return pdf
-        kth = (
-            pdf.groupby("query_id")["__cos"].nlargest(int(k))
-            .groupby(level=0).min()
-        )
-        bound = pdf["query_id"].map(kth) - margin
-        return pdf[pdf["__cos"].values >= bound.values]
+        q = pdf["query_id"].to_numpy()
+        c = pdf["__cos"].to_numpy()
+        order = np.lexsort((-c, q))  # group by query, cosine descending
+        qs, cs = q[order], c[order]
+        starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+        grp_len = np.diff(np.r_[starts, len(qs)])
+        kth = cs[starts + np.minimum(int(k) - 1, grp_len - 1)]
+        keep_sorted = cs >= np.repeat(kth - margin, grp_len)
+        keep = np.empty(len(qs), dtype=bool)
+        keep[order] = keep_sorted
+        return pdf[keep]
 
     def _score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = members of this bucket, right = probes targeting it
@@ -800,8 +812,9 @@ def _cogrouped_bucket_topk(
                     outs, buffered = [pruned], len(pruned)
         if not outs:
             return empty
+        allc = pd.concat(outs, ignore_index=True)
         # final prune also shrinks the shuffle feeding the ranking window
-        return _prune(pd.concat(outs, ignore_index=True))
+        return _prune(allc) if do_prune else allc
 
     scored = (
         members.groupby("__bucket")
