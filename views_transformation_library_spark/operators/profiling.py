@@ -93,7 +93,7 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
 def profile_approx(
     df: DataFrame,
     cols: list[str],
-    rsd: float = 0.05,
+    rsd: float = 0.02,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     accuracy: int = 10_000,
 ) -> DataFrame:
