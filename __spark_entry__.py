@@ -929,6 +929,80 @@ WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
   AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
 """,
+    # Q7 shape: bidirectional nation-pair volume by ship year (names from
+    # the synthetic NATION_0..24 domain) — 6-table join + OR of AND pairs
+    "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    # Q13 customer order-count distribution — LEFT OUTER JOIN under an
+    # aggregate-of-aggregate; all-integer output, no float surface
+    "tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""",
+    # Q15 top supplier: CTE reused twice (revenue + its max) — exact
+    # DECIMAL revenue so the max-equality probe is engine-stable
+    "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+    # Q17 small-quantity orders: correlated scalar-aggregate subquery
+    # (decorrelation test). The per-part mean threshold goes through an
+    # exact DECIMAL sum / count so the < comparison is engine-stable;
+    # the raw revenue sum is emitted (not /7.0 — carry the exact sum)
+    "tpch_q17": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#7'
+  AND l_quantity < (SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                       AS DOUBLE) / count(l2.l_quantity))
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    # Q22 shape: above-mean-balance customers with NO RECENT orders
+    # (anti-join + uncorrelated scalar subquery); cntrycode adapted to
+    # c_nationkey % 10 (testdata has no phone column) and the anti-join
+    # probe to "no 1998+ order" (the synthetic orders table covers every
+    # customer, so the original no-orders-at-all probe is empty)
+    "tpch_q22": """
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / count(c2.c_acctbal)
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')) custsale
+GROUP BY cntrycode
+""",
     # Q19 shape: disjunction of brand/size/quantity bands (brands adapted
     # to the synthetic Brand#1..25 domain) — OR-pushdown parity
     "tpch_q19": """
@@ -1504,8 +1578,16 @@ agg_{c} AS (
   GROUP BY 1, 2
 )"""
         )
+    # round via the shortest-decimal-repr route (the divide_column fix):
+    # Spark's round(x, 6) HALF_UP-rounds BigDecimal.valueOf(x) — the
+    # double's shortest repr — while DuckDB rounds the true binary value;
+    # they split when the repr lands exactly on a ...5 boundary whose
+    # binary sits a hair below (observed at sf0.1: one weighted sum in
+    # 45000 rows). VARCHAR holds the shortest repr, DECIMAL(38,17) holds
+    # it exactly, decimal round is HALF_UP — Spark's semantics replicated.
     outs = ", ".join(
-        f"round(coalesce(a_{c}.v_{wname or ''}, 0.0), 6) AS "
+        f"round(CAST(CAST(coalesce(a_{c}.v_{wname or ''}, 0.0) AS VARCHAR)"
+        f" AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS "
         + (c if wname is None else f"{c}_{wname}")
         for c in feats
         for wname in wmap

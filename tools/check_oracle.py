@@ -77,6 +77,11 @@ def main():
         i = argv.index("--json")
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    skip: set[str] = set()
+    for a in list(argv):
+        if a.startswith("--skip="):
+            skip |= set(a.split("=", 1)[1].split(","))
+            argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results = {}
@@ -87,10 +92,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs = entrymod.queries()
+    # axis-dependent oracles (tree-lag VALUES tables, inlined centroids,
+    # fourier/mice goldens) are generated from the ORACLE SF's data at
+    # oracle_sql() call time; repoint them at the checked dir so the
+    # strict pass works at sf0.1 too (the driver's own gate always runs
+    # at the documented sf0.01 default)
+    entrymod._ORACLE_SF_DIR = sf_dir
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
