@@ -1444,3 +1444,74 @@ def test_curation_pipeline_composition(spark):
         per_src[r["source"]] = per_src.get(r["source"], 0) + 1
         assert r["n_kept"] >= 1 and r["n_tokens"] >= 1
     assert max(per_src.values()) <= 15  # cap honored
+
+
+def test_lsh_topk_multiprobe_recovers_adjacent_bucket(vectors):
+    """r5 multi-probe: a query probes its own signature bucket PLUS the
+    n_planes Hamming-1 buckets. Candidate sets are supersets of
+    single-probe's; with enough planes the probed share of the corpus is
+    still a strict subset (approximate, not brute force)."""
+    queries = vectors.filter(F.col("vec_id") == 100)
+    single = {r["neighbor_id"] for r in
+              similarity.lsh_topk(vectors, queries, k=50, n_planes=4,
+                                  probe_bits=0).collect()}
+    multi = {r["neighbor_id"] for r in
+             similarity.lsh_topk(vectors, queries, k=50, n_planes=4,
+                                 probe_bits=1).collect()}
+    assert single <= multi           # superset: never loses a candidate
+    assert 101 in multi              # planted near-dup always recovered
+    # each (query, vector) pair appears at most once (vector has ONE
+    # bucket; probe list is distinct) -> ranks are dense 1..n
+    ranks = sorted(r["rank"] for r in
+                   similarity.lsh_topk(vectors, queries, k=50, n_planes=4).collect())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_pagerank_distributed_early_exit_is_fixpoint_stable(spark):
+    """r5 early exit: once converged (max|delta| < tol), extra iteration
+    budget must not change the distributed result — and the distributed
+    path must agree with the driver path to float-iteration tolerance."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)],
+        "src long, dst long",
+    )
+    # damping 0.5 -> geometric convergence reaches |delta| < 1e-9 in ~30
+    # iterations; both budgets are PAST convergence, so both runs exit at
+    # the same iteration via the tol check (at 0.85 it would take ~113
+    # iterations — pointlessly slow for a unit test)
+    a = {r["node"]: r["pagerank"]
+         for r in dedup.pagerank(edges, damping=0.5, max_iters=60,
+                                 driver_cap=0).collect()}
+    b = {r["node"]: r["pagerank"]
+         for r in dedup.pagerank(edges, damping=0.5, max_iters=120,
+                                 driver_cap=0).collect()}
+    assert a == b  # bit-identical: both stopped at the same fixpoint
+    drv = {r["node"]: r["pagerank"]
+           for r in dedup.pagerank(edges, damping=0.5, max_iters=60).collect()}
+    assert set(a) == set(drv)
+    assert max(abs(a[n] - drv[n]) for n in a) < 1e-9
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """r5 max_bucket: a band-bucket larger than the cap is skipped for
+    pair generation; everything under the cap is IDENTICAL to the
+    uncapped plan. Planted: 6 identical boilerplate docs (every band
+    collides -> bucket size 6) + one near-dup pair of distinct text."""
+    boiler = "the same boilerplate sentence repeated on every page of this site"
+    rows = [(i, boiler) for i in range(6)]
+    rows += [(10, "a genuinely unique document about alpine marmots and snow"),
+             (11, "a genuinely unique document about alpine marmots and ice")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=2, n_hashes=8, bands=4, threshold=0.5)
+    full = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_pairs(df, max_bucket=None, **kw).collect()}
+    assert (10, 11) in full and (0, 1) in full
+    capped = {(r["a"], r["b"]) for r in
+              dedup.minhash_lsh_pairs(df, max_bucket=5, **kw).collect()}
+    # boilerplate bucket (size 6 > cap 5 in EVERY band) skipped entirely;
+    # the under-cap near-dup pair is untouched
+    assert capped == {p for p in full if p[0] >= 10}
+    # cap above the bucket size changes nothing
+    same = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_pairs(df, max_bucket=6, **kw).collect()}
+    assert same == full

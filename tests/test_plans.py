@@ -278,3 +278,23 @@ def test_pack_windows_two_level_shard_bases(spark, monkeypatch):
         n = (7 * i) % 5 + 1
         assert out[i] == (off, off + n), (i, out[i], off)
         off += n
+
+
+def test_minhash_bucket_guard_single_exchange(spark):
+    """The hot-bucket guard (windowed count + filter under the
+    collect_list) must NOT add a shuffle: window, filter and aggregate
+    share one (band, sig) exchange. A count-agg + semi-join formulation
+    costs a second band_sig shuffle — this pins the window one."""
+    from views_transformation_library_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tail") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_pairs(df, n=3, n_hashes=8, bands=2, threshold=0.5)
+    plan = plans.physical_plan(out)
+    n_band_ex = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning(band" in line
+    )
+    assert n_band_ex == 1, plan

@@ -178,11 +178,27 @@ def minhash_lsh_pairs(
     bands: int = 6,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard (a < b,
     jaccard >= τ). Integer-exact end-to-end, so results are deterministic
     and reproducible across engines. rows = bands per doc after banding;
-    candidate generation is an equi-join on (band, signature)."""
+    candidate generation is an equi-join on (band, signature).
+
+    ``max_bucket`` is the hot-bucket guard: a band-bucket holding B docs
+    emits B²/2 candidate pairs from ONE aggregation group (boilerplate
+    corpora produce million-doc buckets — unbounded collect_list state
+    and ~10^13 pairs at web scale). Buckets larger than the cap are
+    skipped for pair generation via a windowed count + filter BELOW the
+    collect_list: the window, the filter and the aggregate share ONE
+    (band, sig) exchange (pinned in tests/test_plans.py), and a hot
+    bucket's rows pass through the spillable WindowExec sorter instead of
+    an in-memory collect_list buffer — bounded memory at any skew.
+    Members of a skipped bucket still pair through
+    their other ``bands-1`` buckets, and identical texts belong in
+    `exact_dedup`/`dedup_keep` upstream anyway; ``max_bucket=None``
+    disables the guard. Results at any bucket size under the cap are
+    IDENTICAL to the uncapped plan."""
     if bands < 1 or n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
@@ -213,6 +229,21 @@ def minhash_lsh_pairs(
     # candidate pairs by postings-list expansion (one groupBy(band, sig) +
     # array pair emission) instead of a bucket self-join — same pairs, two
     # fewer shuffles (mirrors the ngram_jaccard inverted-index plan)
+    if max_bucket is not None:
+        # hot-bucket guard: windowed bucket count + filter BELOW the
+        # collect_list. The window partitions on exactly the aggregate's
+        # grouping keys, so window -> filter -> groupBy share ONE
+        # exchange (a count-aggregate + semi-join formulation costs a
+        # second shuffle of the band rows: Catalyst does not reuse the
+        # duplicated band_sig subplan across join branches), and an
+        # oversized bucket flows through WindowExec's SPILLABLE sorter
+        # instead of an unbounded in-memory collect_list buffer.
+        w_bucket = Window.partitionBy("band", "sig")
+        band_sig = (
+            band_sig.withColumn("__bn", F.count(F.lit(1)).over(w_bucket))
+            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= int(max_bucket)))
+            .drop("__bn")
+        )
     buckets = band_sig.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list("doc")).alias("__docs")
     )
