@@ -1515,3 +1515,24 @@ def test_minhash_hot_bucket_guard(spark):
     same = {(r["a"], r["b"]) for r in
             dedup.minhash_lsh_pairs(df, max_bucket=6, **kw).collect()}
     assert same == full
+
+
+def test_simhash_60bit_scale_path(spark):
+    """The corpus-scale parameterization (bits=60, chunks=4 -> 15-bit
+    chunks): signatures use the high bits, the chunk join still finds the
+    planted near-dup, and hamming verification is exact."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near dup
+            (3, "completely different words about marmots and snowfields")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash(df, bits=60).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    assert any(s >= (1 << 32) for s in sigs.values())  # high bits in use
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_pairs(df, bits=60, chunks=4,
+                                 max_hamming=max(3, d12)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == d12
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash(df, bits=64)

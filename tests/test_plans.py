@@ -298,3 +298,35 @@ def test_minhash_bucket_guard_single_exchange(spark):
         if "Exchange hashpartitioning(band" in line
     )
     assert n_band_ex == 1, plan
+
+
+def test_ngram_postings_guard_single_exchange(spark, monkeypatch):
+    """Same invariant as the minhash bucket guard: the max_doc_freq
+    window + filter + collect_list share one shingle exchange, and the
+    filter sits BELOW the aggregate (a hot shingle never reaches an
+    in-memory collect_list buffer). materialize is stubbed to identity so
+    the checkpoint does not hide the postings subplan from the audit."""
+    from views_transformation_library_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "materialize", lambda df: df)
+    df = spark.createDataFrame(
+        [(i, f"common prefix text item {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=5)
+    plan = plans.physical_plan(out)
+    lines = plan.splitlines()
+    ex_idx = [
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(shingle" in l
+    ]
+    # every shingle exchange directly feeds the windowed doc-frequency
+    # count (parent node in the tree listing), i.e. the guard's window
+    # reuses the aggregate's own exchange — no extra shuffle for the guard
+    assert ex_idx, plan
+    for i in ex_idx:
+        parents = "\n".join(lines[max(0, i - 2):i])  # Window -> Sort -> Exchange
+        assert "windowspecdefinition(shingle" in parents, parents
+    # and the guard is the __df row filter BELOW collect_list, not a
+    # post-hoc filter on the collected arrays
+    assert "__df" in plan, plan

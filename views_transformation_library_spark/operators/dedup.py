@@ -101,13 +101,28 @@ def ngram_jaccard_pairs(
     # the postings table feeds two branches (sizes + postings):
     # materialize it once instead of re-tokenizing the corpus per branch
     sh = materialize(_shingles(df, id_col, text_col, n))
-    postings = sh.groupBy("shingle").agg(
+    sh_kept = sh
+    if max_doc_freq is not None:
+        # guard BELOW the collect_list (r5, the minhash max_bucket fix):
+        # filtering the collected arrays by size still buffered a hot
+        # shingle's full posting list in one in-memory aggregation buffer
+        # before dropping it. The windowed doc-frequency count partitions
+        # on the aggregate's own key, so window -> filter -> collect_list
+        # share ONE shingle exchange and a boilerplate shingle's rows pass
+        # through the spillable window sorter instead — identical output.
+        w_sh = Window.partitionBy("shingle")
+        sh_kept = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+            .filter(F.col("__df") <= int(max_doc_freq))
+            .drop("__df")
+        )
+    postings = sh_kept.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc")).alias("__docs")
     )
     if max_doc_freq is not None:
         # with the guard on, postings feeds two branches (pairs + sizes) —
-        # materialize so the groupBy runs once
-        postings = materialize(postings.filter(F.size("__docs") <= max_doc_freq))
+        # materialize so the window + groupBy run once
+        postings = materialize(postings)
     pair_structs = F.expr(
         "flatten(transform(__docs, (x, i) -> "
         "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
@@ -373,13 +388,21 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash signature: bit i set iff the weighted sum of bit i
     over token hashes is positive (weight = token occurrence count).
-    Token hash = md5-derived int; bits <= 32 keeps shifts in integer range."""
+    Token hash = md5-derived int, one hex char per 4 signature bits;
+    bits <= 60 keeps every shift and the assembled signature inside a
+    signed long under ANSI mode (61+ would need 2^63 literals). bits=32
+    (default, 8 hex chars) is byte-stable with the r1 gate; bits=60 is
+    the corpus-scale parameterization — see simhash_pairs."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens_expr(text_col)).alias("w"))
     counted = toks.groupBy("doc", "w").agg(F.count("*").alias("cnt"))
     hashed = counted.select(
         "doc",
         "cnt",
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5(F.col("w")), 1, (bits + 3) // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     # one conditional sum per bit in a single hash aggregate — no 'bits x rows'
     # explode, the vote matrix stays columnar through whole-stage codegen
@@ -409,7 +432,16 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance <= d, using the
     pigeonhole chunk trick: signatures within d differ in at most d chunks,
     so any pair shares >= chunks-d exact chunks when chunks > d — join on
-    each chunk, then verify exact Hamming distance."""
+    each chunk, then verify exact Hamming distance.
+
+    Scale shape: each (chunk index, chunk value) bucket holds ~N/2^w docs
+    (w = bits/chunks) and the join emits ~|bucket|² candidates per bucket
+    — so the CHUNK WIDTH, not the corpus, must absorb growth. The default
+    (bits=32, chunks=4, w=8 → 256 values/chunk) is a small-corpus/test
+    parameterization; at corpus scale use ``bits=60, chunks=4`` (w=15 →
+    32768 values/chunk, ~4000× fewer candidates at equal N; pytest covers
+    the 60-bit path). Candidate volume is ~chunks·N²/2^w — pick w ≳
+    log2(N/⟨tolerable bucket⟩)."""
     # both sides of the chunk self-join read the signature table —
     # materialize it once
     sig = materialize(simhash(df, id_col, text_col, bits))
