@@ -595,3 +595,105 @@ def test_funnel_stream_batch_equivalence_out_of_order(spark, tmp_path):
         assert f["steps_reached"] == b["steps_reached"]
         assert f["step_1_ts"] == b["step_1_ts"] and f["step_2_ts"] == b["step_2_ts"]
     assert batch[1]["steps_reached"] == 2  # the reopened chain really completed
+
+
+def _drive_funnel(spark, tmp_path, name, ttl):
+    from views_transformation_library_spark.streaming.funnel import funnel_stream
+
+    src = str(tmp_path / f"src_{name}")
+    os.makedirs(src)
+
+    def write(i, rows):
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows],
+             "ts": [pd.Timestamp(r[1]) for r in rows],
+             "event_type": [r[2] for r in rows]}
+        ).to_parquet(src + f"/b{i}.parquet", coerce_timestamps="us")
+
+    write(1, [(1, "2020-01-01 00:00:00", "A")])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = funnel_stream(stream, ["A", "B"], watermark="1 hour", state_ttl=ttl)
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        # other-user traffic marches the watermark far past user 1's TTL
+        write(2, [(2, "2020-02-01 00:00:00", "A")])
+        q.processAllAvailable()
+        write(3, [(2, "2020-02-02 00:00:00", "A")])  # timers fire
+        q.processAllAvailable()
+        # user 1 returns IN-watermark: chains with old state only if kept
+        write(4, [(1, "2020-02-02 01:00:00", "B")])
+        q.processAllAvailable()
+        return [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    finally:
+        q.stop()
+
+
+def test_funnel_stream_state_ttl_evicts_idle_users(spark, tmp_path):
+    """state_ttl bounds per-user state: a user idle for TTL past the
+    watermark is evicted, so their later step-B event starts a fresh
+    funnel (no step-A memory). Without the TTL the same sequence
+    completes the funnel from month-old state."""
+    kept = _drive_funnel(spark, tmp_path, "funnel_nottl", None)
+    assert any(r["user_id"] == 1 and r["steps_reached"] == 2 for r in kept)
+    evicted = _drive_funnel(spark, tmp_path, "funnel_ttl", "1 hour")
+    u1 = [r for r in evicted if r["user_id"] == 1]
+    assert u1 and max(r["steps_reached"] for r in u1) == 1  # batch-1 row only
+
+
+def test_minhash_stream_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """Bucket state TTL: a near-dup arriving after the bucket's TTL
+    horizon passed emits NO candidate pair (the stale membership was
+    evicted); without the TTL the same arrival pairs with the old doc."""
+    from views_transformation_library_spark.streaming.dedup import (
+        minhash_candidates_stream,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def drive(name, ttl):
+        src = str(tmp_path / f"mh_{name}")
+        os.makedirs(src)
+
+        def write(i, rows):
+            pd.DataFrame(
+                {"doc_id": [r[0] for r in rows],
+                 "ts": [pd.Timestamp(r[1]) for r in rows],
+                 "text": [r[2] for r in rows]}
+            ).to_parquet(src + f"/b{i}.parquet", coerce_timestamps="us")
+
+        write(1, [(1, "2020-01-01 00:00:00", text)])
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = minhash_candidates_stream(
+            stream, n=3, n_hashes=8, bands=2, watermark="1 hour", state_ttl=ttl
+        )
+        q = (
+            out.writeStream.format("memory").queryName(f"mh_{name}")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            write(2, [(99, "2020-02-01 00:00:00", "completely unrelated words here")])
+            q.processAllAvailable()
+            write(3, [(98, "2020-02-02 00:00:00", "more unrelated filler words")])
+            q.processAllAvailable()
+            write(4, [(2, "2020-02-02 01:00:00", text)])  # exact dup, much later
+            q.processAllAvailable()
+            return {(r["a"], r["b"]) for r in
+                    spark.sql(f"SELECT * FROM mh_{name}").collect()}
+        finally:
+            q.stop()
+
+    assert (1, 2) in drive("nottl", None)
+    assert (1, 2) not in drive("ttl", "1 hour")

@@ -40,6 +40,7 @@ def minhash_candidates_stream(
     bands: int = 6,
     seed: int = 42,
     watermark: str = "1 day",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate CANDIDATE detection: as
     documents arrive, each is checked against every previously seen
@@ -56,10 +57,13 @@ def minhash_candidates_stream(
     streamable without a shuffle-side groupBy: the ONLY stateful op is
     the per-bucket applyInPandasWithState, whose state is the bucket's
     (doc_id, signature) list. Buckets are (band, r-component signature)
-    keys — high cardinality, tiny state each. State grows with distinct
-    docs per bucket over the stream's life; bound it operationally by
-    restarting per corpus epoch or sharding the ingest — the batch
-    operator remains the full-history tool.
+    keys — high cardinality, tiny state each. Without a TTL, state grows
+    with distinct docs per bucket over the stream's life; ``state_ttl``
+    (e.g. "7 days") bounds it with an event-time timeout — a bucket idle
+    for TTL past the watermark is evicted, so new documents only pair
+    against the TTL-active horizon (the standard streaming dedup trade,
+    same as dropDuplicates' watermark eviction). The batch operator
+    remains the full-history tool.
     """
     from ..operators.dedup import MINHASH_P, minhash_params, shingle_int_expr  # noqa: F401
 
@@ -116,9 +120,21 @@ def minhash_candidates_stream(
 
     n_h = n_hashes
 
+    import pandas as _pd
+
+    ttl_ms = (
+        None
+        if state_ttl is None
+        else int(_pd.Timedelta(state_ttl).total_seconds() * 1000)
+    )
+
     def _bucket(key, pdfs, state):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["band", "a", "b", "est_jaccard"])
+            return
         if state.exists:
             (ids, flat) = state.get
             ids = list(ids)
@@ -141,6 +157,9 @@ def minhash_candidates_stream(
                 ids.append(int(did))
                 flat.extend(int(v) for v in sig)
         state.update((ids, flat))
+        if ttl_ms is not None:
+            # evict buckets idle for TTL past the event-time watermark
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         yield pd.DataFrame(out, columns=["band", "a", "b", "est_jaccard"])
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -171,6 +190,12 @@ def minhash_candidates_stream(
         banded.withWatermark("__ts", watermark)
         .groupBy("band", "sig")
         .applyInPandasWithState(
-            _bucket, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+            _bucket,
+            out_type,
+            state_type,
+            "append",
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.EventTimeTimeout,
         )
     )

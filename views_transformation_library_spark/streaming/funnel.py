@@ -23,6 +23,7 @@ def funnel_stream(
     user_col: str = "user_id",
     type_col: str = "event_type",
     watermark: str = "1 day",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Per-user streaming funnel over event time.
 
@@ -30,7 +31,16 @@ def funnel_stream(
     — the greedy earliest-completion chain over every event seen so far,
     identical to the batch operator on the same events (batch-equivalence
     tested). State per user: per-step pruned candidate lists (epoch-µs
-    longs)."""
+    longs).
+
+    ``state_ttl`` (e.g. "7 days") bounds TOTAL state at stream scale: a
+    user idle for longer than the TTL past the watermark is evicted
+    (event-time timeout), so state is (users active within the TTL
+    horizon), not (users ever seen). Eviction trades exact all-history
+    batch equivalence for bounded memory — an evicted user's later events
+    start a fresh funnel (the standard streaming trade, same as
+    dropDuplicates' watermark eviction). None (default) keeps exact
+    unbounded-history semantics."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -71,9 +81,18 @@ def funnel_stream(
             chosen.append(None)
         return chosen
 
+    import pandas as pd
+
+    ttl_ms = (
+        None if state_ttl is None else int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    )
+
     def _update(key, pdfs, state):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         cands = [list(state.get[i]) for i in range(k)] if state.exists else [
             [] for _ in range(k)
         ]
@@ -97,6 +116,10 @@ def funnel_stream(
             else:
                 cands[i] = sorted(set(cands[i]))
         state.update(tuple(cands))
+        if ttl_ms is not None:
+            # evict once the event-time watermark is TTL past now — state
+            # is (users active within the TTL horizon), never all users
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         if chosen != before:
             reached = sum(1 for t in chosen if t is not None)
             yield pd.DataFrame(
@@ -116,6 +139,12 @@ def funnel_stream(
         prepared.withWatermark("__ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+            _update,
+            out_type,
+            state_type,
+            "update",
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.EventTimeTimeout,
         )
     )
