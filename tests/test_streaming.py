@@ -697,3 +697,70 @@ def test_minhash_stream_state_ttl_evicts_idle_buckets(spark, tmp_path):
 
     assert (1, 2) in drive("nottl", None)
     assert (1, 2) not in drive("ttl", "1 hour")
+
+
+def test_panel_stream_batch_equivalence(spark, tmp_path):
+    """Streaming panel maintenance == the batch aggregate, byte-exact:
+    every (day, unit) cell the stream finalizes (watermark past day end)
+    carries the identical DECIMAL-summed double the batch groupBy
+    produces on the same events. Out-of-order arrival within the
+    watermark is included; a far-future flush event seals the real days."""
+    from views_transformation_library_spark.streaming.panel import (
+        panel_from_events_stream,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pev")
+    os.makedirs(src)
+
+    def write(i, rows):
+        pd.DataFrame(
+            {"ts": [pd.Timestamp(r[0]) for r in rows],
+             "user_id": [r[1] for r in rows],
+             "value": [r[2] for r in rows]}
+        ).to_parquet(src + f"/b{i}.parquet", coerce_timestamps="us")
+
+    write(1, [("2020-01-01 03:00:00", 1, 10.25),
+              ("2020-01-01 17:00:00", 1, 0.50),
+              ("2020-01-02 09:00:00", 2, 3.75)])
+    # batch 2: an out-of-order day-1 event still inside the 2-day watermark
+    write(2, [("2020-01-01 22:00:00", 1, 1.25),
+              ("2020-01-03 01:00:00", 2, 7.00)])
+    # batch 3: far-future flush marches the watermark past every real day
+    write(3, [("2020-06-01 00:00:00", 99, 0.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = panel_from_events_stream(stream, watermark="2 days")
+    q = (
+        out.writeStream.format("memory").queryName("panel_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["time_id"], r["unit_id"]): r["value"]
+            for r in spark.sql("SELECT * FROM panel_stream").collect()
+            if r["unit_id"] != 99
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(src)
+    expect = {
+        (r["time_id"], r["unit_id"]): r["value"]
+        for r in batch.filter(F.col("user_id") != 99)
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("time_id"),
+            F.col("user_id").alias("unit_id"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value"))
+        .collect()
+    }
+    assert got == expect  # byte-exact: DECIMAL sums, order never enters
+    # the out-of-order day-1 event was folded in before sealing
+    assert got[(18262, 1)] == 12.0
