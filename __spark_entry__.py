@@ -325,6 +325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_windows"] = lambda s, d: text.pack_windows(
         _docs(s, d), window=512, shard_size=100
     )
+    # whole-document FFD bin packing (VALUES-golden strict gate: the
+    # expected assignment is the same deterministic integer greedy,
+    # replicated outside Spark at oracle time — tools/golden_oracles.py)
+    q["pack_bins"] = lambda s, d: text.pack_bins(
+        _docs(s, d), capacity=512, shard_size=100
+    )
     # per-(source, lang) corpus accounting for data mixing
     q["corpus_mix"] = lambda s, d: text.corpus_mix(_docs(s, d))
     q["vocab_top_terms"] = lambda s, d: text.vocab_top_terms(_docs(s, d), n=50)
@@ -3287,4 +3293,5 @@ SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
     o["fourier_lag"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 2, GRID_STRIDE)
     o["fourier_lag_3d"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 3, GRID_STRIDE)
     o["impute_mice"] = G.mice_golden_sql(_ORACLE_SF_DIR, n_shards=8)
+    o["pack_bins"] = G.pack_bins_golden_sql(_ORACLE_SF_DIR, 512, 100)
     return o

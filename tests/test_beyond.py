@@ -1536,3 +1536,33 @@ def test_simhash_60bit_scale_path(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == d12
     with pytest.raises(ValueError, match="bits"):
         dedup.simhash(df, bits=64)
+
+
+def test_pack_bins_ffd_invariants(spark):
+    """pack_bins: capacity respected, over-long docs truncated into their
+    own bin, deterministic across runs, and FFD beats naive one-doc-per-
+    bin (packing actually packs)."""
+    from views_transformation_library_spark.operators import text as T
+
+    rows = [(1, "a " * 10), (2, "b " * 10), (3, "c " * 5),
+            (4, "d " * 3), (5, "e " * 40), (6, "f " * 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in T.pack_bins(df, capacity=16, shard_size=1000).collect()}
+    # over-capacity doc truncated, alone in its bin
+    assert out[5]["truncated"] == 1 and out[5]["n_packed"] == 16
+    assert sum(1 for r in out.values() if r["bin"] == out[5]["bin"]) == 1
+    # every bin within capacity
+    fills = {}
+    for r in out.values():
+        fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_packed"]
+    assert all(f <= 16 for f in fills.values()), fills
+    # FFD: 10+10+5+3+2 = 30 tokens in capacity-16 bins -> 2 bins + doc 5
+    assert len(fills) == 3, fills
+    # deterministic
+    again = {r["doc_id"]: r.asDict()
+             for r in T.pack_bins(df, capacity=16, shard_size=1000).collect()}
+    assert again == out
+    # shards pack independently: shard key = id div shard_size
+    sharded = T.pack_bins(df, capacity=16, shard_size=3).collect()
+    assert {r["shard"] for r in sharded} == {0, 3, 6}

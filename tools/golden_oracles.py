@@ -306,3 +306,69 @@ SELECT time_id::BIGINT AS time_id, unit_id::BIGINT AS unit_id,
        round(v2::DOUBLE, 6) + 0.0 AS value2
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# pack_bins golden: local replication of the deterministic FFD packing
+
+
+def pack_bins_golden_rows(
+    sf_dir: str, capacity: int, shard_size: int
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Expected (doc_id, n_tokens, n_packed, shard, bin, truncated):
+    tokenization mirrors Spark's regexp_extract_all(lower(text), '\\S+')
+    (re.findall('\\S+') — identical on the ASCII synthetic corpus) and
+    the greedy loop is the operator's EXACT first-fit-decreasing order
+    (packed length desc, doc_id asc, first bin with room). All-integer,
+    so parity is trivial — no float surface at all."""
+    import re
+
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    shards: dict[int, list[tuple[int, int]]] = {}
+    n_tok = {}
+    for did, text in docs:
+        n = len(re.findall(r"\S+", (text or "").lower()))
+        n_tok[did] = n
+        shards.setdefault(did - did % shard_size, []).append(did)
+    rows = []
+    for shard, ids in shards.items():
+        packed = {d: min(n_tok[d], capacity) for d in ids}
+        order = sorted(ids, key=lambda d: (-packed[d], d))
+        fills: list[int] = []
+        for d in order:
+            need = packed[d]
+            placed = -1
+            for b, fill in enumerate(fills):
+                if fill + need <= capacity:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += need
+            rows.append(
+                (d, n_tok[d], packed[d], shard, placed,
+                 1 if n_tok[d] > capacity else 0)
+            )
+    return sorted(rows)
+
+
+def pack_bins_golden_sql(sf_dir: str, capacity: int, shard_size: int) -> str:
+    rows = pack_bins_golden_rows(sf_dir, capacity, shard_size)
+    vals = ",\n".join(
+        f"({d}, {n}, {p}, {s}, {b}, {t})" for d, n, p, s, b, t in rows
+    )
+    return f"""
+WITH golden(doc_id, n_tokens, n_packed, shard, bin, truncated) AS (VALUES
+{vals}
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       n_packed::BIGINT AS n_packed, shard::BIGINT AS shard,
+       bin::BIGINT AS bin, truncated::INT AS truncated
+FROM golden
+"""

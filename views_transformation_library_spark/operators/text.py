@@ -675,6 +675,88 @@ def pack_windows(
     return out
 
 
+def pack_bins(
+    df: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """First-fit-decreasing sequence BIN packing: each document is
+    assigned whole to a fixed-``capacity`` training bin, never split —
+    the no-cross-document-attention-contamination alternative to
+    `pack_windows`' concat-and-chunk (the T5/FLAN-style packing recipe;
+    whole-doc packing avoids the attention-mask surgery concat packing
+    needs). Documents longer than ``capacity`` are truncated to it
+    (``truncated`` = 1) and occupy a bin of their own, as the recipes do.
+
+    Deterministic FFD per shard: docs sort by (packed length DESC, id
+    ASC) and each takes the FIRST bin with room, else opens a new one —
+    a classic 11/9·OPT + 6/9 guarantee within the shard. Distributed
+    shape: docs range-shard by id (``shard = id div shard_size``) and
+    each shard packs independently in one Arrow pass (bin ids are local
+    to the shard — (shard, bin) is the global bin key), so packing is
+    embarrassingly parallel and exactly reproducible at any parallelism;
+    cross-shard packing could only save < one bin per shard of waste.
+    The greedy loop is pure integer python over one shard's docs — the
+    applyInPandas per-group dispatch cost is amortized over shard_size
+    docs, and first-fit scans stay cheap because fills are kept in a
+    per-bin running array.
+
+    Output: (doc_id, n_tokens, n_packed, shard, bin, truncated) with
+    ``n_packed = min(n_tokens, capacity)`` the tokens the doc occupies.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    token_expr = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_expr.alias("n_tokens"),
+        (F.col(id_col) - (F.col(id_col) % shard_size)).alias("shard"),
+    )
+    cap = int(capacity)
+
+    def _pack(pdf):
+        import numpy as np
+        import pandas as pd  # noqa: F401 (worker-side)
+
+        n_tok = pdf["n_tokens"].to_numpy()
+        packed = np.minimum(n_tok, cap)
+        # FFD order: packed length desc, doc_id asc (deterministic)
+        order = np.lexsort((pdf["doc_id"].to_numpy(), -packed))
+        fills: list[int] = []
+        bins = np.empty(len(pdf), dtype=np.int64)
+        for row in order:
+            need = int(packed[row])
+            placed = -1
+            for b, fill in enumerate(fills):
+                if fill + need <= cap:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += need
+            bins[row] = placed
+        out = pdf[["doc_id", "n_tokens", "shard"]].copy()
+        out["n_packed"] = packed
+        out["bin"] = bins
+        out["truncated"] = (n_tok > cap).astype(np.int32)
+        return out[["doc_id", "n_tokens", "n_packed", "shard", "bin", "truncated"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        schema=(
+            "doc_id long, n_tokens long, n_packed long, shard long, "
+            "bin long, truncated int"
+        ),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

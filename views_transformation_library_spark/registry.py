@@ -145,6 +145,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "select_cols": relational.select_cols,
     "interval_join": relational.interval_join,
     "pack_windows": text.pack_windows,
+    "pack_bins": text.pack_bins,
     # panel contract: gap-free (time x unit) grid. The tree/fourier family
     # raises on a gapped time axis and its error message names this step —
     # `{"type": "densify"}` before the lag step repairs the axis in-spec.
