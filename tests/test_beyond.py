@@ -1566,3 +1566,33 @@ def test_pack_bins_ffd_invariants(spark):
     # shards pack independently: shard key = id div shard_size
     sharded = T.pack_bins(df, capacity=16, shard_size=3).collect()
     assert {r["shard"] for r in sharded} == {0, 3, 6}
+
+
+def test_pack_bins_segment_tree_equals_naive_ffd(spark):
+    """The O(D log D) leftmost-fit segment tree must produce EXACTLY the
+    naive first-fit-decreasing assignment (including need=0 empty docs
+    and over-capacity truncations) on randomized sizes."""
+    from views_transformation_library_spark.operators import text as T
+
+    rng = np.random.RandomState(11)
+    sizes = rng.randint(0, 30, size=200)
+    sizes[::17] = 0                      # empty docs
+    sizes[::41] = 99                     # over-capacity docs
+    rows = [(int(i), " ".join(["w"] * int(s))) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 25
+    got = {r["doc_id"]: (r["bin"], r["n_packed"])
+           for r in T.pack_bins(df, capacity=cap, shard_size=10**6).collect()}
+    # naive reference FFD
+    packed = {i: min(int(s), cap) for i, s in enumerate(sizes)}
+    order = sorted(range(len(sizes)), key=lambda d: (-packed[d], d))
+    fills, expect = [], {}
+    for d in order:
+        need = packed[d]
+        placed = next((b for b, f in enumerate(fills) if f + need <= cap), -1)
+        if placed < 0:
+            placed = len(fills)
+            fills.append(0)
+        fills[placed] += need
+        expect[d] = (placed, need)
+    assert got == expect

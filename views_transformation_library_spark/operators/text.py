@@ -698,10 +698,10 @@ def pack_bins(
     to the shard — (shard, bin) is the global bin key), so packing is
     embarrassingly parallel and exactly reproducible at any parallelism;
     cross-shard packing could only save < one bin per shard of waste.
-    The greedy loop is pure integer python over one shard's docs — the
-    applyInPandas per-group dispatch cost is amortized over shard_size
-    docs, and first-fit scans stay cheap because fills are kept in a
-    per-bin running array.
+    The greedy runs over a max-residual SEGMENT TREE (leftmost bin with
+    room found by descending left-first), O(D log D) per shard — the
+    naive first-fit scan is O(D·B) ≈ 10^9 steps at the default 100k-doc
+    shard (pinned equivalent to the naive loop by a randomized test).
 
     Output: (doc_id, n_tokens, n_packed, shard, bin, truncated) with
     ``n_packed = min(n_tokens, capacity)`` the tokens the doc occupies.
@@ -728,19 +728,43 @@ def pack_bins(
         packed = np.minimum(n_tok, cap)
         # FFD order: packed length desc, doc_id asc (deterministic)
         order = np.lexsort((pdf["doc_id"].to_numpy(), -packed))
-        fills: list[int] = []
-        bins = np.empty(len(pdf), dtype=np.int64)
+        n = len(pdf)
+        # max-residual segment tree over bin slots (leaf b = residual of
+        # bin b; unopened bins hold residual 0 so they are never chosen —
+        # need >= 1). First fit = descend left-first into any subtree
+        # whose max residual fits. O(log B) per doc.
+        size = 1
+        while size < max(n, 1):
+            size *= 2
+        tree = np.zeros(2 * size, dtype=np.int64)
+
+        def _update(leaf: int, val: int) -> None:
+            i = size + leaf
+            tree[i] = val
+            i //= 2
+            while i:
+                tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] else tree[2 * i + 1]
+                i //= 2
+
+        def _leftmost(need: int) -> int:
+            if tree[1] < need:
+                return -1
+            i = 1
+            while i < size:
+                i = 2 * i if tree[2 * i] >= need else 2 * i + 1
+            return i - size
+
+        n_open = 0
+        fills = np.zeros(n, dtype=np.int64)
+        bins = np.empty(n, dtype=np.int64)
         for row in order:
             need = int(packed[row])
-            placed = -1
-            for b, fill in enumerate(fills):
-                if fill + need <= cap:
-                    placed = b
-                    break
-            if placed < 0:
-                placed = len(fills)
-                fills.append(0)
+            placed = _leftmost(need)
+            if placed < 0 or placed >= n_open:
+                placed = n_open
+                n_open += 1
             fills[placed] += need
+            _update(placed, cap - int(fills[placed]))
             bins[row] = placed
         out = pdf[["doc_id", "n_tokens", "shard"]].copy()
         out["n_packed"] = packed
