@@ -347,6 +347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         strata_col="source",
     ).select("doc_id", "source")
+    # temperature-flattened mix (alpha=0.5): targets derived from the
+    # corpus's own counts by the shared pure-python helper — the oracle
+    # regenerates the identical plan from DuckDB-side counts
+    q["temperature_mix"] = lambda s, d: sampling.temperature_mix(
+        _docs(s, d), alpha=0.5, strata_col="source"
+    ).select("doc_id", "source")
     q["stratified_sample"] = lambda s, d: sampling.stratified_sample(
         _docs(s, d).withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(3))),
         {0: 0.5, 1: 0.25, 2: 1.0}, "stratum",
@@ -1784,12 +1790,17 @@ FROM documents d0 ANTI JOIN dropped ON d0.doc_id = dropped.node
     )
 
 
-def _mixture_oracle(targets: dict) -> str:
+def _mixture_oracle(targets: dict | None = None, alpha: float | None = None) -> str:
+    """targets=None + alpha: temperature-flattened targets derived from
+    the oracle-side counts with the SAME pure python helper the operator
+    runs on the Spark-side counts — identical integer counts in, so the
+    float rates (and hash thresholds) match bit-for-bit."""
     import duckdb
 
     from views_transformation_library_spark.operators.sampling import (
         _BUCKETS,
         mixture_plan,
+        temperature_targets,
     )
 
     con = duckdb.connect()
@@ -1798,6 +1809,8 @@ def _mixture_oracle(targets: dict) -> str:
             f"SELECT source, count(*) FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet') GROUP BY 1"
         ).fetchall()
     )
+    if targets is None:
+        targets = temperature_targets(counts, alpha)
     rates = mixture_plan(counts, targets)
     cases = "\n          ".join(
         f"WHEN '{s}' THEN {int(float(r) * _BUCKETS)}" for s, r in sorted(rates.items())
@@ -2651,6 +2664,7 @@ FROM events
     o["mixture_sample"] = _mixture_oracle(
         {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
     )
+    o["temperature_mix"] = _mixture_oracle(alpha=0.5)
     o["stratified_sample"] = f"""
 SELECT doc_id, doc_id % 3 AS stratum
 FROM documents

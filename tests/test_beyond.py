@@ -1596,3 +1596,26 @@ def test_pack_bins_segment_tree_equals_naive_ffd(spark):
         fills[placed] += need
         expect[d] = (placed, need)
     assert got == expect
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """alpha=0 -> uniform target shares (the small stratum keeps rate 1 as
+    the binding one); alpha=1 -> natural mix (every rate 1, nothing
+    dropped); in between the small stratum is up-weighted relative to its
+    natural share. Deterministic membership."""
+    from views_transformation_library_spark.operators import sampling as S
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    natural = df.count()
+    assert S.temperature_mix(df, alpha=1.0).count() == natural  # keep-all
+    out0 = S.temperature_mix(df, alpha=0.0)
+    by_src = {r["source"]: r["n"] for r in
+              out0.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # uniform targets: small is binding (all 40 kept), big downsampled to ~40
+    assert by_src["small"] == 40
+    assert abs(by_src["big"] - 40) <= 12  # hash-threshold sampling noise
+    t = S.temperature_targets({"big": 400, "small": 40}, alpha=0.5)
+    assert 0.09 < t["small"] < 0.5 and abs(sum(t.values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="alpha"):
+        S.temperature_mix(df, alpha=1.5)

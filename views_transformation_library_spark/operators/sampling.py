@@ -233,3 +233,47 @@ def mixture_sample(
         df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
         default_fraction=0.0,
     )
+
+
+def temperature_targets(counts: dict, alpha: float = 0.7) -> dict:
+    """Temperature-flattened target shares from observed stratum counts:
+    q_s ∝ p_s^alpha (p_s the observed share) — the multilingual-LM
+    sampling rule (mBERT/XLM-R exponential smoothing; alpha=1 keeps the
+    natural mix, alpha=0 gives the uniform mix, in between up-weights
+    small strata). Pure driver arithmetic over |strata| floats, exactly
+    reproducible from the counts — which is what lets the DuckDB oracle
+    regenerate the identical plan from its own counts."""
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("temperature_targets needs non-empty counts")
+    q = {s: (c / total) ** float(alpha) for s, c in counts.items() if c > 0}
+    z = sum(q.values())
+    return {s: v / z for s, v in q.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Compose a temperature-flattened training mix: target shares are
+    ``temperature_targets`` of the corpus's own stratum counts, applied
+    by `mixture_sample`'s exact-share downsampling plan (one count
+    aggregate, then a single hash-threshold scan expression — no join,
+    no extra shuffle, deterministic membership). The standard
+    multilingual / multi-source curation recipe: small sources are
+    up-weighted relative to their natural share without ever
+    up-SAMPLING (rates stay <= 1)."""
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    rates = mixture_plan(counts, temperature_targets(counts, alpha))
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
+        default_fraction=0.0,
+    )

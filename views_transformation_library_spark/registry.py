@@ -100,6 +100,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "winsorize": temporal.winsorize,
     "cap_per_group": sampling.cap_per_group,
     "mixture_sample": sampling.mixture_sample,
+    "temperature_mix": sampling.temperature_mix,
     "rolling_median": temporal.rolling_median,
     "chunk_text": retrieval.chunk_text,
     "rrf_fuse": retrieval.rrf_fuse,
