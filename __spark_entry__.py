@@ -958,6 +958,44 @@ FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
 GROUP BY supp_nation, cust_nation, l_year
 """,
+    # Q8 national market share shape: 7-table join, numerator/denominator
+    # emitted as separate exact DECIMAL sums per year (the share division
+    # would sit in the round(x,6) divergence class — q14 policy)
+    "tpch_q8": """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'PROMO') all_nations
+GROUP BY o_year
+""",
+    # Q12 shape adapted (testdata has no l_shipmode/commitdate): priority
+    # class counts per linestatus for late-shipped lines — the
+    # join + conditional-aggregate planner shape; all-integer output
+    "tpch_q12": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
     # Q13 customer order-count distribution — LEFT OUTER JOIN under an
     # aggregate-of-aggregate; all-integer output, no float surface
     "tpch_q13": """
