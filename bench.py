@@ -77,6 +77,9 @@ HEADLINE = [
     "pagerank",
     "cusum",
     "curation_pipeline",
+    # r5 additions: whole-doc FFD packing, temperature-flattened mixing
+    "pack_bins",
+    "temperature_mix",
 ]
 
 
