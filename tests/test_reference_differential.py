@@ -143,3 +143,185 @@ def test_scalar_ops_match_reference(spark, rand_panel):
     _assert_matches(scalar.greater_or_equal(df, 10.0), ref.greater_or_equal(s, 10.0))
     _assert_matches(scalar.smaller_or_equal(df, 10.0), ref.smaller_or_equal(s, 10.0))
     _assert_matches(scalar.in_range(df, 5.0, 20.0), ref.in_range(s, 5.0, 20.0))
+
+
+# ---------------------------------------------------------------------------
+# missing-data family: run the REFERENCE's missing.py directly (its module-
+# level sklearn imports are stubbed — the fill/extrapolate/means functions
+# never touch sklearn at call time; same shim discipline as
+# tools/gen_*_goldens.py: study and RUN the reference, never copy it)
+
+REF_MISSING = "/root/reference/views_transformation_library/missing.py"
+
+
+def _load_reference_missing():
+    import sys
+    import types
+
+    stubs = {
+        "sklearn": {},
+        "sklearn.experimental": {
+            "enable_iterative_imputer": types.ModuleType("enable_iterative_imputer")
+        },
+        "sklearn.impute": {"IterativeImputer": object},
+        "sklearn.linear_model": {"BayesianRidge": object},
+    }
+    added = []
+    for name, attrs in stubs.items():
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            added.append(name)
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_missing", REF_MISSING)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        # the stubs exist only for missing.py's import line; leaving them
+        # in sys.modules breaks importlib.util.find_spec("sklearn")
+        # elsewhere (spec-less module) — drop them immediately
+        for name in added:
+            sys.modules.pop(name, None)
+    return mod
+
+
+ref_missing = None
+if os.path.exists(REF_MISSING):
+    try:
+        ref_missing = _load_reference_missing()
+    except Exception:
+        ref_missing = None
+
+missing_mark = pytest.mark.skipif(
+    ref_missing is None, reason="reference missing.py not importable"
+)
+
+
+@pytest.fixture(scope="module")
+def null_panel_rows():
+    """Times 100..115, units 3/7/11: unit 3 has leading+inner NaNs, unit 7
+    trailing+inner NaNs, unit 11 is ENTIRELY missing (the
+    fill_groups_with_time_means case)."""
+    rng = np.random.RandomState(5)
+    times = list(range(100, 116))
+    rows = []
+    for u in (3, 7, 11):
+        for i, t in enumerate(times):
+            v = round(float(rng.uniform(1, 9)), 2)
+            if u == 11:
+                v = None
+            elif u == 3 and (i < 3 or i in (7, 8)):
+                v = None
+            elif u == 7 and (i > 12 or i == 5):
+                v = None
+            rows.append((t, u, v))
+    return rows
+
+
+def _ref_series(rows):
+    pdf = pd.DataFrame(rows, columns=["month", "pgid", "ged"])
+    return pdf.set_index(["month", "pgid"]).sort_index()["ged"]
+
+
+@missing_mark
+def test_replace_na_matches_reference(spark, null_panel_rows):
+    from views_transformation_library_spark.operators import missing
+
+    ref_out = ref_missing.replace_na(_ref_series(null_panel_rows).to_frame(), -7.0)["ged"]
+    _assert_matches(
+        missing.replace_na(make_panel(spark, [(t, u, v) for t, u, v in null_panel_rows]), -7.0),
+        ref_out,
+    )
+
+
+@missing_mark
+def test_list_totally_missing_matches_reference(spark, null_panel_rows):
+    from views_transformation_library_spark.operators import missing
+
+    pdf = _ref_series(null_panel_rows).to_frame()
+    pdf["alive"] = 1.0
+    sdf = make_panel(
+        spark,
+        [(t, u, v, 1.0) for t, u, v in null_panel_rows],
+        cols=("time_id", "unit_id", "ged", "alive"),
+    )
+    assert missing.list_totally_missing(sdf) == ref_missing.list_totally_missing(pdf) == []
+    pdf["dead"] = np.nan
+    sdf = sdf.withColumn("dead", sdf.alive * None)
+    assert (
+        missing.list_totally_missing(sdf)
+        == ref_missing.list_totally_missing(pdf)
+        == ["dead"]
+    )
+
+
+@missing_mark
+@pytest.mark.parametrize(
+    "direction,area",
+    [("forward", None), ("backward", None), ("both", None),
+     ("forward", "inside"), ("backward", "inside"), ("both", "outside")],
+)
+def test_fill_matches_reference(spark, null_panel_rows, direction, area):
+    from views_transformation_library_spark.operators import missing
+
+    ref_out = ref_missing.fill(
+        _ref_series(null_panel_rows), limit_direction=direction, limit_area=area
+    )
+    _assert_matches(
+        missing.fill(
+            make_panel(spark, null_panel_rows),
+            limit_direction=direction, limit_area=area,
+        ),
+        ref_out,
+    )
+
+
+@missing_mark
+@pytest.mark.parametrize(
+    "direction,area",
+    [("both", None), ("forward", None), ("both", "inside"), ("both", "outside")],
+)
+def test_extrapolate_matches_reference(spark, null_panel_rows, direction, area):
+    from views_transformation_library_spark.operators import missing
+
+    ref_out = ref_missing.extrapolate(
+        _ref_series(null_panel_rows).to_frame(),
+        limit_direction=direction, limit_area=area,
+    )["ged"]
+    _assert_matches(
+        missing.extrapolate(
+            make_panel(spark, null_panel_rows),
+            limit_direction=direction, limit_area=area,
+        ),
+        ref_out,
+    )
+
+
+@missing_mark
+def test_fill_with_group_and_global_means_matches_reference(spark, null_panel_rows):
+    from views_transformation_library_spark.operators import missing
+
+    ref_out = ref_missing.fill_with_group_and_global_means(
+        _ref_series(null_panel_rows).to_frame()
+    )["ged"]
+    _assert_matches(
+        missing.fill_with_group_and_global_means(make_panel(spark, null_panel_rows)),
+        ref_out,
+    )
+
+
+@missing_mark
+def test_fill_groups_with_time_means_matches_reference(spark, null_panel_rows):
+    from views_transformation_library_spark.operators import missing
+
+    ref_out = ref_missing.fill_groups_with_time_means(
+        _ref_series(null_panel_rows).to_frame()
+    )["ged"]
+    _assert_matches(
+        missing.fill_groups_with_time_means(make_panel(spark, null_panel_rows)),
+        ref_out,
+    )

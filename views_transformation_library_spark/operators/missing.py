@@ -69,23 +69,36 @@ def fill_groups_with_time_means(df: DataFrame, cols: list[str] | None = None) ->
 def fill_with_group_and_global_means(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """NULL -> per-unit mean -> global column mean (reference `missing.py:58-69`).
 
+    The reference fills the group means IN PLACE and only then takes
+    ``df[col].mean()`` — so the global fallback is the mean of the
+    ALREADY-group-filled column (group-mean-filled holes contribute to
+    it), not of the original values. The r5 reference differential caught
+    exactly this corner (an all-NaN unit next to partially-filled units);
+    the global aggregate here therefore averages coalesce(x, unit_mean).
+
     coalesce over a per-unit window average and a broadcast one-row global
     aggregate. The global mean is NOT an empty-partition whole-frame
     window — that plans as Exchange SinglePartition over EVERY row (a
     corpus-linear single-partition sort, the pack_windows scale trap); a
     scalar agg + broadcast cross join keeps the frame fully parallel. The
-    frame feeds two plan branches (agg + main), so it is materialized once.
+    group-filled frame feeds two plan branches (agg + main), so it is
+    materialized once.
     """
     cols = cols or feature_cols(df)
-    df = materialize(df)
     w_unit_all = Window.partitionBy(UNIT)
-    glob = df.agg(*[F.avg(c).alias(f"__gmean_{c}") for c in cols])
-    out = df.crossJoin(F.broadcast(glob))
-    for c in cols:
-        out = out.withColumn(
-            c,
-            F.coalesce(F.col(c), F.avg(c).over(w_unit_all), F.col(f"__gmean_{c}")),
+    filled = materialize(
+        df.select(
+            *[c for c in df.columns if c not in cols],
+            *[
+                F.coalesce(F.col(c), F.avg(c).over(w_unit_all)).alias(c)
+                for c in cols
+            ],
         )
+    )
+    glob = filled.agg(*[F.avg(c).alias(f"__gmean_{c}") for c in cols])
+    out = filled.crossJoin(F.broadcast(glob))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__gmean_{c}")))
     return out.drop(*[f"__gmean_{c}" for c in cols])
 
 
