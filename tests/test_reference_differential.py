@@ -325,3 +325,88 @@ def test_fill_groups_with_time_means_matches_reference(spark, null_panel_rows):
         missing.fill_groups_with_time_means(make_panel(spark, null_panel_rows)),
         ref_out,
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal_entropy + multi_column: more reference modules run directly
+# (utilities' xarray/ingester3 imports stubbed for the import line — the
+# tensor helpers entropy uses are pure numpy)
+
+
+def _load_reference_module(fname, stub_names):
+    import sys
+    import types
+
+    added = []
+    for name, attrs in stub_names.items():
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            added.append(name)
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        return importlib.import_module(f"views_transformation_library.{fname}")
+    finally:
+        sys.path.remove("/root/reference")
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+ref_entropy = None
+ref_multi = None
+if os.path.exists("/root/reference/views_transformation_library/temporal_entropy.py"):
+    try:
+        import types as _types
+
+        _stubs = {
+            "xarray": {},
+            "ingester3": {},
+            "ingester3.Country": {"Country": object},
+            "ingester3.scratch": {"fetch_data": lambda *a, **k: None},
+        }
+        ref_entropy = _load_reference_module("temporal_entropy", _stubs)
+        ref_multi = _load_reference_module("multi_column", {})
+    except Exception:
+        ref_entropy = ref_multi = None
+
+
+@pytest.mark.skipif(ref_entropy is None, reason="reference temporal_entropy not importable")
+@pytest.mark.parametrize("window,offset", [(3, 1.0), (7, 1.0)])
+def test_temporal_entropy_matches_reference(spark, rand_panel, window, offset):
+    rows, s = rand_panel
+    df = make_panel(spark, rows)
+    ref_out = ref_entropy.get_temporal_entropy(s.to_frame(), window, offset=offset)
+    got = _spark_vals(temporal.temporal_entropy(df, window, offset=offset))
+    for (t, u), rv in ref_out["ged"].items():
+        assert got[(t, u)] == pytest.approx(rv, rel=1e-9), (t, u)
+
+
+@pytest.mark.skipif(ref_multi is None, reason="reference multi_column not importable")
+def test_multi_column_matches_reference(spark, rand_panel):
+    rows, s = rand_panel
+    # two-feature frame: b = a + 1 so division never hits 0/0
+    pdf = s.to_frame()
+    pdf["b"] = pdf["ged"] + 1.0
+    sdf = make_panel(
+        spark,
+        [(t, u, v, v + 1.0) for (t, u, v) in rows],
+        cols=("time_id", "unit_id", "ged", "b"),
+    )
+    pairs = [
+        (scalar.add_column, ref_multi.add_column),
+        (scalar.subtract_column, ref_multi.subtract_column),
+        (scalar.multiply_column, ref_multi.multiply_column),
+        (scalar.divide_column, ref_multi.divide_column),
+    ]
+    for mine, theirs in pairs:
+        ref_out = theirs(pdf.copy())
+        out_col = ref_out.columns[0]
+        got = {(t, u): v for (u, t, v) in collect_panel(mine(sdf), ["ged"])}
+        for (t, u), rv in ref_out[out_col].items():
+            assert got[(t, u)] == pytest.approx(rv, rel=1e-9), (t, u, theirs)
