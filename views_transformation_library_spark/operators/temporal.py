@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, one_feature
+from ..panel import KEYS, TIME, UNIT, materialize, one_feature
 
 
 def _w_unit() -> Window:
@@ -300,6 +300,11 @@ def mad_outliers(
     sits in one task — the same bound every per-unit window op has.
     """
     col = col or one_feature(df)
+    # the frame feeds TWO plan branches (the per-unit aggregate and the
+    # join-back) — materialize so an expensive upstream pipeline (or the
+    # panel's densify grid, observed duplicated in the r5 plan audit)
+    # executes once, not per branch
+    df = materialize(df)
     lower_mid = lambda arr: F.when(  # noqa: E731
         F.size(arr) > 0,
         F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")),
@@ -519,6 +524,9 @@ def winsorize(
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
     col = col or one_feature(df)
+    # two plan branches (quantile aggregate + join-back) — same
+    # materialize rule as mad_outliers
+    df = materialize(df)
 
     def _q(arr, p: float):
         idx = (F.floor(F.lit(p) * (F.size(arr) - 1)) + 1).cast("int")
