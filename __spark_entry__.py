@@ -299,6 +299,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
         "doc_id", "n_tokens", "sum_logprob"
     )
+    # cross-split leakage audit: deterministic parity split (doc_id % 2)
+    # so the oracle reproduces the labels; output = near-dup pairs that
+    # straddle the split boundary
+    q["split_leakage"] = lambda s, d: dedup.split_leakage(
+        _docs(s, d).withColumn(
+            "split",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("train")).otherwise(F.lit("val")),
+        ),
+        n=3, n_hashes=24, bands=6, threshold=0.8,
+    ).select(
+        "a", "b", "split_a", "split_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
     q["chunk_text"] = lambda s, d: retrieval.chunk_text(
         _docs(s, d), size=24, overlap=8
     )
@@ -2420,6 +2433,16 @@ FROM documents GROUP BY 1
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
+    # leakage = the same verified pair set, labels re-derived from the
+    # parity split, same-split pairs dropped (subquery-with-CTE wrap)
+    o["split_leakage"] = f"""
+SELECT a, b,
+       CASE WHEN a % 2 = 0 THEN 'train' ELSE 'val' END AS split_a,
+       CASE WHEN b % 2 = 0 THEN 'train' ELSE 'val' END AS split_b,
+       jaccard
+FROM ({_minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)}) mh
+WHERE (a % 2 = 0) <> (b % 2 = 0)
+"""
     o["fuzzy_dedup_keep"] = _fuzzy_keep_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # per-token logprob is rounded to 6dp BEFORE the fold on both engines;
     # the per-doc sum is a token-sorted sequential fold over tf·lp

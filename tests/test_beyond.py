@@ -1619,3 +1619,20 @@ def test_temperature_mix_flattens_shares(spark):
     assert 0.09 < t["small"] < 0.5 and abs(sum(t.values()) - 1.0) < 1e-12
     with pytest.raises(ValueError, match="alpha"):
         S.temperature_mix(df, alpha=1.5)
+
+
+def test_split_leakage_flags_cross_split_neardups(spark):
+    """Near-dup pairs straddling the split boundary are flagged with both
+    labels; same-split near-dups and cross-split non-dups are not."""
+    t = "the quick brown fox jumps over the lazy dog every day"
+    rows = [
+        (1, t, "train"), (2, t + " x", "val"),        # cross-split near-dup
+        (3, t + " y", "train"),                        # near-dup of 1, SAME split
+        (4, "entirely unrelated content about glaciers", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {(r["a"], r["b"]): (r["split_a"], r["split_b"]) for r in
+           dedup.split_leakage(df, n=2, n_hashes=8, bands=4, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] == ("train", "val")
+    assert (1, 3) not in out          # same split
+    assert all(4 not in p for p in out)

@@ -755,3 +755,48 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_hashes: int = 24,
+    bands: int = 6,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Cross-split leakage audit: near-duplicate pairs whose members sit in
+    DIFFERENT splits (train/val/test) — the check every held-out split
+    needs before the eval numbers mean anything (fuzzy leakage survives
+    exact dedup; cf. the C4/GPT-3 decontamination analyses). A thin
+    composition: `minhash_lsh_pairs` over the whole frame (the candidate
+    machinery is split-blind, so a near-dup pair is found no matter which
+    sides it straddles), then the split labels join on and same-split
+    pairs drop.
+
+    Output: (a, b, split_a, split_b, jaccard) with a < b, split_a !=
+    split_b. The label joins are id-keyed onto the (tiny) verified-pair
+    set — the corpus itself is touched only by the pair machinery, whose
+    scale/skew guards (max_bucket, integer-exact hashing) apply unchanged.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, n_hashes, bands, threshold, seed,
+        max_bucket=max_bucket,
+    )
+    labels = df.select(F.col(id_col), F.col(split_col))
+    la = labels.select(
+        F.col(id_col).alias("a"), F.col(split_col).alias("split_a")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+    )

@@ -90,6 +90,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "token_count_bpe": text.token_count_bpe,
     "passage_dedup": dedup.passage_dedup,
     "fuzzy_dedup_keep": dedup.fuzzy_dedup_keep,
+    "split_leakage": dedup.split_leakage,
     "pagerank": dedup.pagerank,
     "unigram_logprob": text.unigram_logprob,
     "quantize_embeddings": similarity.quantize_embeddings,
