@@ -1636,3 +1636,11 @@ def test_split_leakage_flags_cross_split_neardups(spark):
     assert (1, 2) in out and out[(1, 2)] == ("train", "val")
     assert (1, 3) not in out          # same split
     assert all(4 not in p for p in out)
+
+
+def test_simhash_pairs_validates_pigeonhole(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_pairs(df, bits=60, chunks=8, max_hamming=3)

@@ -436,12 +436,26 @@ def simhash_pairs(
 
     Scale shape: each (chunk index, chunk value) bucket holds ~N/2^w docs
     (w = bits/chunks) and the join emits ~|bucket|² candidates per bucket
-    — so the CHUNK WIDTH, not the corpus, must absorb growth. The default
+    — so the CHUNK WIDTH, not the corpus, must absorb growth. The
+    pigeonhole argument needs ``chunks > max_hamming`` (d flipped bits can
+    touch at most d chunks, leaving one exact) and ``bits % chunks == 0``
+    (a remainder would leave the top bits outside every chunk) — both
+    validated, since violating either silently LOSES candidates. The default
     (bits=32, chunks=4, w=8 → 256 values/chunk) is a small-corpus/test
     parameterization; at corpus scale use ``bits=60, chunks=4`` (w=15 →
     32768 values/chunk, ~4000× fewer candidates at equal N; pytest covers
     the 60-bit path). Candidate volume is ~chunks·N²/2^w — pick w ≳
     log2(N/⟨tolerable bucket⟩)."""
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs chunks ({chunks}) > max_hamming ({max_hamming}) "
+            "— otherwise near-dup pairs can differ in every chunk and are lost"
+        )
+    if bits % chunks != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by chunks ({chunks}) — a "
+            "remainder leaves the top bits outside every probed chunk"
+        )
     # both sides of the chunk self-join read the signature table —
     # materialize it once
     sig = materialize(simhash(df, id_col, text_col, bits))
