@@ -764,3 +764,52 @@ def test_panel_stream_batch_equivalence(spark, tmp_path):
     assert got == expect  # byte-exact: DECIMAL sums, order never enters
     # the out-of-order day-1 event was folded in before sealing
     assert got[(18262, 1)] == 12.0
+
+
+def test_spec_language_runs_on_streams(spark, tmp_path):
+    """The registry spec language is execution-mode agnostic for scan-pure
+    steps: the SAME normalize -> quality-filter -> keep spec that runs in
+    batch runs verbatim on a readStream frame (projections/filters are
+    streamable by construction; materialize() passes streaming frames
+    through untouched)."""
+    from views_transformation_library_spark import transform
+
+    src = str(tmp_path / "specstream")
+    os.makedirs(src)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then some more "
+            "words with it to pass the minimum token bar for the filter "
+            "plus even more filler text that keeps going and going today"),
+        (2, "@@@@ #### !!!! 1234 %%%% junk"),
+    ]
+    pd.DataFrame({"doc_id": [r[0] for r in rows],
+                  "text": [r[1] for r in rows]}).to_parquet(src + "/b1.parquet")
+    spec = [
+        {"type": "normalize_text", "kwargs": {
+            "col": "text", "out": "text_norm", "lowercase": True}},
+        {"type": "gopher_filter", "kwargs": {
+            "col": "text_norm", "min_tokens": 10, "max_tokens": 100_000,
+            "min_word_len": 2.0, "max_word_len": 12.0,
+            "max_symbol_ratio": 0.3, "min_alpha_word_frac": 0.5,
+            "min_stopword_hits": 1}},
+        {"type": "where_expr", "args": ["keep"]},
+        {"type": "select_cols", "args": ["doc_id", "text_norm"]},
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+    )
+    out = transform(stream, spec)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("spec_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql("SELECT * FROM spec_stream").collect()}
+    finally:
+        q.stop()
+    # batch run of the SAME spec on the same file agrees
+    batch = transform(spark.read.parquet(src), spec)
+    assert got == {r["doc_id"] for r in batch.collect()} == {1}
