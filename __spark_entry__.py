@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
         "doc_id", "n_tokens", "sum_logprob"
     )
+    q["bigram_logprob"] = lambda s, d: text.bigram_logprob(_docs(s, d)).select(
+        "doc_id", "n_bigrams", "sum_logprob"
+    )
     # cross-split leakage audit: deterministic parity split (doc_id % 2)
     # so the oracle reproduces the labels; output = near-dup pairs that
     # straddle the split boundary
@@ -2464,6 +2467,32 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.s AS sum_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+    # bigram LM: same recipe with a (prev, tok) key; context totals join
+    # on prev; V = tokens participating in >= 1 bigram (both sides union)
+    o["bigram_logprob"] = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM d WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok, count(*)::BIGINT AS tf
+  FROM pos GROUP BY 1, 2, 3
+),
+counts AS (SELECT prev, tok, sum(tf)::BIGINT AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(c)::BIGINT AS cN FROM counts GROUP BY 1),
+vocab AS (SELECT count(*)::BIGINT AS V FROM
+          (SELECT prev AS t FROM counts UNION SELECT tok FROM counts)),
+lm AS (SELECT c.prev, c.tok, round(ln((c.c + 0.5) / (x.cN + 0.5 * V)), 6) AS lp
+       FROM counts c JOIN ctx x USING (prev), vocab),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         round(list_sum(list(tf::DOUBLE * lp ORDER BY prev, tok)), 6) + 0.0 AS s
+  FROM bg JOIN lm USING (prev, tok) GROUP BY doc_id
+)
+SELECT d0.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.s AS sum_logprob
+FROM documents d0 LEFT JOIN agg a USING (doc_id)
 """
     o["dedup_clusters"] = _ngram_sql(3, 1000).replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """,
 dpairs AS (SELECT a, b FROM jacc WHERE jac >= 0.5),

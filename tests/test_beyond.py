@@ -1644,3 +1644,26 @@ def test_simhash_pairs_validates_pigeonhole(spark):
         dedup.simhash_pairs(df, max_hamming=4, chunks=4)
     with pytest.raises(ValueError, match="divisible"):
         dedup.simhash_pairs(df, bits=60, chunks=8, max_hamming=3)
+
+
+def test_bigram_logprob_orders_matter(spark):
+    """Bigram LM distinguishes word ORDER: a doc made of the corpus's
+    common bigrams scores higher (less negative avg) than the same words
+    shuffled into never-seen transitions; unigram scores are blind to it."""
+    from views_transformation_library_spark.operators import text as T
+
+    base = "the cat sat on the mat " * 6
+    shuffled = "cat the mat sat the on " * 6
+    rows = [(i, base) for i in range(1, 6)] + [(10, base), (11, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in T.bigram_logprob(df).collect()}
+    assert out[10]["n_bigrams"] == out[11]["n_bigrams"]
+    assert out[10]["avg_logprob"] > out[11]["avg_logprob"]
+    # unigram cannot separate them (same bag of words)
+    uni = {r["doc_id"]: r["avg_logprob"] for r in T.unigram_logprob(df).collect()}
+    assert uni[10] == pytest.approx(uni[11], abs=1e-9)
+    # single-token / empty docs: zero bigrams, NULL scores
+    tiny = spark.createDataFrame([(1, "word"), (2, "a b")], "doc_id long, text string")
+    t = {r["doc_id"]: r.asDict() for r in T.bigram_logprob(tiny).collect()}
+    assert t[1]["n_bigrams"] == 0 and t[1]["sum_logprob"] is None
+    assert t[2]["n_bigrams"] == 1

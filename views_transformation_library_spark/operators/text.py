@@ -675,6 +675,112 @@ def pack_windows(
     return out
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    out: str = "sum_logprob",
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — one rung
+    up the n-gram ladder from `unigram_logprob` toward the CCNet/LLaMA
+    KenLM-5-gram quality filters: p(t|prev) = (c(prev,t) + k) /
+    (c(prev) + k·V), add-k smoothed, fit on the SAME corpus it scores.
+    Word order now matters (shuffled boilerplate that fools the unigram
+    profile scores poorly here).
+
+    Output: the input plus (n_bigrams, ``out`` = Σ round(ln p, 6) rounded
+    6dp, avg_logprob). Vocabulary V = tokens participating in at least
+    one bigram (single-token docs contribute no bigram by construction).
+
+    Same float-parity recipe as unigram_logprob: per-bigram log-prob
+    rounded to 6dp BEFORE the fold, per-doc sum as a (prev, tok)-sorted
+    sequential list fold; the smoothing arithmetic is a literal
+    expression identical on both engines. Same scale shape too: ONE
+    corpus scan into a (doc, prev, tok, tf) aggregate (array expressions
+    build the bigrams in the scan), LM counts/context/vocab all derive
+    from it, the LM join broadcasts under AQE for small vocabularies,
+    and the doc-level fold reuses the tf frame's partitioning.
+    """
+    bg_structs = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) as prev, "
+        "element_at(__toks, i + 1) as tok))"
+    )
+    tf = materialize(
+        df.select(
+            F.col(id_col).alias("__uid"),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+            ).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= 2)
+        .select("__uid", F.explode(bg_structs).alias("__bg"))
+        .select(
+            "__uid",
+            F.col("__bg.prev").alias("__prev"),
+            F.col("__bg.tok").alias("__tok"),
+        )
+        .groupBy("__uid", "__prev", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    counts = materialize(
+        tf.groupBy("__prev", "__tok").agg(F.sum("__tf").alias("__c"))
+    )
+    vocab_v = (
+        counts.select(F.col("__prev").alias("t"))
+        .union(counts.select(F.col("__tok").alias("t")))
+        .distinct()
+        .count()
+    )
+    if vocab_v == 0:
+        raise ValueError("bigram_logprob: corpus has no bigrams to fit the LM on")
+    ctx = counts.groupBy("__prev").agg(F.sum("__c").alias("__cN"))
+    lm = counts.join(ctx, "__prev").select(
+        "__prev",
+        "__tok",
+        F.expr(
+            f"round(ln((__c + {k!r}) / (__cN + {k!r} * {int(vocab_v)})), 6)"
+        ).alias("__lp"),
+    )
+    scored = tf.join(lm, ["__prev", "__tok"], "left").select(
+        "__uid",
+        "__prev",
+        "__tok",
+        "__tf",
+        (F.col("__tf").cast("double") * F.col("__lp")).alias("__contrib"),
+    )
+    agg = scored.groupBy("__uid").agg(
+        F.sum("__tf").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__prev", "__tok", "__contrib"))
+                ),
+                lambda x: x["__contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    return (
+        df.join(agg, F.col(id_col) == F.col("__uid"), "left")
+        .drop("__uid")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0).cast("long")))
+        .withColumn(out, F.round(F.col("__sum"), 6) + F.lit(0.0))
+        .withColumn(
+            "avg_logprob",
+            F.round(
+                F.col("__sum")
+                / F.nullif(F.col("n_bigrams").cast("double"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .drop("__sum")
+    )
+
+
 def pack_bins(
     df: DataFrame,
     capacity: int = 2048,

@@ -93,6 +93,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "split_leakage": dedup.split_leakage,
     "pagerank": dedup.pagerank,
     "unigram_logprob": text.unigram_logprob,
+    "bigram_logprob": text.bigram_logprob,
     "quantize_embeddings": similarity.quantize_embeddings,
     "time_bucket_rollup": relational.time_bucket_rollup,
     "standardize": temporal.standardize,
