@@ -77,9 +77,12 @@ HEADLINE = [
     "pagerank",
     "cusum",
     "curation_pipeline",
-    # r5 additions: whole-doc FFD packing, temperature-flattened mixing
+    # r5 additions: whole-doc FFD packing, temperature-flattened mixing,
+    # cross-split leakage audit, bigram-LM quality scoring
     "pack_bins",
     "temperature_mix",
+    "split_leakage",
+    "bigram_logprob",
 ]
 
 
