@@ -291,7 +291,9 @@ def test_minhash_bucket_guard_single_exchange(spark):
         [(i, f"some text number {i} with shared tail") for i in range(10)],
         "doc_id long, text string",
     )
-    out = dedup.minhash_lsh_pairs(df, n=3, n_hashes=8, bands=2, threshold=0.5)
+    out = dedup.minhash_lsh_pairs(
+        df, n=3, n_hashes=8, bands=2, threshold=0.5, max_bucket=100_000
+    )
     plan = plans.physical_plan(out)
     n_band_ex = sum(
         1 for line in plan.splitlines()

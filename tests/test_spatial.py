@@ -130,6 +130,21 @@ def test_splag_country_identity(country_panel, country_edges):
     assert out == {57: 0.0, 59: 281.0, 120: 0.0, 235: 18.0, 237: 18.0, 242: 0.0}
 
 
+def test_splag_country_nonpositive_width(country_panel, country_edges):
+    """kernel_width <= 0 with kernel_inner >= 2 (r6 guard): the ring
+    R_nouter \\ R_ninner is empty by construction (nouter < ninner) — the
+    old single-iteration rewrite never took the inner snapshot and
+    crashed on a None join. Lag over an empty ring is all zeros."""
+    out = collect_panel(
+        spatial_graph.splag_country(country_panel, country_edges, None, 2, 0)
+    )
+    assert out and all(v == 0.0 for (_, _, v) in out)
+    out2 = collect_panel(
+        spatial_graph.splag_country(country_panel, country_edges, None, 3, -1)
+    )
+    assert out2 and all(v == 0.0 for (_, _, v) in out2)
+
+
 def test_splag_country_first_order(country_panel, country_edges):
     # inner=1, width=1 -> splag(237) = v(59) + v(235) = 299.0 (test_splag_country.py:48)
     out = {u: v for (u, _, v) in collect_panel(

@@ -766,6 +766,53 @@ def test_panel_stream_batch_equivalence(spark, tmp_path):
     assert got[(18262, 1)] == 12.0
 
 
+def test_panel_stream_time_id_tz_independent(spark, tmp_path):
+    """time_id must be the UTC epoch day of the window start regardless of
+    the session time zone (r6 fix): F.window's 1-day buckets are UTC-epoch
+    aligned, but the old to_date(window.start) read the session TZ — in a
+    vanilla non-UTC driver session every time_id shifted by a day vs the
+    batch panel. The batch-equivalence test can't catch this (both sides
+    share the session TZ), so this one flips the TZ explicitly."""
+    from views_transformation_library_spark.streaming.panel import (
+        panel_from_events_stream,
+    )
+
+    src = str(tmp_path / "peV_tz")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"ts": [pd.Timestamp("2020-01-01 03:00:00"),
+                pd.Timestamp("2020-06-01 00:00:00")],
+         "user_id": [1, 99],
+         "value": [10.25, 0.0]}
+    ).to_parquet(src + "/b1.parquet", coerce_timestamps="us")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .parquet(src)
+        )
+        out = panel_from_events_stream(stream, watermark="2 days")
+        q = (
+            out.writeStream.format("memory").queryName("panel_tz")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["time_id"], r["unit_id"]): r["value"]
+                for r in spark.sql("SELECT * FROM panel_tz").collect()
+                if r["unit_id"] != 99
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # 2020-01-01 is UTC epoch day 18262 — with the TZ bug this read 18261
+    assert got == {(18262, 1): 10.25}
+
+
 def test_spec_language_runs_on_streams(spark, tmp_path):
     """The registry spec language is execution-mode agnostic for scan-pure
     steps: the SAME normalize -> quality-filter -> keep spec that runs in

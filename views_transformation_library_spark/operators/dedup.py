@@ -193,7 +193,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     threshold: float = 0.8,
     seed: int = 42,
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard (a < b,
     jaccard >= τ). Integer-exact end-to-end, so results are deterministic
@@ -211,9 +211,14 @@ def minhash_lsh_pairs(
     an in-memory collect_list buffer — bounded memory at any skew.
     Members of a skipped bucket still pair through
     their other ``bands-1`` buckets, and identical texts belong in
-    `exact_dedup`/`dedup_keep` upstream anyway; ``max_bucket=None``
-    disables the guard. Results at any bucket size under the cap are
-    IDENTICAL to the uncapped plan."""
+    `exact_dedup`/`dedup_keep` upstream anyway. Results at any bucket
+    size under the cap are IDENTICAL to the uncapped plan.
+
+    Default is ``max_bucket=None`` (exact — every bucket pairs): a cap
+    makes results data-dependent with no signal to the caller, so this
+    low-level API never drops silently. The end-to-end pipelines
+    (`fuzzy_dedup_keep`, `split_leakage`) opt IN to the 100k guard as
+    their documented scale default."""
     if bands < 1 or n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
@@ -618,6 +623,7 @@ def fuzzy_dedup_keep(
     seed: int = 42,
     max_iters: int = 20,
     driver_cap: int = 2_000_000,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """End-to-end fuzzy corpus deduplication: MinHash-LSH near-duplicate
     pairs -> connected components over the pair graph -> keep exactly ONE
@@ -634,7 +640,8 @@ def fuzzy_dedup_keep(
     is shuffled at most once on the id.
     """
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, n, n_hashes, bands, threshold, seed
+        df, id_col, text_col, n, n_hashes, bands, threshold, seed,
+        max_bucket=max_bucket,
     )
     comp = connected_components(pairs, max_iters=max_iters, driver_cap=driver_cap)
     drop = comp.filter(F.col("node") != F.col("component")).select(

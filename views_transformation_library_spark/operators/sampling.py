@@ -195,7 +195,7 @@ def mixture_plan(
     """
     if not targets:
         raise ValueError("mixture_plan needs at least one target share")
-    tot_share = sum(targets.values())
+    tot_share = sum(targets[s] for s in sorted(targets, key=str))
     if tot_share <= 0:
         raise ValueError("target shares must sum to a positive value")
     shares = {s: w / tot_share for s, w in targets.items()}
@@ -249,7 +249,10 @@ def temperature_targets(counts: dict, alpha: float = 0.7) -> dict:
     if total <= 0:
         raise ValueError("temperature_targets needs non-empty counts")
     q = {s: (c / total) ** float(alpha) for s, c in counts.items() if c > 0}
-    z = sum(q.values())
+    # sorted-key fold: collect()/fetchall() dict order is nondeterministic,
+    # and the strict gate's bit-parity claim needs both engines to sum
+    # these floats in the same order (order-dependent double-sum class)
+    z = sum(q[s] for s in sorted(q))
     return {s: v / z for s, v in q.items()}
 
 

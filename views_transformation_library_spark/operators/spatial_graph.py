@@ -62,7 +62,10 @@ def neighbour_ring(edges: DataFrame, kernel_inner: int, kernel_width: int) -> Da
     the final plan, and hop chains no longer re-execute per branch)."""
     ninner = int(kernel_inner) - 1
     nouter = ninner + int(kernel_width)
-    if nouter < 0:
+    if nouter < 0 or nouter < ninner:
+        # kernel_width <= 0: R_nouter ⊆ R_ninner so the ring is empty —
+        # without this guard the snapshot is never taken and the final
+        # anti-join would dereference None
         return nth_order_reachability(edges, 0).limit(0)
     r = (
         edges.select("month_id", F.col("a_id").alias("c"))

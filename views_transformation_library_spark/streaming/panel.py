@@ -57,7 +57,12 @@ def panel_from_events_stream(
         )
     )
     return agg.select(
-        F.datediff(F.to_date(F.col("__day.start")), F.lit("1970-01-01"))
+        # TZ-independent epoch day: F.window's 1-day buckets are UTC-epoch
+        # aligned, but to_date() reads the session TZ — in a non-UTC driver
+        # session every time_id would shift a day vs the batch panel (which
+        # forces UTC on itself in read_events). Integer div on unix_micros
+        # never consults the session TZ.
+        F.expr("unix_micros(__day.start) div 86400000000")
         .cast("long")
         .alias(TIME),
         UNIT,
