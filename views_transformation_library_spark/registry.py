@@ -121,6 +121,13 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "attach_binary": multimodal.attach_binary,
     "extract_features": multimodal.extract_features,
     "frame_sample": multimodal.frame_sample_stub,
+    "resize": multimodal.resize_stub,
+    # graph helpers are spec steps too: the folded frame IS the edge /
+    # centroid table (transform() puts no constraint on what the frame is)
+    "neighbour_ring": spatial_graph.neighbour_ring,
+    "nth_order_reachability": spatial_graph.nth_order_reachability,
+    "centroid_distances": spatial_graph.centroid_distances,
+    "with_grid_coords": spatial_grid.with_grid_coords,
     "containment_pairs": dedup.containment_pairs,
     "normalize_text": text.normalize_text,
     "repetition_stats": text.repetition_stats,
