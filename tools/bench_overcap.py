@@ -13,6 +13,7 @@ broadcast cap=0) on the SAME sf0.1 inputs, times both paths bench-style
   pagerank             driver_cap=0  -> distributed join-aggregate loop
   fuzzy_dedup_keep     driver_cap=0  -> CC distributed path inside the pipeline
   grid_lag             mesh cap=0    -> shuffle join instead of mesh broadcast
+  pq_topk              query cap=0   -> in-plan distributed ADC table build
 
 Agreement: spacetime / CC / fuzzy / grid_lag paths are exact by design ->
 byte checksum equality after the gate-standard 6dp round. pagerank's two
@@ -37,6 +38,7 @@ import __spark_entry__ as entry
 from pyspark.sql import DataFrame, functions as F
 from views_transformation_library_spark.operators import (
     dedup,
+    similarity,
     spacetime,
     trees,
 )
@@ -177,6 +179,27 @@ def main() -> None:
 
     cases["grid_lag"] = dict(
         fast=grid_build(2_000_000), slow=grid_build(0), compare="checksum"
+    )
+
+    # --- pq_topk: driver-side ADC build (fast) vs in-plan distributed
+    # table (slow) — the r6 query-count gate (VERDICT r5 #3)
+    def pq_build(cap):
+        def _b():
+            old = similarity.PQ_QUERY_DRIVER_CAP
+            similarity.PQ_QUERY_DRIVER_CAP = cap
+            try:
+                return similarity.pq_topk(
+                    entry._embs(spark, sf_dir), entry._queries(spark, sf_dir),
+                    k=10, m=8, k_codes=16, rerank=8,
+                )
+            finally:
+                similarity.PQ_QUERY_DRIVER_CAP = old
+        return _b
+
+    cases["pq_topk"] = dict(
+        fast=pq_build(similarity.PQ_QUERY_DRIVER_CAP),
+        slow=pq_build(0),
+        compare="checksum",
     )
 
     results = {}

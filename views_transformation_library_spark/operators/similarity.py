@@ -58,6 +58,15 @@ def _norm(a):
 PRUNE_AT = 262_144
 TOPK_MARGIN = 2e-6
 
+# pq_topk builds its ADC distance tables from a driver-side collect() of
+# the query frame — O(|queries| · m · k_codes) rows of python loop. That
+# is the right shape for the documented small-query regime, but a large
+# query frame must never silently hit the driver: above this cap the
+# table is built distributedly (posexplode subspace slices + broadcast
+# codebook join) instead. Module-level so tools/bench_overcap.py can
+# force the slow path with PQ_QUERY_DRIVER_CAP = 0.
+PQ_QUERY_DRIVER_CAP = 8_192
+
 
 def _empty_topk(vectors: DataFrame, id_col: str) -> DataFrame:
     """Empty result with the top-k output schema (empty/all-null input)."""
@@ -1181,6 +1190,58 @@ def nearest_cluster_expr_on(arr, centroids: list[list[float]]):
     return F.array_sort(F.array(*entries))[0]["c"]
 
 
+def _adc_table_distributed(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Scale path for pq_topk's ADC tables: the query frame never touches
+    the driver. Normalized queries posexplode into m subspace slices, the
+    (m · k_codes)-row codebook frame broadcasts, and d² is the same
+    left-fold zip_with sum per (query, subspace, code) row the driver
+    loop computes. Output schema matches the driver build exactly:
+    (query_id, __sub, __code, __d2); zero-norm queries are dropped, as
+    the driver loop drops them."""
+    m = len(codebooks)
+    spark = queries.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (s, ci, [float(x) for x in c])
+            for s, book in enumerate(codebooks)
+            for ci, c in enumerate(book)
+        ],
+        "__sub int, __code int, __cent array<double>",
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
+    # normalize, then slice into the m subvectors; two selects (the
+    # generator + subscript analyzer quirk — CLAUDE.md)
+    sliced = qn.select(
+        "query_id",
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s -> "
+            f"slice(transform(__qv, x -> x / __qn), "
+            f"s * (size(__qv) div {m}) + 1, size(__qv) div {m}))"
+        ).alias("__slices"),
+    ).select("query_id", F.posexplode("__slices").alias("__sub", "__qslice"))
+    return sliced.join(F.broadcast(cb), "__sub").select(
+        "query_id",
+        "__sub",
+        "__code",
+        F.aggregate(
+            F.zip_with(
+                F.col("__qslice"), F.col("__cent"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__d2"),
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1203,8 +1264,11 @@ def pq_topk(
 
     Plan shape (fully distributed, no driver scoring): encode in the scan
     → posexplode the m codes → broadcast-join the (query, subspace, code,
-    partial d²) table (|queries|·m·k_codes rows, driver-built from
-    codebook literals) → hash-aggregate the m partials per (query,
+    partial d²) table (|queries|·m·k_codes rows; driver-built only below
+    ``PQ_QUERY_DRIVER_CAP`` queries — one LIMITed collect, never more
+    than cap+1 rows pulled — else built in-plan by
+    `_adc_table_distributed` so a large query frame cannot flood the
+    driver) → hash-aggregate the m partials per (query,
     vector) → rank. Shuffle volume is |vectors|·m skinny rows with
     map-side combine; the ADC table broadcast replaces any per-pair
     vector math. Output: (query_id, neighbor_id, approx_cosine, rank) —
@@ -1236,26 +1300,32 @@ def pq_topk(
     )
 
     # ADC tables: per query, the distance from its subspace slice to every
-    # codebook entry — |queries| × m × k_codes rows, built driver-side from
-    # the (small, documented) query set and broadcast
-    qrows = queries.select(id_col, vec_col).collect()
-    table = []
-    for r in qrows:
-        qv = np.asarray(list(r[vec_col]), dtype=np.float64)
-        nrm = float(np.linalg.norm(qv))
-        if nrm == 0.0:
-            continue
-        qv = qv / nrm
-        sub = len(qv) // m
-        for s, book in enumerate(codebooks):
-            qs = qv[s * sub : (s + 1) * sub]
-            for ci, c in enumerate(book):
-                d2 = float(((qs - np.asarray(c)) ** 2).sum())
-                table.append((r[id_col], s, ci, d2))
-    adc = spark.createDataFrame(
-        table, schema=f"query_id {dict(queries.dtypes).get(id_col, 'bigint')}, "
-                      "__sub int, __code int, __d2 double"
-    )
+    # codebook entry — |queries| × m × k_codes rows. Small query sets
+    # build it driver-side (one limited collect, never more than cap+1
+    # rows pulled); anything larger builds it distributedly so a big
+    # query frame can never flood the driver (r6 gate, VERDICT r5 #3).
+    qid_type = dict(queries.dtypes).get(id_col, "bigint")
+    cap = int(PQ_QUERY_DRIVER_CAP)
+    qrows = queries.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(qrows) <= cap:
+        table = []
+        for r in qrows:
+            qv = np.asarray(list(r[vec_col]), dtype=np.float64)
+            nrm = float(np.linalg.norm(qv))
+            if nrm == 0.0:
+                continue
+            qv = qv / nrm
+            sub = len(qv) // m
+            for s, book in enumerate(codebooks):
+                qs = qv[s * sub : (s + 1) * sub]
+                for ci, c in enumerate(book):
+                    d2 = float(((qs - np.asarray(c)) ** 2).sum())
+                    table.append((r[id_col], s, ci, d2))
+        adc = spark.createDataFrame(
+            table, schema=f"query_id {qid_type}, __sub int, __code int, __d2 double"
+        )
+    else:
+        adc = _adc_table_distributed(queries, codebooks, id_col, vec_col)
     scored = (
         cand.join(F.broadcast(adc), ["__sub", "__code"])
         .groupBy("query_id", "neighbor_id")
