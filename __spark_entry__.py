@@ -1574,14 +1574,29 @@ def _grid_lag_oracle(
     _, units = _oracle_keys()
     geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
     p = geo.power
-    _DFUN_SQL = {
-        0: "1.0 / ln(1.0 + {d})",
-        1: "1.0 / {d}",
-        2: "1.0 / ({d} * {d})",
-    }
-    wmap = {None: _DFUN_SQL[dopt]} if isinstance(dopt, int) else {
-        wname: _DFUN_SQL[k] for wname, k in dopt.items()
-    }
+    # r6: the weights are driver literals on BOTH engines (grid_lag joins
+    # a broadcast k→weight table; the oracle inlines the SAME python-
+    # computed doubles as VALUES) — ln differs between libms in the last
+    # ulp, which was the final sf0.1 strictness blocker once the sums
+    # went DECIMAL. k = (2dx)²+(2dy)² is exact integer arithmetic.
+    weights = (
+        {None: trees.GRID_DFUNCTIONS[dopt]}
+        if isinstance(dopt, int)
+        else {wname: trees.GRID_DFUNCTIONS[k] for wname, k in dopt.items()}
+    )
+    wrows, scalar_names, _cols = trees.grid_weight_rows(geo.ncells, weights)
+    assert not _cols and list(scalar_names) == list(weights)
+    # weights ride as quoted shortest-repr strings and parse via
+    # VARCHAR→DOUBLE (correctly rounded); a bare decimal literal would be
+    # typed DECIMAL and DuckDB's direct DECIMAL→DOUBLE cast is lossy
+    wvals = ", ".join(
+        "(" + ", ".join([str(r[0])] + [f"'{float(x)!r}'" for x in r[2:]]) + ")"
+        for r in wrows
+    )
+    wnames_sql = ", ".join(f"w_{n or ''}" for n in scalar_names)
+    wcast_sql = ", ".join(
+        f"CAST(w_{n or ''} AS DOUBLE) AS w_{n or ''}" for n in scalar_names
+    )
     feat_sel = ", ".join(feats)
     ctes = [
         f"""
@@ -1591,14 +1606,20 @@ cells AS (
          unit_id // {GRID_STRIDE} + {geo.lat_shift} AS ey,
          {feat_sel}
   FROM {panel_cte}
-)"""
+)""",
+        f"""
+wtab AS (
+  SELECT k, {wcast_sql} FROM (VALUES {wvals}) AS t(k, {wnames_sql})
+)""",
     ]
     for c in feats:
         for lvl in range(p + 1):
             ctes.append(
                 f"""
 lvl{lvl}_{c} AS (
-  SELECT time_id, ex >> {p - lvl} AS bx, ey >> {p - lvl} AS by, sum({c}) AS val
+  SELECT time_id, ex >> {p - lvl} AS bx, ey >> {p - lvl} AS by,
+         CAST(sum(CAST(floor({c} * {trees.GRID_SUM_SCALE!r}) AS BIGINT)) AS BIGINT)
+           / {trees.GRID_SUM_SCALE!r} AS val
   FROM cells GROUP BY 1, 2, 3
 )"""
             )
@@ -1630,16 +1651,32 @@ meshc_{c} AS (
   FROM mesh_{c}
 )"""
         )
-        d = "sqrt(pow(t.ex + 0.5 - m.cx, 2) + pow(t.ey + 0.5 - m.cy, 2))"
+        # DECIMAL(38,18)-summed on both engines (r6): Spark's double →
+        # decimal cast quantizes the shortest repr, which the VARCHAR
+        # route replicates here — order-independent fixed-point sums plus
+        # the shared literal weight table make the weighted aggregate
+        # engine-identical (closes the r5 sf0.1 strictness carve-out)
+        # fixed-point long sums, mirroring grid_lag exactly: term doubles
+        # are engine-identical (decimal-exact box vals × shared literal
+        # weights), floor(term·SCALE) is exact IEEE on both engines, and
+        # integer sums commute. CAST(sum AS BIGINT) first — DuckDB's
+        # sum(BIGINT) yields HUGEINT/DECIMAL(38,0) whose direct →DOUBLE
+        # cast is lossy; the BIGINT hop is exact in our range.
+        scale = trees.GRID_SUM_SCALE
         sums = ", ".join(
-            f"sum(m.val * {w.format(d=d)}) AS v_{wname or ''}"
-            for wname, w in wmap.items()
+            f"CAST(sum(CAST(floor(m.val * w.w_{wname or ''} * {scale!r})"
+            f" AS BIGINT)) AS BIGINT) / {scale!r}"
+            f" AS v_{wname or ''}"
+            for wname in scalar_names
         )
+        kx = "(t.ex * 2.0 + 1.0 - m.cx * 2.0)"
+        ky = "(t.ey * 2.0 + 1.0 - m.cy * 2.0)"
         ctes.append(
             f"""
 agg_{c} AS (
   SELECT t.time_id, t.unit_id, {sums}
   FROM cells t JOIN meshc_{c} m ON m.mt = t.time_id
+  JOIN wtab w ON w.k = CAST({kx} * {kx} + {ky} * {ky} AS BIGINT)
   WHERE NOT (m.lvl = {p} AND m.bx = t.ex AND m.by = t.ey)
   GROUP BY 1, 2
 )"""
@@ -1656,7 +1693,7 @@ agg_{c} AS (
         f" AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS "
         + (c if wname is None else f"{c}_{wname}")
         for c in feats
-        for wname in wmap
+        for wname in scalar_names
     )
     joins = " ".join(
         f"LEFT JOIN agg_{c} a_{c} ON a_{c}.time_id = p.time_id AND a_{c}.unit_id = p.unit_id"

@@ -262,3 +262,29 @@ def test_grid_lag_weight_dict(spark):
         single = {u: v for (u, _, v) in collect_panel(trees.grid_lag(df, 50.0, opt))}
         for u, vals in got.items():
             assert vals[idx] == pytest.approx(single[u]), (opt, u)
+
+
+def test_grid_lag_column_builder_dfunction(spark):
+    """Legacy Column-expression weight builders still work (r6 moved the
+    canned kernels to scalar callables evaluated driver-side; a builder
+    that returns a Column is detected and evaluated over the small weight
+    table instead). 1/d² as a builder must equal canned kernel 2."""
+    from pyspark.sql import functions as F
+
+    pgids = [lat * 720 + lon for lat in range(3) for lon in range(3)]
+    rng = np.random.RandomState(5)
+    rows = [(1, p, float(rng.randint(1, 10))) for p in pgids]
+    df = make_panel(spark, rows)
+    out = trees.grid_lag(
+        df, 50.0, dfunctions={"colsq": lambda d: 1.0 / (d * d)}
+    )
+    # the lambda works as BOTH scalar and Column builder — force the
+    # Column route with an explicit pyspark expression
+    out2 = trees.grid_lag(
+        df, 50.0, dfunctions={"colsq": lambda d: F.lit(1.0) / F.pow(d, F.lit(2.0))}
+    )
+    canned = {u: v for (u, _, v) in collect_panel(trees.grid_lag(df, 50.0, 2))}
+    for res in (out, out2):
+        got = {r["unit_id"]: r["value_colsq"] for r in res.collect()}
+        for u in canned:
+            assert got[u] == pytest.approx(canned[u]), u

@@ -413,7 +413,8 @@ def _temporal_interactions_cached(
 
 
 def _level_aggregates(
-    cells: DataFrame, feats: list[str], levels: list[int], power: int
+    cells: DataFrame, feats: list[str], levels: list[int], power: int,
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Per-level box aggregates in ONE shuffle: level l value = sum over
     pgids in the aligned box (== the reference's stocked node sums,
@@ -442,7 +443,18 @@ def _level_aggregates(
             F.expr(f"shiftright(__ex, {power} - __lvl)").alias("__bx"),
             F.expr(f"shiftright(__ey, {power} - __lvl)").alias("__by"),
         )
-        .agg(*[F.sum(c).alias(c) for c in feats])
+        .agg(*[
+            (
+                # grid_lag's determinism contract: quantize each cell at
+                # floor(v·SCALE) and sum longs — order- and engine-
+                # independent (see grid_lag docstring), codegen-fast
+                (F.sum(F.floor(F.col(c) * F.lit(GRID_SUM_SCALE)))
+                 / F.lit(GRID_SUM_SCALE))
+                if fixed_point
+                else F.sum(c)
+            ).alias(c)
+            for c in feats
+        ])
         .select(TIME, "__lvl", "__bx", "__by", *feats)
     )
 
@@ -555,12 +567,68 @@ def _grid_mesh(nodevals: DataFrame, c: str, threshold: float, geo: SpatialTreeGe
 
 
 # the reference's canned distance kernels (spatial_tree.py dfunction_option
-# family), as Column-expression builders usable in any weighted aggregate
+# family) as SCALAR python callables — the same shape the reference's
+# ``dfunctions`` dict uses. grid_lag evaluates them driver-side over the
+# finite distance set of the grid geometry (see _grid_weight_keys), so the
+# weights both engines consume are the same literal doubles.
 GRID_DFUNCTIONS = {
-    0: lambda d: 1.0 / F.log(F.lit(1.0) + d),
+    0: lambda d: 1.0 / math.log(1.0 + d),
     1: lambda d: 1.0 / d,
     2: lambda d: 1.0 / (d * d),
 }
+
+
+@lru_cache(maxsize=8)
+def _grid_weight_keys(ncells: int) -> tuple[int, ...]:
+    """Every possible squared-distance key k = (2dx)² + (2dy)² between a
+    cell centre (ex+0.5, ey+0.5) and a box centre of any level, from pure
+    geometry. dx is always a half-integer, so k is an exact integer and
+    d = sqrt(k)/2 reproduces sqrt(dx²+dy²) bit-for-bit (dividing by a
+    power of two commutes with IEEE rounding). Size is geometry-bounded:
+    |keys| <= ~8·ncells², independent of data volume."""
+    import numpy as np
+
+    power = int(math.log2(ncells))
+    ks: set[int] = set()
+    for lvl in range(power + 1):
+        size = ncells >> lvl
+        # mx = 2ex + 1 - size(2bx + 1): ex ∈ [0, ncells), bx ∈ [0, ncells/size)
+        # → ex - size·bx covers [size - ncells, ncells - 1] contiguously
+        t = np.arange(size - ncells, ncells, dtype=np.int64)
+        mx = 2 * t + 1 - size
+        sq = mx * mx
+        ks.update(np.unique(np.add.outer(sq, sq).ravel()).tolist())
+    ks.discard(0)  # d = 0 is only the excluded own-leaf pairing
+    return tuple(sorted(int(k) for k in ks))
+
+
+def grid_weight_rows(
+    ncells: int, weights: dict, _probe: float = 2.0
+) -> tuple[list[tuple], list[str], dict]:
+    """(rows, scalar_names, column_builders): the k→weight table for every
+    weight fn that is a SCALAR callable (python float → float; the canned
+    GRID_DFUNCTIONS and any reference-style dfunction). Column-expression
+    builders (legacy API) are returned separately for engine-side
+    evaluation over the small table — they keep working, but only scalar
+    weights carry the cross-engine byte-determinism guarantee."""
+    scalar_fns, column_fns = {}, {}
+    for wname, wfn in weights.items():
+        try:
+            is_scalar = isinstance(wfn(_probe), (int, float))
+        except Exception:
+            is_scalar = False
+        (scalar_fns if is_scalar else column_fns)[wname] = wfn
+    rows = []
+    for k in _grid_weight_keys(ncells):
+        d = math.sqrt(k) / 2.0
+        rows.append((k, d, *[float(fn(d)) for fn in scalar_fns.values()]))
+    return rows, list(scalar_fns), column_fns
+
+# fixed-point scale for grid_lag's weighted pair sums: terms quantize at
+# floor(term * SCALE) and accumulate as longs (order-independent, engine-
+# identical, codegen-fast). 1e10 leaves ~9·10⁸ of |Σterm| headroom before
+# ANSI overflow; lower it for extreme-magnitude panels.
+GRID_SUM_SCALE = 1e10
 
 # grid_lag broadcasts each per-feature mesh when its (upper-bounded or
 # exact) row count is at or below this; past it the cells-x-mesh join is a
@@ -611,6 +679,18 @@ def grid_lag(
     Documented divergence: empty boxes are never mesh members (they hold
     value 0, so with the usual threshold >= 0 the reference excludes them
     too via its nleaf>0 check; a negative threshold would diverge).
+
+    Determinism (r6): the output is bit-identical across partition
+    orders, run repeats, and engines — double hash-aggregate sums are
+    none of those. Three mechanisms: (1) level box sums quantize each
+    cell at floor(v·GRID_SUM_SCALE) and accumulate as longs (exact
+    integer adds commute); (2) distance weights are evaluated ONCE per distinct distance
+    in the driver over the finite geometry key set (k = (2dx)²+(2dy)² is
+    an exact integer) and broadcast — no engine transcendental (libm ln
+    differs in the last ulp across engines) ever touches the pair path;
+    (3) the weighted pair sums quantize each term at
+    floor(term·GRID_SUM_SCALE) and accumulate as longs. Weight-table
+    size is ~8·ncells² rows — geometry-bounded, data-independent.
     """
     if split_criterion != "min":
         raise ValueError(f"unknown split criterion {split_criterion!r}; allowed: 'min'")
@@ -623,14 +703,35 @@ def grid_lag(
     # four plan branches reference the panel (pgid collect, box aggregates,
     # targets, output grid) — materialize it once
     df = materialize(df)
+    spark = df.sparkSession
     pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
     geo = _spatial_geometry_cached(pgids, stride)
+    # weight table: every possible cell↔box distance is a half-integer
+    # pair, so k = (2dx)²+(2dy)² is an exact integer key and the weight
+    # kernels evaluate ONCE per distinct distance in the driver — the
+    # engine never runs a transcendental on the pair path (ln differs
+    # between libms in the last ulp; driver literals make the weighted
+    # terms byte-identical across engines AND replace per-pair ln/sqrt
+    # with a broadcast-hash probe). Geometry-bounded: ~8·ncells² rows.
+    wrows, scalar_names, column_fns = grid_weight_rows(geo.ncells, weights)
+    wcol_of = {n: f"__w_{i}" for i, n in enumerate(scalar_names)}
+    wtab = spark.createDataFrame(
+        wrows,
+        schema="__k long, __d double"
+        + "".join(f", {wcol_of[n]} double" for n in scalar_names),
+    )
+    for i, cname in enumerate(column_fns):
+        wcol_of[cname] = f"__wc_{i}"
+        wtab = wtab.withColumn(wcol_of[cname], column_fns[cname](F.col("__d")))
+    wtab = F.broadcast(wtab.drop("__d"))
     cells = _embedded_cells(df, geo, stride, feats)
     all_levels = list(range(geo.power + 1))
     # one materialization of all box aggregates (rows ~= 4/3 * |cells| across
     # all levels, every feature summed side by side); every mesh build then
     # reads it for free
-    nodevals = _level_aggregates(cells, feats, all_levels, geo.power).localCheckpoint()
+    nodevals = _level_aggregates(
+        cells, feats, all_levels, geo.power, fixed_point=True
+    ).localCheckpoint()
     targets = cells.select(TIME, UNIT, "__ex", "__ey")
     out = df.select(TIME, UNIT)
     mesh_frames = []
@@ -671,13 +772,36 @@ def grid_lag(
                 & (F.col("__by") == F.col("__ey"))
             )
         )
-        d = F.sqrt(
-            (F.col("__ex") + 0.5 - F.col("__cx")) ** 2 + (F.col("__ey") + 0.5 - F.col("__cy")) ** 2
+        # exact integer distance key: dx, dy are half-integers, so
+        # mx = 2dx, my = 2dy and k = mx²+my² are computed EXACTLY in
+        # double arithmetic (identical on any IEEE engine)
+        mx = F.col("__ex") * F.lit(2.0) + F.lit(1.0) - F.col("__cx") * F.lit(2.0)
+        my = F.col("__ey") * F.lit(2.0) + F.lit(1.0) - F.col("__cy") * F.lit(2.0)
+        pairs = pairs.withColumn("__k", (mx * mx + my * my).cast("long")).join(
+            wtab, "__k"
         )
         aggs = []
-        for wname, wfn in weights.items():
+        for wname in weights:
             name = c if wname is None else f"{c}_{wname}"
-            aggs.append(F.sum(F.col("__val") * wfn(d)).alias(name))
+            # fixed-point LONG sum: hash-aggregate double sums are
+            # partition-order dependent (engine- AND run-divergent in low
+            # bits — the r5 sf0.1 strictness carve-out was exactly one
+            # such row straddling the 6dp round). floor(term·SCALE) is an
+            # exact IEEE computation (multiply + floor, no rounding-mode
+            # ambiguity), identical on any engine, and integer addition
+            # commutes — so the sum is bit-deterministic at codegen'd
+            # long-sum speed (a DECIMAL(38,18) sum was 3× slower: Spark's
+            # double→decimal cast string-formats per row). Quantization
+            # ≤ 1e-10 per pair term, orders below the 6dp output round;
+            # Σ|term| beyond ~9·10⁸ would overflow the scaled long and
+            # raise under ANSI (lower GRID_SUM_SCALE for such data).
+            term = F.col("__val") * F.col(wcol_of[wname])
+            aggs.append(
+                (
+                    F.sum(F.floor(term * F.lit(GRID_SUM_SCALE)).cast("long"))
+                    / F.lit(GRID_SUM_SCALE)
+                ).alias(name)
+            )
             out_names.append(name)
         res = pairs.groupBy(TIME, UNIT).agg(*aggs)
         out = out.join(res, KEYS, "left")
