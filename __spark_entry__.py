@@ -505,6 +505,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
         multimodal.attach_binary(_docs(s, d))
     ).select("media_id", "n_bytes", F.round("feat1", 6).alias("feat1"))
+    # REAL decoding (r6): synthesized P6 PPMs (md5-tiled rasters, height
+    # varying with the id) parsed by the pure-python decoder — header,
+    # dimensions, pixel sums all come from actual image bytes, and the
+    # oracle reproduces every statistic from (doc_id, md5(text)) alone
+    q["multimodal_decode"] = lambda s, d: multimodal.extract_features(
+        multimodal.attach_image(_docs(s, d)), decode_stub=False
+    ).select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        (F.round("feat0", 6) + F.lit(0.0)).alias("feat0"),
+        (F.round("feat1", 6) + F.lit(0.0)).alias("feat1"),
+    )
 
     # exact column profile over lineitem money columns (DECIMAL-exact sums)
     q["profile_lineitem"] = lambda s, d: profiling.profile(
@@ -3147,6 +3160,48 @@ SELECT doc_id AS media_id,
                   ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) * 1.0
              END, 6) AS feat1
 FROM documents
+"""
+
+    # REAL-decode gate (r6): replicate the PPM synthesis + pure-python
+    # decode arithmetic from (doc_id, md5(text)). Pixel bytes are the md5
+    # hex tiled to 48·h bytes (h = 8 + doc_id % 8): ascii sums come from
+    # 16 replace-count terms; the tiny header table (8 possible heights)
+    # is inlined from the same python bytes the synthesizer writes.
+    def _ascii_sum(expr: str, length: str) -> str:
+        terms = " + ".join(
+            f"{ord(c)} * ({length} - length(replace({expr}, '{c}', '')))"
+            for c in "0123456789abcdef"
+        )
+        return f"({terms})"
+
+    _hdr_rows = ", ".join(
+        "({}, {}, {})".format(
+            hm, len(hdr := b"P6\n16 %d\n255\n" % (8 + hm)), sum(hdr)
+        )
+        for hm in range(8)
+    )
+    o["multimodal_decode"] = f"""
+WITH geom AS (
+  SELECT doc_id, md5(text) AS m,
+         8 + doc_id % 8 AS h,
+         48 * (8 + doc_id % 8) AS n,
+         (48 * (8 + doc_id % 8)) // 32 AS reps,
+         (48 * (8 + doc_id % 8)) % 32 AS rem
+  FROM documents
+),
+hdr AS (SELECT * FROM (VALUES {_hdr_rows}) AS t(hmod, hlen, hsum)),
+sums AS (
+  SELECT g.doc_id, g.h, g.n, d.hlen, d.hsum,
+         g.reps * {_ascii_sum('g.m', '32')}
+           + {_ascii_sum('substr(g.m, 1, g.rem)', 'g.rem')} AS pix_sum
+  FROM geom g JOIN hdr d ON d.hmod = g.doc_id % 8
+)
+SELECT doc_id AS media_id,
+       (hlen + n)::BIGINT AS n_bytes,
+       ((hsum + pix_sum) % 1000000007)::BIGINT AS checksum,
+       round(CAST(pix_sum AS DOUBLE) / n, 6) + 0.0 AS feat0,
+       round(16.0 / h, 6) + 0.0 AS feat1
+FROM sums
 """
 
     # --- relational surface

@@ -369,17 +369,66 @@ def test_multimodal_plumbing(docs):
     assert by_id[1]["feat1"] == float(ord("t"))
 
 
-def test_multimodal_real_decoder_import_gated(docs):
-    """decode_stub=False selects the real (PIL) path: raises eagerly when
-    the library is absent (this container), decodes when present."""
+def test_multimodal_real_decoder_nonimage_fallback(docs):
+    """decode_stub=False is REAL in a bare container (r6): PPM/BMP decode
+    pure-python; a text payload parses as neither → deterministic
+    byte-statistics fallback, row kept, no library required."""
     media = multimodal.attach_binary(docs.filter(F.col("doc_id") == 1))
-    if multimodal._PIL is None:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            multimodal.extract_features(media, decode_stub=False)
-    else:  # pragma: no cover - exercised only where PIL is installed
-        rows = multimodal.extract_features(media, decode_stub=False).collect()
-        # text payload is not an image: byte-statistics fallback, row kept
-        assert rows[0]["feat1"] == float(ord("t"))
+    rows = multimodal.extract_features(media, decode_stub=False).collect()
+    assert rows[0]["feat1"] == float(ord("t"))
+
+
+def test_ppm_bmp_roundtrip_and_real_decode(spark):
+    """Pure-python decoder vs pure-python encoders: exact header parse,
+    dimensions, pixel sums — via the REAL decode_stub=False Spark path."""
+    rgb = bytes(range(24))  # 4x2 image, 24 pixel bytes, sum 276
+    ppm = multimodal.encode_ppm(4, 2, rgb)
+    bmp = multimodal.encode_bmp(4, 2, rgb)
+    # direct decoder: identical stats for both formats (padding stripped,
+    # BGR swap irrelevant to sums)
+    for payload in (ppm, bmp):
+        w, h, s, n = multimodal.decode_image_bytes(payload)
+        assert (w, h, s, n) == (4, 2, 276, 24)
+    # comment + extra whitespace in the PPM header parse
+    commented = b"P6\n# a comment\n 4\t2\n255\n" + rgb
+    assert multimodal.decode_image_bytes(commented) == (4, 2, 276, 24)
+    with pytest.raises(ValueError):
+        multimodal.decode_image_bytes(b"P6\n4 2\n255\n" + rgb[:-1])  # truncated
+    with pytest.raises(ValueError):
+        multimodal.decode_image_bytes(b"GIF89a not supported")
+    df = spark.createDataFrame(
+        [(1, "img", bytearray(ppm), None, None, None),
+         (2, "img", bytearray(bmp), None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.extract_features(df, decode_stub=False).collect()}
+    for mid, payload in ((1, ppm), (2, bmp)):
+        assert out[mid]["feat0"] == 276 / 24
+        assert out[mid]["feat1"] == 2.0  # 4/2 aspect
+        assert out[mid]["checksum"] == sum(payload) % 1_000_000_007
+        assert out[mid]["n_bytes"] == len(payload)
+
+
+def test_attach_image_synthesis_decodes_for_real(docs):
+    """attach_image emits genuine P6 files; the real-decode path recovers
+    the synthesized geometry and md5-tiled pixel statistics exactly."""
+    import hashlib
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = multimodal.attach_image(docs)
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(media, decode_stub=False).collect()}
+    for did, text in rows.items():
+        h = 8 + did % 8
+        n = 48 * h
+        digest = hashlib.md5(text.encode()).hexdigest().encode()
+        pix = (digest * (n // 32 + 1))[:n]
+        header = b"P6\n16 %d\n255\n" % h
+        assert feats[did]["n_bytes"] == len(header) + n
+        assert feats[did]["feat0"] == sum(pix) / n
+        assert feats[did]["feat1"] == 16 / h
+        assert feats[did]["checksum"] == (sum(header) + sum(pix)) % 1_000_000_007
 
 
 @pytest.mark.skipif(multimodal._PIL is None, reason="PIL not installed")

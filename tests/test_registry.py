@@ -313,6 +313,7 @@ def _registry_specs(spark):
         "profile_approx": (docs, [["w"]], {}),
         # multimodal
         "attach_binary": (docs, [], {}),
+        "attach_image": (docs, [], {}),
         "extract_features": (bin_docs, [], {}),
         "frame_sample": (bin_docs, [], {}),
         "resize": (bin_docs, [8, 8], {}),

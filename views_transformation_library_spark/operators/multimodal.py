@@ -61,6 +61,136 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary (P6) PPM encoder — pure python, used by `attach_image` and
+    the round-trip tests. `rgb` is 3·width·height bytes, row-major."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP encoder — pure python. `rgb` is
+    row-major top-down RGB; rows are flipped and channel-swapped to the
+    BMP's bottom-up BGR layout with 4-byte row padding."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    stride = (3 * width + 3) // 4 * 4
+    pad = b"\x00" * (stride - 3 * width)
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * 3 * width : (y + 1) * 3 * width]
+        # RGB -> BGR per pixel
+        bgr = b"".join(row[i : i + 3][::-1] for i in range(0, len(row), 3))
+        rows.append(bgr + pad)
+    pixels = b"".join(rows)
+    offset = 14 + 40
+    size = offset + len(pixels)
+    file_header = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return file_header + info + pixels
+
+
+def decode_image_bytes(payload: bytes) -> tuple[int, int, int, int]:
+    """Pure-python image decoder for binary PPM (P6) and uncompressed
+    24-bit BMP: (width, height, pixel_byte_sum, n_pixel_bytes). No
+    image library needed — this is what makes ``decode_stub=False`` REAL
+    in a bare container. Raises ValueError for any other format (callers
+    fall back to PIL when present, else the byte-statistics fake)."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("not an image payload")
+    buf = bytes(payload)
+    if buf[:2] == b"P6":
+        # header: magic, whitespace/comment-separated width height maxval,
+        # ONE whitespace byte, then raw RGB samples
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(buf) and buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header")
+            fields.append(int(buf[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if not (0 < maxval < 256) or w <= 0 or h <= 0:
+            raise ValueError("unsupported PPM (need 1-byte samples)")
+        n = 3 * w * h
+        pix = buf[pos : pos + n]
+        if len(pix) != n:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, sum(pix), n
+    if buf[:2] == b"BM" and len(buf) >= 54:
+        offset = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        compression = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP (need 24bpp uncompressed)")
+        height = abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if len(buf) < offset + stride * height:
+            raise ValueError("truncated BMP pixel data")
+        total = 0
+        for y in range(height):
+            row = buf[offset + y * stride : offset + y * stride + 3 * w]
+            total += sum(row)
+        return w, height, total, 3 * w * height
+    raise ValueError("not a PPM/BMP payload")
+
+
+def attach_image(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """Deterministic REAL-image synthesis: each row becomes a binary P6
+    PPM whose pixel bytes are the doc's md5 hex digest tiled to fill the
+    raster (height varies with the id: 8 + id % 8 rows). The payloads are
+    genuine image files — `extract_features(decode_stub=False)` parses
+    the header and raster for real — while staying exactly reproducible
+    from (id, text) alone, which is what lets a SQL oracle replicate the
+    decoded statistics byte-for-byte. Runs in mapInPandas like every
+    other media stage (bytes never leave the worker as python objects
+    row-by-row)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = 8 + int(did) % 8
+                n = 3 * width * h
+                digest = hashlib.md5(
+                    ("" if text is None else str(text)).encode("utf-8")
+                ).hexdigest().encode("ascii")
+                rgb = (digest * (n // len(digest) + 1))[:n]
+                out.append((int(did), "image", encode_ppm(width, h, rgb), width, h, None))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, float, float]:
     """Deterministic stand-in for a media decoder: byte checksum and two
     'features' derived from byte statistics."""
@@ -74,15 +204,25 @@ def _fake_decode(payload: bytes) -> tuple[int, float, float]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, float, float]:
-    """PIL-backed image decode: (byte checksum, mean grayscale pixel,
-    width/height aspect). Only payloads PIL cannot PARSE (non-image blobs:
-    UnidentifiedImageError / truncated-stream OSError / ValueError) fall
-    back to the deterministic byte-statistics fake, so mixed-media tables
-    never fail the whole partition — genuine failures in the real path
-    (numpy errors, MemoryError, bugs) propagate instead of being silently
-    masked as 'non-image payload'."""
+    """REAL image decode: (byte checksum, mean pixel-byte value, width/
+    height aspect). The pure-python PPM/BMP parser handles those formats
+    with no library at all (r6 — ``decode_stub=False`` works in a bare
+    container); other formats go to PIL when present. Only payloads
+    NEITHER path can PARSE (non-image blobs) fall back to the
+    deterministic byte-statistics fake, so mixed-media tables never fail
+    the whole partition — genuine failures in the real path (MemoryError,
+    bugs) propagate instead of being silently masked."""
     if payload is None:
         return 0, 0.0, 0.0
+    try:
+        w, h, pix_sum, n_pix = decode_image_bytes(payload)
+        checksum = sum(payload) % 1_000_000_007
+        # one integer sum, one division: bit-reproducible anywhere
+        return checksum, (pix_sum / n_pix) if n_pix else 0.0, w / h
+    except ValueError:
+        pass
+    if _PIL is None:
+        return _fake_decode(payload)
     parse_errors = (OSError, ValueError)
     unidentified = getattr(_PIL, "UnidentifiedImageError", None)
     if unidentified is not None:  # PIL >= 7; subclass of OSError, listed
@@ -104,22 +244,18 @@ def _real_decode(payload: bytes) -> tuple[int, float, float]:
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
 
-    ``decode_stub=True`` (default, and the oracle-gated configuration)
-    uses the deterministic byte-statistics fake. ``decode_stub=False``
-    selects the REAL decoder path: import-gated on PIL — raises
-    NotImplementedError at plan build when the library is absent (as in
-    this container), decodes images and byte-falls-back on non-image
-    payloads when present. The Spark plumbing (Arrow batches, schema,
-    narrow numeric output) is identical on both paths.
+    ``decode_stub=True`` (default) uses the deterministic byte-statistics
+    fake. ``decode_stub=False`` selects the REAL decoder path: binary PPM
+    (P6) and uncompressed 24-bit BMP decode with the pure-python parser
+    (no image library needed — r6, previously this raised without PIL),
+    other formats decode via PIL when present, and unparseable payloads
+    byte-fall-back so mixed tables never fail a partition. The Spark
+    plumbing (Arrow batches, schema, narrow numeric output) is identical
+    on both paths.
 
     Arrow-batched: each pandas chunk carries the binary column zero-copy
     from the JVM; output is a narrow numeric frame (blobs do not survive
     past this operator, keeping downstream shuffles small)."""
-    if not decode_stub and _PIL is None:
-        raise NotImplementedError(
-            "real media decoding needs PIL, which is not present in this "
-            "environment; use decode_stub=True"
-        )
     decode = _fake_decode if decode_stub else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

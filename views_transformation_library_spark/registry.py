@@ -119,6 +119,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "ivf_topk": similarity.ivf_topk,
     "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
     "attach_binary": multimodal.attach_binary,
+    "attach_image": multimodal.attach_image,
     "extract_features": multimodal.extract_features,
     "frame_sample": multimodal.frame_sample_stub,
     "resize": multimodal.resize_stub,
