@@ -445,11 +445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quantized_cosine_topk"] = lambda s, d: similarity.quantized_cosine_topk(
         _embs(s, d), _queries(s, d), k=10
     )
+    # r6: index parameters derive from the corpus count at plan time
+    # (auto_ann_params — log-scaled; fixed params sagged toward the
+    # recall floors as SF grew). ivf_topk_dist keeps its small explicit
+    # index: it exists to exercise the distributed trainer at low plan-
+    # compile cost, not to chase recall.
     q["lsh_topk"] = lambda s, d: similarity.lsh_topk(
-        _embs(s, d), _queries(s, d), k=10, n_planes=6
+        _embs(s, d), _queries(s, d), k=10, n_planes=None
     )
     q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        _embs(s, d), _queries(s, d), k=10, n_centroids=16, nprobe=4
+        _embs(s, d), _queries(s, d), k=10, n_centroids=None, nprobe=None
     )
     # same index, centroids trained fully distributed (no driver sample) —
     # approx like ivf_topk, rows-only gated. Smaller k-means than ivf_topk:
@@ -473,7 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # RECALL_r{N}.json — rerank=8 lifts recall@10 from 0.58 to 0.80 at
     # sf0.01 for 40 extra exact-scored candidates per query)
     q["pq_topk"] = lambda s, d: similarity.pq_topk(
-        _embs(s, d), _queries(s, d), k=10, m=8, k_codes=16, rerank=8
+        _embs(s, d), _queries(s, d), k=10, m=8, k_codes=16, rerank="auto"
     )
     # corpus-vs-corpus kNN graph: IVF-bucketed self-join top-k (neither
     # side broadcastable at scale) — partial probe exercises the approx path

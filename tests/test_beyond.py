@@ -1164,6 +1164,32 @@ def test_pq_zero_norm_and_validation(spark, pq_vectors):
         similarity.train_pq_codebooks(pq_vectors, m=5)
 
 
+def test_auto_ann_params_scaling(spark, vectors):
+    """auto_ann_params: log-scaled, monotone, clamped; the None/'auto'
+    plumbing reaches every family and returns ranked frames."""
+    p = similarity.auto_ann_params
+    # plane count: bounded candidates -> grows with log2(n)
+    assert p(500)["n_planes"] == 4
+    assert p(2_000)["n_planes"] == 4
+    assert p(20_000)["n_planes"] == 5
+    assert p(1_000_000)["n_planes"] == 12
+    assert p(10**12)["n_planes"] == 20  # clamp
+    # ivf: cube-root centroids (inline-literal compile cost), half probed
+    assert p(2_000)["n_centroids"] == 13 and p(2_000)["nprobe"] == 6
+    assert p(10)["n_centroids"] == 8  # clamp floor
+    assert p(10**7)["n_centroids"] == 64  # literal-expression ceiling
+    # rerank: 8 per 1000 vectors, ceiling 64
+    assert p(500)["rerank"] == 8
+    assert p(2_000)["rerank"] == 16
+    assert p(100_000)["rerank"] == 64
+    qs = vectors.filter(F.col("vec_id") < 3)
+    assert similarity.lsh_topk(vectors, qs, k=3, n_planes=None).count() > 0
+    assert similarity.ivf_topk(
+        vectors, qs, k=3, n_centroids=None, nprobe=None
+    ).count() > 0
+    assert similarity.pq_topk(vectors, qs, k=3, m=2, rerank="auto").count() > 0
+
+
 def test_pq_topk_distributed_adc_paths_agree(spark, pq_vectors, monkeypatch):
     """r6 gate (VERDICT r5 #3): above PQ_QUERY_DRIVER_CAP the ADC table
     is built in-plan instead of from a driver collect(). Forcing the cap
