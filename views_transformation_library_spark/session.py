@@ -26,7 +26,12 @@ def get_spark(app_name: str = "vtl_spark", cpus: int | None = None) -> SparkSess
         # rejects; read as long (nanos since epoch) instead
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: ONE JVM holds driver + all executor threads, so this
+        # bounds every shuffle/broadcast/checkpoint buffer in the process.
+        # 8g was fine through sf0.1; sf1's ~60M-row pair expansions OOM'd
+        # a broadcast build under it (r6) — the machine has 128 GiB, a
+        # real cluster sizes executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
