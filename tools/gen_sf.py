@@ -63,7 +63,17 @@ def main() -> None:
         return f"read_parquet('{base}/{t}.parquet')"
 
     def write(name: str, union_sql: str) -> None:
-        con.execute(f"COPY ({union_sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+        # ~64 row groups per table (floor 2048 rows): a single-row-group
+        # file is unsplittable, so every narrow stage over it runs ONE
+        # task regardless of cores — the opposite of how a real large
+        # table behaves. duckdb's default (122880) left sf1 documents and
+        # embeddings as one group each, serializing the corpus scans.
+        rows = con.sql(f"SELECT count(*) FROM ({union_sql})").fetchone()[0]
+        rg = max(2048, rows // 64)
+        con.execute(
+            f"COPY ({union_sql}) TO '{out}/{name}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+        )
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')").fetchone()[0]
         print(f"{name}: {n} rows")
 
@@ -122,7 +132,10 @@ def main() -> None:
             "label": pa.array(labels, type=base_emb.schema.field("label").type),
         }, schema=base_emb.schema))
     emb = pa.concat_tables(parts)
-    pq.write_table(emb, f"{out}/embeddings.parquet")
+    pq.write_table(
+        emb, f"{out}/embeddings.parquet",
+        row_group_size=max(512, emb.num_rows // 64),
+    )
     print(f"embeddings: {emb.num_rows} rows")
 
 

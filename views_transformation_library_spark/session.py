@@ -32,6 +32,15 @@ def get_spark(app_name: str = "vtl_spark", cpus: int | None = None) -> SparkSess
         # a broadcast build under it (r6) — the machine has 128 GiB, a
         # real cluster sizes executors separately.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Spark floors every file split at openCostInBytes (default 4 MiB),
+        # so a multi-row-group parquet file under ~128 MiB still scans as
+        # 1-2 tasks — narrow stages over a corpus-sized table then run on
+        # one core of 32 (sf1 cosine scoring measured 30x slower than its
+        # parallel shape). 256 KiB lets maxSplitBytes follow
+        # totalBytes/defaultParallelism for small-to-mid files while
+        # changing nothing for cluster-scale files (bytesPerCore
+        # dominates long before 256 KiB matters).
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
