@@ -634,7 +634,18 @@ GRID_SUM_SCALE = 1e10
 # exact) row count is at or below this; past it the cells-x-mesh join is a
 # plain shuffle join. Module-level so the over-cap bench/test can force the
 # non-broadcast path on small data (tools/bench_overcap.py).
-GRID_MESH_BROADCAST_CAP = 2_000_000
+#
+# The mesh row count scales LINEARLY with the panel (one mesh per
+# timestep; sf0.1 23k rows -> sf1 231k, measured), so a large cap only
+# defers the crossover: at sf1 an interleaved A/B showed the shuffle
+# join strictly winning (6.0 s vs 8.7 s min-of-3) — the time_id join key
+# is high-cardinality and uniform, so the exchange parallelizes
+# perfectly while the broadcast pays driver collect + per-feature
+# rebroadcast of a growing table. 100k keeps the broadcast for the
+# small-panel regime it was built for (sf0.1 bound 60k, where driver job
+# latency dominates) and flips everything larger to the shuffle that
+# wins from sf1 upward.
+GRID_MESH_BROADCAST_CAP = 100_000
 
 
 def grid_lag(
