@@ -1520,41 +1520,71 @@ def _oracle_keys() -> tuple[list[int], list[int]]:
 
 
 def _temporal_tree_oracle(thetacrit: float, fn: str, sigma: float) -> str:
+    """Mirrors temporal_tree_lag's r6 fixed-point contract: node interval
+    sums are running-frame cum diffs (order-deterministic and engine-
+    identical on both sides), the weighted roll-up quantizes each
+    nval·w term at floor(·SCALE) and sums longs, weights ride as quoted
+    shortest-repr strings (VARCHAR→DOUBLE — bare literals would be typed
+    DECIMAL, whose direct →DOUBLE cast is lossy in DuckDB), and the
+    final round goes through the VARCHAR→DECIMAL(38,17) shortest-repr
+    route (Spark round semantics)."""
     times, _ = _oracle_keys()
     geo = trees.TemporalTreeGeometry(times)
     inter = geo.interactions(thetacrit, [fn], sigma)
-    vals = ", ".join(f"({t}, {s}, {e}, {w!r})" for (t, s, e, _, w) in inter)
+    scale = trees.GRID_SUM_SCALE
+    vals = ", ".join(f"({t}, {s}, {e}, '{w!r}')" for (t, s, e, _, w) in inter)
     return PSQL + f""",
 cum AS (
   SELECT time_id, unit_id,
-         sum(value) OVER (PARTITION BY unit_id ORDER BY time_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+         sum(CAST(floor(value * {scale!r}) AS BIGINT))
+           OVER (PARTITION BY unit_id ORDER BY time_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
   FROM panel
 ),
-inter(tnow, s, e, w) AS (VALUES {vals}),
+inter AS (
+  SELECT tnow, s, e, CAST(ws AS DOUBLE) AS w
+  FROM (VALUES {vals}) t(tnow, s, e, ws)
+),
 node_sums AS (
   SELECT u.unit_id, n.s, n.e,
-         coalesce(ce.cumv, 0.0) - coalesce(cs.cumv, 0.0) AS nval
+         (coalesce(ce.cumv, 0) - coalesce(cs.cumv, 0)) / {scale!r} AS nval
   FROM (SELECT DISTINCT s, e FROM inter) n
   CROSS JOIN (SELECT DISTINCT unit_id FROM panel) u
   LEFT JOIN cum ce ON ce.unit_id = u.unit_id AND ce.time_id = n.e - 1
   LEFT JOIN cum cs ON cs.unit_id = u.unit_id AND cs.time_id = n.s - 1
 ),
 agg AS (
-  SELECT i.tnow AS time_id, ns.unit_id, sum(ns.nval * i.w) AS v
+  SELECT i.tnow AS time_id, ns.unit_id,
+         CAST(sum(CAST(floor(ns.nval * i.w * {scale!r}) AS BIGINT)) AS BIGINT)
+           / {scale!r} AS v
   FROM inter i JOIN node_sums ns ON ns.s = i.s AND ns.e = i.e
   GROUP BY 1, 2
 )
-SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
+SELECT p.time_id, p.unit_id,
+       round(CAST(CAST(coalesce(a.v, 0.0) AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE
+         + 0.0 AS value
 FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
 """
 
 
 def _spatial_tree_oracle(thetacrit: float, dopt: int) -> str:
+    """Mirrors spatial_tree_lag's r6 determinism contract op-for-op: the
+    same two-stage summation tree as Spark (per-level BOX sums first,
+    then box·w), both stages fixed-point long sums (floor(x·SCALE) exact
+    IEEE, integer adds commute), weights as driver-literal shortest-repr
+    strings parsed VARCHAR→DOUBLE (a bare decimal literal would be typed
+    DECIMAL, and DuckDB's direct DECIMAL→DOUBLE cast is lossy), and the
+    final round via the VARCHAR→DECIMAL(38,17) shortest-repr route
+    (Spark round semantics). The r5 flat sum(cell·w) was mathematically
+    equal but a DIFFERENT summation tree — one row in 450k split at a
+    6dp boundary at sf1."""
     _, units = _oracle_keys()
     geo = trees.SpatialTreeGeometry(units, stride=GRID_STRIDE)
     inter = geo.interactions(thetacrit, dopt)
-    vals = ", ".join(f"({p}, {lvl}, {bx}, {by}, {w!r})" for (p, lvl, bx, by, w) in inter)
+    scale = trees.GRID_SUM_SCALE
+    vals = ", ".join(
+        f"({p}, {lvl}, {bx}, {by}, '{w!r}')" for (p, lvl, bx, by, w) in inter
+    )
     return PSQL + f""",
 cells AS (
   SELECT time_id, unit_id,
@@ -1563,15 +1593,30 @@ cells AS (
          value
   FROM panel
 ),
-inter(pgid, lvl, bx, by, w) AS (VALUES {vals}),
+inter AS (
+  SELECT pgid, lvl, bx, by, CAST(ws AS DOUBLE) AS w
+  FROM (VALUES {vals}) t(pgid, lvl, bx, by, ws)
+),
+boxes AS (
+  SELECT c.time_id, b.lvl, b.bx, b.by,
+         CAST(sum(CAST(floor(c.value * {scale!r}) AS BIGINT)) AS BIGINT)
+           / {scale!r} AS bval
+  FROM (SELECT DISTINCT lvl, bx, by FROM inter) b
+  JOIN cells c ON (c.ex >> ({geo.power} - b.lvl)) = b.bx
+              AND (c.ey >> ({geo.power} - b.lvl)) = b.by
+  GROUP BY 1, 2, 3, 4
+),
 agg AS (
-  SELECT c.time_id, i.pgid AS unit_id, sum(c.value * i.w) AS v
+  SELECT b.time_id, i.pgid AS unit_id,
+         CAST(sum(CAST(floor(b.bval * i.w * {scale!r}) AS BIGINT)) AS BIGINT)
+           / {scale!r} AS v
   FROM inter i
-  JOIN cells c ON (c.ex >> ({geo.power} - i.lvl)) = i.bx
-              AND (c.ey >> ({geo.power} - i.lvl)) = i.by
+  JOIN boxes b ON b.lvl = i.lvl AND b.bx = i.bx AND b.by = i.by
   GROUP BY 1, 2
 )
-SELECT p.time_id, p.unit_id, round(coalesce(a.v, 0.0), 6) AS value
+SELECT p.time_id, p.unit_id,
+       round(CAST(CAST(coalesce(a.v, 0.0) AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE
+         + 0.0 AS value
 FROM panel p LEFT JOIN agg a USING (time_id, unit_id)
 """
 

@@ -246,8 +246,22 @@ def temporal_tree_lag(
 
     filled = df.na.fill(0.0, subset=feats)
     w_cum = Window.partitionBy(UNIT).orderBy(TIME).rowsBetween(Window.unboundedPreceding, 0)
+    # fixed-point cum sums (r6): a running DOUBLE window sum is
+    # deterministic per engine but NOT engine-identical — DuckDB
+    # evaluates frame aggregates with a segment tree (different
+    # summation tree than a running fold), which diverged at sf1's
+    # 3000-step histories. floor(v·SCALE) longs commute under ANY
+    # evaluation tree; the long/SCALE division below is correctly
+    # rounded on both engines.
     cum = filled.select(
-        TIME, UNIT, *[F.sum(c).over(w_cum).alias(f"__cum_{c}") for c in feats]
+        TIME,
+        UNIT,
+        *[
+            F.sum(F.floor(F.col(c) * F.lit(GRID_SUM_SCALE)).cast("long"))
+            .over(w_cum)
+            .alias(f"__cum_{c}")
+            for c in feats
+        ],
     )
     # node interval sums: cum(e-1) - cum(s-1); boundaries before the data
     # start resolve to 0 via the left joins
@@ -267,7 +281,13 @@ def temporal_tree_lag(
         .select(
             UNIT, "s", "e",
             *[
-                (F.coalesce(F.col(f"__ce_{c}"), F.lit(0.0)) - F.coalesce(F.col(f"__cs_{c}"), F.lit(0.0))).alias(c)
+                (
+                    (
+                        F.coalesce(F.col(f"__ce_{c}"), F.lit(0).cast("long"))
+                        - F.coalesce(F.col(f"__cs_{c}"), F.lit(0).cast("long"))
+                    )
+                    / F.lit(GRID_SUM_SCALE)
+                ).alias(c)
                 for c in feats
             ],
         )
@@ -279,8 +299,21 @@ def temporal_tree_lag(
         for fn in weight_functions:
             name = c if len(weight_functions) == 1 else f"{c}_{fn}"
             out_names.append(name)
+            # fixed-point long sum (r6, the grid_lag determinism contract,
+            # extended here with spatial_tree_lag): node-sum doubles are
+            # engine-identical (running-frame cum diffs × driver-literal
+            # weights), floor(term·SCALE) is exact IEEE, long adds commute
+            # — bit-identical across partition orders and engines
             aggs.append(
-                F.sum(F.when(F.col("fn") == fn, F.col(c) * F.col("w")).otherwise(0.0)).alias(name)
+                (
+                    F.sum(
+                        F.when(
+                            F.col("fn") == fn,
+                            F.floor(F.col(c) * F.col("w") * F.lit(GRID_SUM_SCALE)).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    )
+                    / F.lit(GRID_SUM_SCALE)
+                ).alias(name)
             )
     res = joined.groupBy(F.col("tnow").alias(TIME), F.col(UNIT)).agg(*aggs)
     # complete grid: the last timestep (and any empty walk) yields zeros
@@ -481,7 +514,15 @@ def spatial_tree_lag(
     Plan: static interaction table (geometry only, reusable across all
     times/features) broadcast-joined to per-level box aggregates; one final
     hash aggregate per (time, pgid). No per-time Python, no quadtree on the
-    data path."""
+    data path.
+
+    Determinism (r6, the grid_lag contract extended here after a 1-row
+    sf1 strict failure): both aggregates are fixed-point long sums —
+    box values quantize each cell at floor(v·GRID_SUM_SCALE), the
+    weighted lag quantizes each box·w term the same way. Terms are
+    engine-identical (exact long/SCALE divisions × driver-literal
+    weights), floor is exact IEEE, integer adds commute — bit-identical
+    across partition orders, runs, and engines."""
     feats = feature_cols(df)
     spark = df.sparkSession
     # three plan branches reference the panel (pgid collect, box aggregates,
@@ -499,13 +540,19 @@ def spatial_tree_lag(
     )
     levels = sorted({lvl for (_, lvl, _, _, _) in inter})
     cells = _embedded_cells(df, geo, stride, feats)
-    nodevals = _level_aggregates(cells, feats, levels, geo.power)
+    nodevals = _level_aggregates(cells, feats, levels, geo.power, fixed_point=True)
     joined = nodevals.join(
         F.broadcast(inter_df),
         (F.col("__lvl") == F.col("lvl")) & (F.col("__bx") == F.col("bx")) & (F.col("__by") == F.col("by")),
     )
     res = joined.groupBy(TIME, F.col("pgid").alias(UNIT)).agg(
-        *[F.sum(F.col(c) * F.col("w")).alias(c) for c in feats]
+        *[
+            (
+                F.sum(F.floor(F.col(c) * F.col("w") * F.lit(GRID_SUM_SCALE)).cast("long"))
+                / F.lit(GRID_SUM_SCALE)
+            ).alias(c)
+            for c in feats
+        ]
     )
     grid = df.select(TIME, UNIT)
     return grid.join(res, KEYS, "left").na.fill(0.0, subset=feats)
