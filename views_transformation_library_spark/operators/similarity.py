@@ -819,7 +819,16 @@ def _cogrouped_bucket_topk(
         return pdf[keep]
 
     def _score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = members of this bucket, right = probes targeting it
+        # left = members of this bucket, right = probes targeting it.
+        # r7: selection happens IN NUMPY on the chunk matrices — the pre-r7
+        # scorer materialized EVERY candidate pair as pandas rows before
+        # pruning, and at sf1 (1e8 candidates) that row traffic, not the
+        # flops, was ~80% of knn_graph's 30 s. Each chunk now updates a
+        # per-query running top-k value table and emits only entries within
+        # TOPK_MARGIN of the query's k-th best so far; the survivor set is
+        # provably a superset of the final margin-prune survivors (the
+        # running k-th best only rises), so the closing `_prune` yields the
+        # IDENTICAL output rows — the strict DuckDB gates prove it.
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
         if left.empty or right.empty:
             return empty
@@ -840,38 +849,71 @@ def _cogrouped_bucket_topk(
         if not len(m_ids) or not len(q_ids):
             return empty
         dim = M.shape[1]
-        outs = []
+        nq = len(q_ids)
+        # per-query running top-k UNROUNDED cosines (−inf padded: queries
+        # with < k candidates have a −inf k-th best ⇒ keep everything)
+        topvals = np.full((nq, int(k)), -np.inf)
+        kq: list[np.ndarray] = []  # survivor query ROW indices (into q_ids)
+        km: list[np.ndarray] = []  # survivor member ids
+        kc: list[np.ndarray] = []  # survivor unrounded cosines
         buffered = 0
-        for qs in range(0, len(q_ids), CHUNK):
+
+        def recompact():
+            # re-threshold the buffered survivors against the CURRENT
+            # running k-th best (exact, margin-safe) — bounds survivor
+            # memory at O(PRUNE_AT) under hot-bucket skew
+            nonlocal kq, km, kc, buffered
+            q_all = np.concatenate(kq)
+            m_all = np.concatenate(km)
+            c_all = np.concatenate(kc)
+            thr = topvals.min(axis=1) - margin
+            keep = c_all >= thr[q_all]
+            kq, km, kc = [q_all[keep]], [m_all[keep]], [c_all[keep]]
+            buffered = len(kq[0])
+
+        for qs in range(0, nq, CHUNK):
             Qc, qn_c, qid_c = Q[qs:qs + CHUNK], q_n[qs:qs + CHUNK], q_ids[qs:qs + CHUNK]
+            nqc = len(qid_c)
             for ms in range(0, len(m_ids), CHUNK):
                 Mc, mn_c, mid_c = M[ms:ms + CHUNK], m_n[ms:ms + CHUNK], m_ids[ms:ms + CHUNK]
                 # dot as a left-associated accumulation over dimensions:
                 # acc[q, m] += Qc[q, i] * Mc[m, i], i ascending — the exact
                 # fold order of `_dot`, vectorized across the pair matrix
-                acc = np.zeros((len(qid_c), len(mid_c)))
+                acc = np.zeros((nqc, len(mid_c)))
                 for i in range(dim):
                     acc = acc + Qc[:, i, None] * Mc[None, :, i]
                 cos = acc / (qn_c[:, None] * mn_c[None, :])
                 if exclude_self:
-                    qi, mi = np.nonzero(qid_c[:, None] != mid_c[None, :])
+                    # −inf: excluded from both the top-k update and (being
+                    # != −inf below) the survivor mask
+                    cos = np.where(qid_c[:, None] == mid_c[None, :], -np.inf, cos)
+                if do_prune:
+                    merged = np.concatenate([topvals[qs:qs + nqc], cos], axis=1)
+                    topvals[qs:qs + nqc] = -np.partition(
+                        -merged, int(k) - 1, axis=1
+                    )[:, : int(k)]
+                    thr = topvals[qs:qs + nqc].min(axis=1) - margin
+                    keep = (cos >= thr[:, None]) & (cos != -np.inf)
                 else:
-                    grid = np.indices((len(qid_c), len(mid_c)))
-                    qi, mi = grid[0].ravel(), grid[1].ravel()
-                frame = pd.DataFrame({
-                    "query_id": qid_c[qi],
-                    "neighbor_id": mid_c[mi],
-                    "__cos": cos[qi, mi],
-                })
-                outs.append(frame)
-                buffered += len(frame)
-                if buffered > prune_at:
-                    pruned = _prune(pd.concat(outs, ignore_index=True))
-                    outs, buffered = [pruned], len(pruned)
-        if not outs:
+                    keep = cos != -np.inf
+                qi, mi = np.nonzero(keep)
+                kq.append(qi + qs)
+                km.append(mid_c[mi])
+                kc.append(cos[qi, mi])
+                buffered += len(qi)
+                if do_prune and buffered > prune_at:
+                    recompact()
+        if not buffered:
             return empty
-        allc = pd.concat(outs, ignore_index=True)
-        # final prune also shrinks the shuffle feeding the ranking window
+        q_idx = np.concatenate(kq)
+        allc = pd.DataFrame({
+            "query_id": q_ids[q_idx],
+            "neighbor_id": np.concatenate(km),
+            "__cos": np.concatenate(kc),
+        })
+        # final exact prune: survivors ⊇ {cos >= kth_final − margin} and
+        # contain every per-query top-k, so `_prune` on them reproduces the
+        # full-buffer prune byte-for-byte
         return _prune(allc) if do_prune else allc
 
     scored = (
