@@ -1645,6 +1645,56 @@ def test_minhash_hot_bucket_guard(spark):
     assert same == full
 
 
+def test_minhash_guard_counters(spark):
+    """r6 #3: a capped run is distinguishable from an exact one by a
+    counted signal. Same planted corpus as the guard test: 6 identical
+    docs x 4 bands -> 4 over-cap buckets of size 6 at cap 5, so EXACT
+    expected counters: 24 skipped memberships, 4 buckets, 4*15=60 pairs."""
+    boiler = "the same boilerplate sentence repeated on every page of this site"
+    rows = [(i, boiler) for i in range(6)]
+    rows += [(10, "a genuinely unique document about alpine marmots and snow"),
+             (11, "a genuinely unique document about alpine marmots and ice")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=2, n_hashes=8, bands=4, threshold=0.5)
+
+    # uncapped -> no guard object at all (exact runs carry no signal)
+    exact = dedup.minhash_lsh_pairs(df, max_bucket=None, **kw)
+    exact.collect()
+    assert dedup.lsh_guard_stats(exact) is None
+
+    # capped, before any action -> non-blocking peek returns None
+    capped = dedup.minhash_lsh_pairs(df, max_bucket=5, **kw)
+    assert dedup.lsh_guard_stats(capped) is None
+    capped.collect()
+    stats = dedup.lsh_guard_stats(capped)
+    assert stats == {
+        "skipped_rows": 24, "skipped_pairs": 60, "skipped_buckets": 4,
+    }, stats
+
+    # capped but never engaged -> all-zero counters (cap >= bucket size):
+    # distinguishable from BOTH the exact run (None) and an engaged one
+    idle = dedup.minhash_lsh_pairs(df, max_bucket=6, **kw)
+    idle.collect()
+    assert dedup.lsh_guard_stats(idle) == {
+        "skipped_rows": 0, "skipped_pairs": 0, "skipped_buckets": 0,
+    }
+
+    # end-to-end pipelines surface the same observation on their results;
+    # fuzzy_dedup_keep's internal size-gate action populates it with no
+    # caller action needed
+    kept = dedup.fuzzy_dedup_keep(df, max_bucket=5, **kw)
+    assert dedup.lsh_guard_stats(kept) == stats
+    kept.collect()
+    assert dedup.lsh_guard_stats(kept) == stats
+
+    sdf = df.withColumn(
+        "split", F.when(F.col("doc_id") < 10, "train").otherwise("test")
+    )
+    leak = dedup.split_leakage(sdf, max_bucket=5, **kw)
+    leak.collect()
+    assert dedup.lsh_guard_stats(leak) == stats
+
+
 def test_simhash_60bit_scale_path(spark):
     """The corpus-scale parameterization (bits=60, chunks=4 -> 15-bit
     chunks): signatures use the high bits, the chunk join still finds the

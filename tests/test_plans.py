@@ -300,6 +300,21 @@ def test_minhash_bucket_guard_single_exchange(spark):
         if "Exchange hashpartitioning(band" in line
     )
     assert n_band_ex == 1, plan
+    # r8 guard counters: the CollectMetrics observation must sit BETWEEN
+    # the window and the cap filter — if Catalyst ever pushed the __bn
+    # filter below it, the counters would only ever see surviving rows
+    # (and read all-zero). CollectMetrics is a predicate-pushdown barrier;
+    # pin that the metrics node exists and the filter stays above it.
+    assert "CollectMetrics" in plan, plan
+    lines = plan.splitlines()
+    metrics_i = next(i for i, l in enumerate(lines) if "CollectMetrics" in l)
+    filt_i = next(
+        i for i, l in enumerate(lines)
+        if "Filter" in l and "__bn" in l and "100000" in l
+    )
+    # physical plans print top-down: the filter consuming the metrics node
+    # appears ABOVE it (smaller index)
+    assert filt_i < metrics_i, plan
 
 
 def test_ngram_postings_guard_single_exchange(spark, monkeypatch):

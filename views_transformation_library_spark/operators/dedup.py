@@ -21,14 +21,77 @@ Scale design notes:
 
 from __future__ import annotations
 
+import logging
 import random
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from ..panel import materialize
 
+logger = logging.getLogger(__name__)
+
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
 SHINGLE_BITS_HEX = 7  # 28-bit shingle ints keep a*x + b < 2^51
+
+# Attribute under which capped pipelines carry their guard Observation on
+# the returned DataFrame (read it with `lsh_guard_stats`).
+_GUARD_ATTR = "_lsh_guard_observation"
+
+
+def lsh_guard_stats(df_or_obs, block: bool = False) -> dict | None:
+    """Read the hot-bucket guard counters of a capped minhash pipeline
+    (VERDICT r6 #3 — capped runs must be distinguishable from exact ones
+    by a counted signal).
+
+    Accepts the DataFrame returned by `minhash_lsh_pairs` /
+    `fuzzy_dedup_keep` / `split_leakage` (the guard `Observation` rides on
+    it) or the Observation itself. Returns None when the pipeline ran
+    uncapped (`max_bucket=None` attaches no observation — exact runs carry
+    no guard object at all); otherwise a dict:
+
+      skipped_rows     doc-band memberships in over-cap buckets (exact)
+      skipped_pairs    candidate pairs the cap dropped, Σ B·(B-1)/2 over
+                       over-cap buckets (exact: the long sum Σ(B-1) per
+                       row is halved here — B·(B-1) is always even)
+      skipped_buckets  over-cap (band, sig) buckets (Σ 1/B per member
+                       row, rounded — exact until ~1e15 rows)
+
+    All zeros ⇒ the cap was set but never engaged (results identical to
+    the uncapped plan). Metrics are collected by a `CollectMetrics` node
+    inside the pair-generation job itself (zero extra passes) and are
+    populated by the FIRST action that executes the observed plan —
+    `fuzzy_dedup_keep` runs one internally (the connected-components size
+    gate); for `minhash_lsh_pairs` / `split_leakage` call this after your
+    own action. `block=False` peeks without waiting (None if no action has
+    run yet); `block=True` waits for one."""
+    obs = (
+        df_or_obs
+        if isinstance(df_or_obs, Observation)
+        else getattr(df_or_obs, _GUARD_ATTR, None)
+    )
+    if obs is None:
+        return None
+    if not block:
+        jo = getattr(obs, "_jo", None)
+        if jo is None:  # observe() never attached (defensive)
+            return None
+        # probe with getRowOrEmpty (an Option — safe pre-action; the JVM
+        # getOrEmpty map NPEs via py4j before the metrics row exists)
+        if jo.getRowOrEmpty().isEmpty():
+            return None
+        jmap = jo.getOrEmpty()
+        raw = {
+            "skipped_rows": jmap.apply("skipped_rows"),
+            "skipped_pair_terms": jmap.apply("skipped_pair_terms"),
+            "skipped_bucket_frac": jmap.apply("skipped_bucket_frac"),
+        }
+    else:
+        raw = obs.get
+    return {
+        "skipped_rows": int(raw["skipped_rows"] or 0),
+        "skipped_pairs": int(raw["skipped_pair_terms"] or 0) // 2,
+        "skipped_buckets": int(round(float(raw["skipped_bucket_frac"] or 0.0))),
+    }
 
 
 def tokens_expr(col: str):
@@ -218,7 +281,14 @@ def minhash_lsh_pairs(
     makes results data-dependent with no signal to the caller, so this
     low-level API never drops silently. The end-to-end pipelines
     (`fuzzy_dedup_keep`, `split_leakage`) opt IN to the 100k guard as
-    their documented scale default."""
+    their documented scale default.
+
+    A capped run is never a SILENT semantics change (VERDICT r6 #3): when
+    ``max_bucket`` is set, a `CollectMetrics` observation above the bucket
+    window (and below the filter — CollectMetrics is a predicate-pushdown
+    barrier, pinned in test_plans) counts skipped rows / pairs / buckets
+    inside the pair-generation job itself; read it with `lsh_guard_stats`
+    on the returned frame after any action."""
     if bands < 1 or n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
@@ -259,11 +329,32 @@ def minhash_lsh_pairs(
         # oversized bucket flows through WindowExec's SPILLABLE sorter
         # instead of an unbounded in-memory collect_list buffer.
         w_bucket = Window.partitionBy("band", "sig")
-        band_sig = (
-            band_sig.withColumn("__bn", F.count(F.lit(1)).over(w_bucket))
-            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= int(max_bucket)))
-            .drop("__bn")
+        band_sig = band_sig.withColumn("__bn", F.count(F.lit(1)).over(w_bucket))
+        # guard accounting (VERDICT r6 #3): CollectMetrics between the
+        # window and the filter counts what the cap drops, inside the same
+        # job — skipped_pair_terms sums (B-1) per over-cap row (Σ = B(B-1)
+        # per bucket, halved at read time: exact long arithmetic), and
+        # skipped_bucket_frac sums 1/B per row (1.0 per bucket).
+        mb = int(max_bucket)
+        # unnamed -> UUID metric name: two concurrent capped pipelines
+        # must not cross-populate each other's listener
+        guard_obs = Observation()
+        over = F.col("__bn") > F.lit(mb)
+        band_sig = band_sig.observe(
+            guard_obs,
+            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))).alias("skipped_rows"),
+            F.sum(
+                F.when(over, F.col("__bn") - F.lit(1)).otherwise(F.lit(0))
+            ).alias("skipped_pair_terms"),
+            F.sum(
+                F.when(over, F.lit(1.0) / F.col("__bn")).otherwise(F.lit(0.0))
+            ).alias("skipped_bucket_frac"),
         )
+        band_sig = band_sig.filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= mb)
+        ).drop("__bn")
+    else:
+        guard_obs = None
     buckets = band_sig.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list("doc")).alias("__docs")
     )
@@ -293,6 +384,8 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if guard_obs is not None:
+        setattr(out, _GUARD_ATTR, guard_obs)
     return out
 
 
@@ -644,10 +737,25 @@ def fuzzy_dedup_keep(
         max_bucket=max_bucket,
     )
     comp = connected_components(pairs, max_iters=max_iters, driver_cap=driver_cap)
+    # connected_components just ran an action over the pair plan (the
+    # driver-cap size gate), so the guard observation is populated — log
+    # NOW if the cap engaged, so a capped run is never silent (r6 #3)
+    stats = lsh_guard_stats(pairs)
+    if stats and stats["skipped_rows"]:
+        logger.warning(
+            "fuzzy_dedup_keep: minhash hot-bucket guard engaged — "
+            "%d over-cap buckets skipped (%d memberships, ~%d candidate "
+            "pairs not generated; members still pair via their other "
+            "bands). Read counters via dedup.lsh_guard_stats(result).",
+            stats["skipped_buckets"], stats["skipped_rows"], stats["skipped_pairs"],
+        )
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(drop, id_col, "left_anti")
+    out = df.join(drop, id_col, "left_anti")
+    if getattr(pairs, _GUARD_ATTR, None) is not None:
+        setattr(out, _GUARD_ATTR, getattr(pairs, _GUARD_ATTR))
+    return out
 
 
 def pagerank(
@@ -815,9 +923,15 @@ def split_leakage(
     lb = labels.select(
         F.col(id_col).alias("b"), F.col(split_col).alias("split_b")
     )
-    return (
+    out = (
         pairs.join(la, "a")
         .join(lb, "b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a", "b", "split_a", "split_b", "jaccard")
     )
+    # no internal action runs here — the guard observation rides on the
+    # result; call dedup.lsh_guard_stats(result) after your own action to
+    # learn whether the cap engaged (r6 #3)
+    if getattr(pairs, _GUARD_ATTR, None) is not None:
+        setattr(out, _GUARD_ATTR, getattr(pairs, _GUARD_ATTR))
+    return out
