@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..panel import TIME, UNIT, feature_cols, materialize
+from ..panel import TIME, UNIT, UNIT_AXIS_CAP, collect_axis, feature_cols, materialize
 from .spatial_grid import PG_STRIDE, embed_coords as _embedding
 
 SMALL = 1e-3  # zero-frequency clamp, fourier_lag.py:93-96
@@ -95,7 +95,7 @@ def fourier_lag(
     # slices with differing unit sets different box sizes/offsets and
     # silently incomparable phi values. Driver-side work is bounded by the
     # distinct-unit axis (<= 259,200 on the global grid).
-    all_units = np.array(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    all_units = np.array(collect_axis(df, UNIT, UNIT_AXIS_CAP, "unit (grid) axis"))
     glons, glats, ncells = _embedding(all_units % stride, all_units // stride)
     lon_off = int(glons[0] - (all_units[0] % stride))
     lat_off = int(glats[0] - (all_units[0] // stride))

@@ -36,7 +36,10 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..panel import KEYS, TIME, UNIT, feature_cols, materialize
+from ..panel import (
+    KEYS, TIME, TIME_AXIS_CAP, UNIT, UNIT_AXIS_CAP, collect_axis,
+    feature_cols, materialize,
+)
 from .spatial_grid import PG_STRIDE, embed_coords
 
 # ---------------------------------------------------------------------------
@@ -234,7 +237,7 @@ def temporal_tree_lag(
     # five plan branches reference the panel (times collect, cum_e, cum_s,
     # units, grid) — materialize it once
     df = materialize(df)
-    times = tuple(sorted(r[0] for r in df.select(TIME).distinct().collect()))
+    times = collect_axis(df, TIME, TIME_AXIS_CAP, "time axis")
     inter = _temporal_interactions_cached(
         times, thetacrit, tuple(weight_functions), sigma
     )
@@ -480,7 +483,14 @@ def _level_aggregates(
             (
                 # grid_lag's determinism contract: quantize each cell at
                 # floor(v·SCALE) and sum longs — order- and engine-
-                # independent (see grid_lag docstring), codegen-fast
+                # independent (see grid_lag docstring), codegen-fast.
+                # floor is ONE-SIDED: each cell under-counts by < 1/SCALE,
+                # so a rolled-up box sum sits below the true double sum by
+                # at most |box| / SCALE (worst case 259,200 / 1e10 ≈
+                # 2.6e-5 on the full grid). The bias is DEFINED SEMANTICS,
+                # not an error term: both engines compute the identical
+                # floor-long sum, so gates stay byte-strict regardless of
+                # its size. See GRID_SUM_SCALE for the Σ|v| domain bound.
                 (F.sum(F.floor(F.col(c) * F.lit(GRID_SUM_SCALE)))
                  / F.lit(GRID_SUM_SCALE))
                 if fixed_point
@@ -528,7 +538,7 @@ def spatial_tree_lag(
     # three plan branches reference the panel (pgid collect, box aggregates,
     # output grid) — materialize it once
     df = materialize(df)
-    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    pgids = collect_axis(df, UNIT, UNIT_AXIS_CAP, "unit (grid) axis")
     geo = _spatial_geometry_cached(pgids, stride)
     inter = _spatial_interactions_cached(pgids, stride, thetacrit, dfunction_option)
     if not inter:
@@ -673,8 +683,15 @@ def grid_weight_rows(
 
 # fixed-point scale for grid_lag's weighted pair sums: terms quantize at
 # floor(term * SCALE) and accumulate as longs (order-independent, engine-
-# identical, codegen-fast). 1e10 leaves ~9·10⁸ of |Σterm| headroom before
-# ANSI overflow; lower it for extreme-magnitude panels.
+# identical, codegen-fast). Domain bound (caller contract): every partial
+# sum must satisfy Σ|term| · SCALE < 2^63, i.e. |Σterm| < ~9.2e8 at the
+# default 1e10 — comfortably above any count/intensity panel (sf1 grid
+# sums are ~1e5) but NOT above arbitrary magnitudes; lower SCALE for
+# extreme-magnitude panels. The failure mode is LOUD, never corrupt:
+# this Spark build runs ANSI mode, so a long-sum overflow raises
+# ARITHMETIC_OVERFLOW at runtime instead of wrapping (and DuckDB's
+# BIGINT sum likewise errors), so a violated bound cannot silently
+# produce wrong lag values on either engine.
 GRID_SUM_SCALE = 1e10
 
 # grid_lag broadcasts each per-feature mesh when its (upper-bounded or
@@ -762,7 +779,7 @@ def grid_lag(
     # targets, output grid) — materialize it once
     df = materialize(df)
     spark = df.sparkSession
-    pgids = tuple(sorted(r[0] for r in df.select(UNIT).distinct().collect()))
+    pgids = collect_axis(df, UNIT, UNIT_AXIS_CAP, "unit (grid) axis")
     geo = _spatial_geometry_cached(pgids, stride)
     # weight table: every possible cell↔box distance is a half-integer
     # pair, so k = (2dx)²+(2dy)² is an exact integer key and the weight

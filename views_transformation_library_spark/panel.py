@@ -80,6 +80,38 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# The PRIO-GRID unit axis is structurally bounded at 720 x 360 = 259,200
+# cells (reference splag4d.py / spatial_tree.py build full-grid arrays at
+# exactly this size); the monthly time axis is a few thousand at most.
+UNIT_AXIS_CAP = 259_200
+TIME_AXIS_CAP = 100_000
+
+
+def collect_axis(
+    df: DataFrame, col: str, cap: int, what: str = "axis"
+) -> tuple:
+    """Driver-side pull of a bounded KEY AXIS (distinct grid ids / time
+    steps) as a sorted tuple — the shape the lru_cached tree/fourier
+    geometry builders key on.
+
+    The driver-side geometry/walk construction in trees/fourier/spacetime
+    is safe ONLY because these axes are structurally bounded (grid cells
+    <= 259,200, months in the low thousands) no matter how many fact rows
+    exist. The LIMIT-bounded collect turns a mis-keyed call — a fact-table
+    id column, an un-aggregated event stream — into a clear error instead
+    of a driver OOM: at most cap+1 rows ever reach the driver."""
+    rows = df.select(col).distinct().limit(int(cap) + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} ({col!r}) has more than {cap:,} distinct values — "
+            "this is not a bounded key axis. Driver-side geometry "
+            "construction requires a panel keyed by a bounded axis "
+            "(grid unit ids <= 259,200; time steps in the thousands); "
+            "check that the column is the panel key, not a fact id."
+        )
+    return tuple(sorted(r[0] for r in rows))
+
+
 def densify(
     df: DataFrame, fill: float | None = 0.0, time_range: bool = False
 ) -> DataFrame:
