@@ -523,6 +523,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (F.round("feat0", 6) + F.lit(0.0)).alias("feat0"),
         (F.round("feat1", 6) + F.lit(0.0)).alias("feat1"),
     )
+    # REAL pixel transforms (r8): nearest-neighbor resize re-encoded as
+    # PPM, and frame sampling over a concatenated-PPM video container.
+    # md5 over the output payload makes the gate byte-exact on the PIXELS
+    # themselves — the golden oracle replicates synthesis+transform with
+    # the module's pure byte functions and inlines the digests.
+    q["multimodal_resize"] = lambda s, d: multimodal.resize_image(
+        multimodal.attach_image(_docs(s, d)), 8, 8
+    ).select(
+        "media_id", "width", "height",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    q["multimodal_frames"] = lambda s, d: multimodal.frame_sample(
+        multimodal.attach_video(_docs(s, d)), every_ms=80
+    ).select(
+        "media_id", "frame_idx", "ts_ms", "width", "height",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("frame_md5"),
+    )
 
     # exact column profile over lineitem money columns (DECIMAL-exact sums)
     q["profile_lineitem"] = lambda s, d: profiling.profile(
@@ -3539,5 +3558,7 @@ SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
     o["fourier_lag"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 2, GRID_STRIDE)
     o["fourier_lag_3d"] = G.fourier_golden_sql(_ORACLE_SF_DIR, 3, GRID_STRIDE)
     o["impute_mice"] = G.mice_golden_sql(_ORACLE_SF_DIR, n_shards=8)
+    o["multimodal_resize"] = G.multimodal_resize_golden_sql(_ORACLE_SF_DIR, 8, 8)
+    o["multimodal_frames"] = G.multimodal_frames_golden_sql(_ORACLE_SF_DIR, 80)
     o["pack_bins"] = G.pack_bins_golden_sql(_ORACLE_SF_DIR, 512, 100)
     return o

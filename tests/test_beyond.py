@@ -452,9 +452,84 @@ def test_frame_sample(spark):
     df = spark.createDataFrame(
         rows, schema=multimodal.MEDIA_SCHEMA
     )
-    out = multimodal.frame_sample_stub(df, every_ms=1000).collect()
+    out = multimodal.frame_sample(df, every_ms=1000).collect()
     assert [r["frame_idx"] for r in out] == [0, 1, 2]
     assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
+    # non-PPM payload -> metadata-only fallback: no dims, no frame bytes
+    assert all(r["payload"] is None and r["width"] is None for r in out)
+
+
+def test_resize_image_real(spark):
+    """r8: nearest-neighbor resize on REAL rasters. A 2x2 PPM with four
+    distinct solid pixels upscaled to 4x4 must replicate each source
+    pixel into its 2x2 quadrant (the exact integer NN map); BMP input
+    decodes through the same path and re-encodes as PPM."""
+    px = [b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff", b"\xff\xff\x00"]
+    rgb = px[0] + px[1] + px[2] + px[3]
+    rows = [
+        (1, "image", bytearray(multimodal.encode_ppm(2, 2, rgb)), 2, 2, None),
+        (2, "image", bytearray(multimodal.encode_bmp(2, 2, rgb)), 2, 2, None),
+        (3, "blob", bytearray(b"not an image"), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.resize_image(df, 4, 4).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r["width"], r["height"]) == (4, 4)
+        w, h, pix = multimodal.decode_image_rgb(bytes(r["payload"]))
+        assert (w, h) == (4, 4)
+        # quadrant check: pixel (x, y) comes from source (x*2//4, y*2//4)
+        for y in range(4):
+            for x in range(4):
+                src = px[(y // 2) * 2 + (x // 2)]
+                assert pix[3 * (4 * y + x) : 3 * (4 * y + x) + 3] == src
+    # unparseable row passes through untouched
+    assert bytes(out[3]["payload"]) == b"not an image"
+    assert out[3]["width"] is None
+    # downscale is the identity on the kept pixels: 2x2 -> 1x1 keeps (0,0)
+    one = multimodal.resize_image(
+        spark.createDataFrame(rows[:1], schema=multimodal.MEDIA_SCHEMA), 1, 1
+    ).collect()[0]
+    assert multimodal.decode_image_rgb(bytes(one["payload"]))[2] == px[0]
+
+
+def test_frame_sample_real(spark):
+    """r8: frame sampling over a real concatenated-PPM container —
+    sampled rows carry the ACTUAL frame bytes at the integer nearest-
+    frame index, and attach_video -> frame_sample round-trips."""
+    f0 = multimodal.encode_ppm(2, 1, b"\x01\x01\x01\x02\x02\x02")
+    f1 = multimodal.encode_ppm(2, 1, b"\x03\x03\x03\x04\x04\x04")
+    f2 = multimodal.encode_ppm(2, 1, b"\x05\x05\x05\x06\x06\x06")
+    container = f0 + f1 + f2
+    # 3 frames over 3000 ms -> frame i covers [1000i, 1000(i+1))
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(container), 2, 1, 3000)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = sorted(
+        multimodal.frame_sample(df, every_ms=1500).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    # samples at t=0 (frame 0) and t=1500 (frame 1500*3//3000 = 1)
+    assert [(r["ts_ms"], r["frame_idx"]) for r in out] == [(0, 0), (1500, 1)]
+    assert bytes(out[0]["payload"]) == f0
+    assert bytes(out[1]["payload"]) == f1
+    assert (out[0]["width"], out[0]["height"]) == (2, 1)
+
+    # synthesized video: deterministic frame count and decodable frames
+    docs = spark.createDataFrame(
+        [(5, "hello world"), (6, "other text")], "doc_id long, text string"
+    )
+    vids = multimodal.attach_video(docs)
+    meta = {r["media_id"]: r for r in vids.collect()}
+    assert meta[5]["duration_ms"] == (2 + 5 % 4) * 40
+    frames = multimodal.split_video_frames(bytes(meta[6]["payload"]))
+    assert len(frames) == 2 + 6 % 4
+    sampled = multimodal.frame_sample(vids, every_ms=40).collect()
+    # every sampled frame payload is a real decodable PPM
+    for r in sampled:
+        w, h, pix = multimodal.decode_image_rgb(bytes(r["payload"]))
+        assert (w, h) == (r["width"], r["height"])
 
 
 def test_ivf_training_sample_is_bounded(vectors):

@@ -314,6 +314,7 @@ def _registry_specs(spark):
         # multimodal
         "attach_binary": (docs, [], {}),
         "attach_image": (docs, [], {}),
+        "attach_video": (docs, [], {}),
         "extract_features": (bin_docs, [], {}),
         "frame_sample": (bin_docs, [], {}),
         "resize": (bin_docs, [8, 8], {}),

@@ -372,3 +372,108 @@ SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
        bin::BIGINT AS bin, truncated::INT AS truncated
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample goldens (r8): the synthesized media is
+# deterministic from (doc_id, text), so the expected RESIZED payload and
+# SAMPLED frame payloads are computed here with the module's own pure
+# byte-level functions (encode/decode/NN-resample — no Spark, no floats)
+# and attested by md5 of the exact bytes. A VALUES gate over md5 digests is
+# byte-parity by construction: any pixel-level divergence in the
+# distributed path changes the digest.
+
+
+def _doc_rows(sf_dir: str):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+def _synth_image(did: int, text, width: int = 16) -> bytes:
+    """Replicates attach_image's synthesis (md5 hex tiled over a
+    width x (8 + id % 8) raster)."""
+    import hashlib
+
+    from views_transformation_library_spark.operators import multimodal as M
+
+    h = 8 + int(did) % 8
+    n = 3 * width * h
+    digest = hashlib.md5(
+        ("" if text is None else str(text)).encode("utf-8")
+    ).hexdigest().encode("ascii")
+    return M.encode_ppm(width, h, (digest * (n // len(digest) + 1))[:n])
+
+
+def _synth_video(did: int, text, width: int = 16, frame_ms: int = 40):
+    """Replicates attach_video's synthesis; returns (frames, duration)."""
+    import hashlib
+
+    from views_transformation_library_spark.operators import multimodal as M
+
+    h = 8 + int(did) % 8
+    n_frames = 2 + int(did) % 4
+    npix = 3 * width * h
+    frames = []
+    for f in range(n_frames):
+        digest = hashlib.md5(
+            (f"{f}:" + ("" if text is None else str(text))).encode("utf-8")
+        ).hexdigest().encode("ascii")
+        frames.append(M.encode_ppm(width, h, (digest * (npix // len(digest) + 1))[:npix]))
+    return frames, n_frames * frame_ms
+
+
+def multimodal_resize_golden_sql(sf_dir: str, width: int, height: int) -> str:
+    import hashlib
+
+    from views_transformation_library_spark.operators import multimodal as M
+
+    rows = []
+    for did, text in _doc_rows(sf_dir):
+        w, h, rgb = M.decode_image_rgb(_synth_image(did, text))
+        payload = M.encode_ppm(width, height, M.resize_rgb(rgb, w, h, width, height))
+        rows.append(
+            (int(did), width, height, len(payload), hashlib.md5(payload).hexdigest())
+        )
+    vals = ",\n".join(f"({d}, {w}, {h}, {n}, '{m}')" for d, w, h, n, m in rows)
+    return f"""
+WITH golden(media_id, width, height, n_bytes, payload_md5) AS (VALUES
+{vals}
+)
+SELECT media_id::BIGINT AS media_id, width::INT AS width,
+       height::INT AS height, n_bytes::INT AS n_bytes,
+       payload_md5 AS payload_md5
+FROM golden
+"""
+
+
+def multimodal_frames_golden_sql(sf_dir: str, every_ms: int) -> str:
+    import hashlib
+
+    rows = []
+    for did, text in _doc_rows(sf_dir):
+        frames, dur = _synth_video(did, text)
+        n = len(frames)
+        w, h = 16, 8 + int(did) % 8
+        for j in range(max(1, dur // every_ms)):
+            t = j * every_ms
+            fi = min(n - 1, t * n // dur) if dur > 0 else 0
+            rows.append(
+                (int(did), fi, t, w, h, len(frames[fi]),
+                 hashlib.md5(frames[fi]).hexdigest())
+            )
+    vals = ",\n".join(
+        f"({d}, {fi}, {t}, {w}, {h}, {n}, '{m}')" for d, fi, t, w, h, n, m in rows
+    )
+    return f"""
+WITH golden(media_id, frame_idx, ts_ms, width, height, n_bytes, frame_md5) AS (VALUES
+{vals}
+)
+SELECT media_id::BIGINT AS media_id, frame_idx::INT AS frame_idx,
+       ts_ms::INT AS ts_ms, width::INT AS width, height::INT AS height,
+       n_bytes::INT AS n_bytes, frame_md5 AS frame_md5
+FROM golden
+"""

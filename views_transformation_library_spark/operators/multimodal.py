@@ -274,28 +274,238 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing: passes payloads through mapInPandas and stamps
-    the target dimensions; the pixel work is the stubbed step."""
+def decode_image_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Full raster decode to row-major top-down RGB bytes for binary PPM
+    (P6) and uncompressed 24-bit BMP — the pixel-level companion of
+    `decode_image_bytes` (which only needs byte statistics). Pure python;
+    raises ValueError for anything else."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("not an image payload")
+    buf = bytes(payload)
+    if buf[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(buf) and buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header")
+            fields.append(int(buf[start:pos]))
+        pos += 1
+        w, h, maxval = fields
+        if not (0 < maxval < 256) or w <= 0 or h <= 0:
+            raise ValueError("unsupported PPM (need 1-byte samples)")
+        n = 3 * w * h
+        pix = buf[pos : pos + n]
+        if len(pix) != n:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, pix
+    if buf[:2] == b"BM" and len(buf) >= 54:
+        offset = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        compression = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP (need 24bpp uncompressed)")
+        height = abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if len(buf) < offset + stride * height:
+            raise ValueError("truncated BMP pixel data")
+        rows = []
+        # BMP stores bottom-up BGR (positive h); negative h is top-down
+        ys = range(height - 1, -1, -1) if h > 0 else range(height)
+        for y in ys:
+            row = buf[offset + y * stride : offset + y * stride + 3 * w]
+            rows.append(
+                b"".join(row[i : i + 3][::-1] for i in range(0, len(row), 3))
+            )
+        return w, height, b"".join(rows)
+    raise ValueError("not a PPM/BMP payload")
+
+
+def resize_rgb(
+    rgb: bytes, w: int, h: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major RGB raster — pure integer
+    source mapping src = (dst * src_dim) // dst_dim, so the output bytes
+    are engine- and platform-exact (no float rounding anywhere)."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    out = bytearray(3 * new_w * new_h)
+    pos = 0
+    for y in range(new_h):
+        sy = y * h // new_h
+        row_off = sy * 3 * w
+        for x in range(new_w):
+            sx = x * w // new_w
+            o = row_off + 3 * sx
+            out[pos : pos + 3] = rgb[o : o + 3]
+            pos += 3
+    return bytes(out)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (r8 — replaces the r6 `resize_stub`): decode each
+    PPM/BMP payload to its raster, nearest-neighbor resample to
+    (width, height) with pure-integer source mapping, and re-encode as
+    binary P6 PPM. Runs in `mapInPandas` (Arrow batches; payload bytes
+    make exactly one JVM->Python->JVM round trip, constant memory per
+    batch). Unparseable payloads pass through UNCHANGED — mixed-media
+    tables keep their non-image rows instead of failing the partition,
+    mirroring `extract_features`' fallback contract.
+
+    Output schema is the input MEDIA_SCHEMA with payload/width/height
+    replaced for the resized rows. Determinism: decode, the integer NN
+    map and the PPM encoder are all byte-exact pure functions, so the
+    resized payload — and any statistic computed from it — is strictly
+    reproducible by an external golden oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for payload, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                try:
+                    w, h, rgb = decode_image_rgb(payload)
+                    payloads.append(
+                        encode_ppm(width, height, resize_rgb(rgb, w, h, width, height))
+                    )
+                    widths.append(width)
+                    heights.append(height)
+                except ValueError:
+                    payloads.append(payload)
+                    widths.append(w0)
+                    heights.append(h0)
             out = pdf.copy()
-            out["width"] = width
-            out["height"] = height
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
             yield out
 
     return df.mapInPandas(run, schema=df.schema)
 
 
-def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: emits one row per sampled timestamp
-    (deterministic from duration metadata; decoding stubbed). Explodes
-    JVM-side — no Python needed for the fan-out itself."""
-    n_frames = F.greatest(
-        F.lit(1), (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
-    )
-    out = df.select(
-        "media_id", "kind", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
-    )
-    return out.withColumn("ts_ms", F.col("frame_idx") * every_ms)
+FRAME_SCHEMA = (
+    "media_id long, kind string, frame_idx int, ts_ms int, "
+    "width int, height int, payload binary"
+)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PPM video container (back-to-back binary P6
+    frames — the container `attach_video` writes) into per-frame payloads
+    by walking the headers. Raises ValueError if the payload is not a
+    clean PPM concatenation."""
+    buf = bytes(payload or b"")
+    frames, pos = [], 0
+    while pos < len(buf):
+        w, h, pix = decode_image_rgb(buf[pos:])
+        hdr = b"P6\n%d %d\n255\n" % (w, h)
+        # frames are written by encode_ppm, so the header is canonical
+        if buf[pos : pos + len(hdr)] != hdr:
+            raise ValueError("non-canonical PPM frame header")
+        frames.append(buf[pos : pos + len(hdr) + len(pix)])
+        pos += len(hdr) + len(pix)
+    if not frames:
+        raise ValueError("empty video payload")
+    return frames
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling (r8 — replaces the r6
+    `frame_sample_stub`): decode the concatenated-PPM container, assume
+    uniformly spaced frames across `duration_ms`, and emit one row per
+    sample timestamp t ∈ {0, every_ms, 2·every_ms, …} < duration with the
+    ACTUAL nearest-frame payload: frame_idx = t · n_frames // duration
+    (pure integer; frame i covers [i·d/n, (i+1)·d/n)).
+
+    `mapInPandas`, not a JVM explode: the fan-out must open the container
+    bytes anyway, and emitting only the sampled frames keeps the output a
+    fraction of the input (a JVM explode of the full container would ship
+    every frame). Rows whose payload is not a PPM container degrade to
+    the metadata-only fan-out (frame_idx = sample ordinal, null
+    payload/dims) — the r6 stub behavior, preserved as the fallback
+    contract for blob rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                d = 0 if dur is None or pd.isna(dur) else int(dur)
+                n_samples = max(1, d // int(every_ms))
+                try:
+                    frames = split_video_frames(payload)
+                    metas = [decode_image_rgb(f)[:2] for f in frames]
+                    n = len(frames)
+                    for j in range(n_samples):
+                        t = j * int(every_ms)
+                        fi = min(n - 1, t * n // d) if d > 0 else 0
+                        w, h = metas[fi]
+                        rows.append(
+                            (int(mid), kind, fi, t, w, h, frames[fi])
+                        )
+                except ValueError:
+                    for j in range(n_samples):
+                        rows.append(
+                            (int(mid), kind, j, j * int(every_ms), None, None, None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "frame_idx", "ts_ms",
+                    "width", "height", "payload",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def attach_video(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    frame_ms: int = 40,
+) -> DataFrame:
+    """Deterministic REAL-video synthesis (the video companion of
+    `attach_image`): each row becomes a concatenated-PPM container of
+    n = 2 + id % 4 frames, frame f's raster the md5 hex digest of
+    f\"{f}:{text}\" tiled over a (width × 8 + id % 8) raster, duration =
+    n · frame_ms. Genuine multi-frame video bytes — `frame_sample`
+    splits and decodes them for real — yet exactly reproducible from
+    (id, text), which is what lets a golden oracle replicate sampled-
+    frame statistics byte-for-byte."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = 8 + int(did) % 8
+                n_frames = 2 + int(did) % 4
+                npix = 3 * width * h
+                frames = []
+                for f in range(n_frames):
+                    digest = hashlib.md5(
+                        (f"{f}:" + ("" if text is None else str(text))).encode("utf-8")
+                    ).hexdigest().encode("ascii")
+                    rgb = (digest * (npix // len(digest) + 1))[:npix]
+                    frames.append(encode_ppm(width, h, rgb))
+                out.append(
+                    (int(did), "video", b"".join(frames), width, h,
+                     n_frames * frame_ms)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "payload", "width", "height", "duration_ms"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -121,8 +121,9 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "attach_binary": multimodal.attach_binary,
     "attach_image": multimodal.attach_image,
     "extract_features": multimodal.extract_features,
-    "frame_sample": multimodal.frame_sample_stub,
-    "resize": multimodal.resize_stub,
+    "attach_video": multimodal.attach_video,
+    "frame_sample": multimodal.frame_sample,
+    "resize": multimodal.resize_image,
     # graph helpers are spec steps too: the folded frame IS the edge /
     # centroid table (transform() puts no constraint on what the frame is)
     "neighbour_ring": spatial_graph.neighbour_ring,
