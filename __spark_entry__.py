@@ -483,15 +483,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-vs-corpus kNN graph: IVF-bucketed self-join top-k (neither
     # side broadcastable at scale) — partial probe exercises the approx path
     q["knn_graph"] = lambda s, d: similarity.knn_graph(
-        _embs(s, d), k=KNN_GRAPH_K, n_centroids=KNN_GRAPH_CENTROIDS,
-        nprobe=KNN_GRAPH_NPROBE,
+        _embs(s, d), k=KNN_GRAPH_K, n_centroids=None, nprobe=None,
+        bucket_target=KNN_GRAPH_BUCKET_TARGET,
     )
     # two-table large-large ANN join: every 5th vector as the query table
     # against the full corpus (local-only oracle row; knn_graph holds the
     # family's driver slot)
     q["ann_join"] = lambda s, d: similarity.ann_join(
         _embs(s, d), _embs(s, d).filter(F.col("vec_id") % 5 == 0),
-        k=KNN_GRAPH_K, n_centroids=KNN_GRAPH_CENTROIDS, nprobe=KNN_GRAPH_NPROBE,
+        k=KNN_GRAPH_K, n_centroids=None, nprobe=None,
+        bucket_target=KNN_GRAPH_BUCKET_TARGET,
     )
     # SemDeDup-style semantic dedup: k-means clusters + greedy in-cluster
     # prune; keep flag as INT for a type-stable hash gate
@@ -677,11 +678,25 @@ BM25_TERMS = ["hash", "join", "scan"]
 SEMANTIC_DEDUP_THRESHOLD = 0.3
 SEMANTIC_DEDUP_CLUSTERS = 8
 
-# knn-graph gate params: partial probe (2 of 8 buckets) so the gate
-# exercises the approximate path, small k for a compact result
-KNN_GRAPH_CENTROIDS = 8
-KNN_GRAPH_NPROBE = 2
+# knn-graph gate params (r8): the entry runs the auto_graph_params scale
+# policy — nc = ceil(n/64) buckets, nprobe = max(4, ceil(nc^(2/3))) — so
+# the gate exercises exactly what a user gets at ANY corpus size (at
+# sf0.01 that is 4 of 8 buckets: still a partial probe). The oracle
+# derives the SAME numbers from the oracle dir's corpus count.
 KNN_GRAPH_K = 5
+KNN_GRAPH_BUCKET_TARGET = similarity.GRAPH_BUCKET_TARGET
+
+
+def _knn_graph_params() -> tuple[int, int]:
+    """(n_centroids, nprobe) the entry's knn_graph/ann_join queries will
+    realize at the oracle SF: auto_graph_params on the embeddings count."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    p = similarity.auto_graph_params(n, KNN_GRAPH_BUCKET_TARGET)
+    return p["n_centroids"], p["nprobe"]
 
 
 def _knn_graph_oracle(query_filter: str = "", exclude_self: bool = True) -> str:
@@ -691,7 +706,8 @@ def _knn_graph_oracle(query_filter: str = "", exclude_self: bool = True) -> str:
     neighbor_id tie ranking. ``query_filter`` restricts the probe side
     (the ann_join gate); ``exclude_self=False`` keeps identical-id pairs
     (two-table semantics)."""
-    cents = _semantic_centroids(KNN_GRAPH_CENTROIDS)
+    nc, np_ = _knn_graph_params()
+    cents = _semantic_centroids(nc)
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -714,7 +730,7 @@ prb AS (
   FROM d
 ),
 asg AS (SELECT vec_id, cid FROM prb WHERE pr = 1),
-probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {KNN_GRAPH_NPROBE} {query_filter}),
+probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {np_} {query_filter}),
 nrm AS (
   SELECT vec_id, sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
   FROM embeddings

@@ -32,6 +32,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
+
+# historical r4-r7 entry parameterization this A/B was designed around
+# (the r8 entry derives its index shape from the corpus count instead)
+KNN_CENTROIDS = 8
+KNN_NPROBE = 2
 from pyspark.sql import functions as F
 from views_transformation_library_spark.operators import similarity
 from views_transformation_library_spark.session import get_spark
@@ -77,13 +82,13 @@ def main() -> None:
         hot_pdf.at[j, "embedding"] = hot_vecs[j]
     hot_cents = [list(map(float, hot_dir))] + [
         list(map(float, rng.randn(dim) * 5))
-        for _ in range(entry.KNN_GRAPH_CENTROIDS - 1)
+        for _ in range(KNN_CENTROIDS - 1)
     ]
 
     def even_build():
         return similarity.knn_graph(
             entry._embs(spark, sf_dir), k=entry.KNN_GRAPH_K,
-            n_centroids=entry.KNN_GRAPH_CENTROIDS, nprobe=entry.KNN_GRAPH_NPROBE,
+            n_centroids=KNN_CENTROIDS, nprobe=KNN_NPROBE,
         )
 
     hot_df = spark.createDataFrame(
@@ -93,7 +98,7 @@ def main() -> None:
     def hot_build():
         return similarity.knn_graph(
             hot_df, k=entry.KNN_GRAPH_K, centroids=hot_cents,
-            nprobe=entry.KNN_GRAPH_NPROBE,
+            nprobe=KNN_NPROBE,
         )
 
     results = {}

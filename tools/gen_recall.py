@@ -112,19 +112,24 @@ def main() -> None:
             "ok": r is not None and r >= FLOORS[name],
         }
 
-    # knn_graph: exact competitor = probe every bucket (same index)
+    # knn_graph: exact competitor = probe every bucket (same index);
+    # approx = the entry's auto_graph_params policy realized on this
+    # corpus (r8: nc = ceil(n/64), nprobe = max(4, ceil(nc^(2/3))))
+    gp = similarity.auto_graph_params(
+        embs.count(), entry.KNN_GRAPH_BUCKET_TARGET
+    )
     kg_exact = _sets(
         similarity.knn_graph(
             embs, k=entry.KNN_GRAPH_K,
-            n_centroids=entry.KNN_GRAPH_CENTROIDS,
-            nprobe=entry.KNN_GRAPH_CENTROIDS,
+            n_centroids=gp["n_centroids"],
+            nprobe=gp["n_centroids"],
         ).collect()
     )
     kg_approx = _sets(
         similarity.knn_graph(
             embs, k=entry.KNN_GRAPH_K,
-            n_centroids=entry.KNN_GRAPH_CENTROIDS,
-            nprobe=entry.KNN_GRAPH_NPROBE,
+            n_centroids=gp["n_centroids"],
+            nprobe=gp["nprobe"],
         ).collect()
     )
     r = mean_recall(kg_exact, kg_approx)

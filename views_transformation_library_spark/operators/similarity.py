@@ -675,18 +675,57 @@ def _derived_n_centroids(df: DataFrame, bucket_target: int) -> int:
     return max(1, -(-n // int(bucket_target)))
 
 
+# Default mean bucket size for the cogrouped graph family (knn_graph /
+# ann_join). 64, not 256: the committed frontier (ANN_FRONTIER_r08.md,
+# tools/exp_ann_scale.py) shows finer buckets strictly dominate at every
+# fixed pair budget on the structureless synthetic corpus — at sf1 and
+# ~10M pairs, bucket 64 (nc=313, np=8) reaches recall 0.303 vs bucket 256
+# (nc=79, np=2) at 0.193; at ~20M pairs 0.431 vs 0.303 — because a finer
+# index targets candidates better AND caps skew exposure (max bucket 89
+# vs 297 at sf1) AND gives the cogroup shuffle nc-way parallelism.
+GRAPH_BUCKET_TARGET = 64
+
+
+def auto_graph_params(n: int, bucket_target: int = GRAPH_BUCKET_TARGET) -> dict:
+    """Scale policy for the bucket-cogrouped graph family (r8, VERDICT
+    r6 #1 — replaces the fixed nc=8/nprobe=2 entry parameterization whose
+    candidate work was ~n²/4 at any scale):
+
+    - ``n_centroids`` = ceil(n / bucket_target) — ∝N buckets of constant
+      mean size (the SemDeDup sizing rule): bounded per-bucket matrices,
+      skew exposure and shuffle granularity no matter the corpus size.
+    - ``nprobe`` = max(4, ceil(nc^(2/3))) — the probed FRACTION shrinks
+      as nc^(-1/3), so per-query candidates grow ~bucket·nc^(2/3)
+      (sublinear) and total pair work ∝ n^(5/3), not n². Measured on the
+      committed frontier (ANN_FRONTIER_r08.md): recall@5 0.78 / 0.72 /
+      0.69 at n=500 / 2k / 20k — flat-ish where a FIXED nprobe decays
+      (0.44 → 0.30) and the fixed-nc policy needs n²/4 pairs for less
+      recall (0.506 at 100M pairs vs 0.688 at 60M, n=20k). On clustered
+      real corpora (the 100 TB case) the same shape does strictly
+      better — IVF recall there comes from structure, not coverage.
+
+    Callers opt in by passing ``n_centroids=None, nprobe=None`` to
+    `knn_graph` / `ann_join` (their entry parameterization since r8)."""
+    nc = max(1, -(-int(n) // int(bucket_target)))
+    return {"n_centroids": nc, "nprobe": _graph_nprobe(nc)}
+
+
+def _graph_nprobe(n_centroids: int) -> int:
+    return min(int(n_centroids), max(4, math.ceil(n_centroids ** (2.0 / 3.0))))
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,
     n_centroids: int | None = 16,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
     train_distributed: bool = False,
-    bucket_target: int = 256,
+    bucket_target: int = GRAPH_BUCKET_TARGET,
 ) -> DataFrame:
     """Corpus-vs-corpus approximate kNN graph: every vector is a query AND
     a candidate — the self-join top-k shape (global kNN graphs for
@@ -731,7 +770,13 @@ def knn_graph(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,
         )
-    nprobe = min(int(nprobe), len(centroids))
+    # nprobe=None: the auto_graph_params probe rule on the realized
+    # index size (sublinear probed fraction — see the policy docstring)
+    nprobe = (
+        _graph_nprobe(len(centroids))
+        if nprobe is None
+        else min(int(nprobe), len(centroids))
+    )
     # one assignment pass feeds BOTH cogroup branches: probes[0] is the
     # member bucket, the full slice is the probe list — materialized so the
     # scan + centroid distances run once, not per branch
@@ -937,7 +982,7 @@ def ann_join(
     queries: DataFrame,
     k: int = 10,
     n_centroids: int | None = 16,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -945,7 +990,7 @@ def ann_join(
     sample_mod: int | None = None,
     train_distributed: bool = False,
     exclude_self: bool = False,
-    bucket_target: int = 256,
+    bucket_target: int = GRAPH_BUCKET_TARGET,
 ) -> DataFrame:
     """Two-table approximate top-k join where BOTH sides are large: each
     query row finds its k nearest corpus rows by cosine. This is the
@@ -979,7 +1024,13 @@ def ann_join(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,
         )
-    nprobe = min(int(nprobe), len(centroids))
+    # nprobe=None: the auto_graph_params probe rule on the realized
+    # index size (sublinear probed fraction — see the policy docstring)
+    nprobe = (
+        _graph_nprobe(len(centroids))
+        if nprobe is None
+        else min(int(nprobe), len(centroids))
+    )
     # single-consumer scans on both sides: no materialize needed — each
     # assignment expression runs inside its own source scan exactly once
     members = corpus.select(
