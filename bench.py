@@ -7,6 +7,18 @@ bit_xor(xxhash64(...)) — a bare count() would let Catalyst prune the very
 window/projection expressions being benchmarked, timing only the shared
 scan + panel build. Min of 3 full runs per query (single-run local-mode
 jitter is ±30% on this VM).
+
+Stall-robust protocol (r8, VERDICT r6 #6): this container shows 2-4
+random ~10 s host stalls per benchmark session that SURVIVE min-of-3 and
+move between queries run-to-run (BENCH_NOTES_r06), so a single session's
+numbers carry ±1-2 phantom regressions. The committed number is therefore
+the ELEMENT-WISE BEST OF TWO FRESH SESSIONS: the parent process spawns
+two child runs (each its own python+JVM — codegen caches, GC state and
+teardown debris do not carry over), idles briefly between them, and
+merges per-query minima. Element-wise best across sessions reproduced
+fresh-session spot checks in the r6 investigation. Set
+SPARK_GRAFT_BENCH_SESSIONS=1 for the old single-session behavior (used
+while iterating; the committed BENCH_r{N} uses the default 2).
 """
 
 from __future__ import annotations
@@ -87,8 +99,47 @@ HEADLINE = [
 
 
 def main():
+    sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    if sessions > 1 and not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        return orchestrate(sessions)
+    run_session()
+
+
+def orchestrate(sessions: int) -> None:
+    """Element-wise best of N fresh child sessions (see module docstring).
+    Each child is a separate python+JVM process; the parent merges
+    per-query minima and prints the single protocol JSON line."""
+    import subprocess
+
+    results = []
+    for i in range(sessions):
+        if i:
+            time.sleep(15)  # let the previous JVM's teardown debris settle
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(f"# session {i + 1}/{sessions}: {results[-1]['value']}s",
+              file=sys.stderr)
+    merged = dict(results[0])
+    merged["queries"] = {
+        name: min(r["queries"][name] for r in results if name in r["queries"])
+        for name in results[0]["queries"]
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    merged["sessions"] = sessions
+    print(json.dumps(merged))
+
+
+def run_session():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:  # e.g. .sfdata/sf1skew
+        sf = -1.0
     spark = get_spark("bench")
     # warm the JVM / codegen / shuffle machinery so the first timed query
     # does not carry session-startup cost. Synthetic data only — the warmup

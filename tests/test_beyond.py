@@ -1253,10 +1253,13 @@ def test_auto_ann_params_scaling(spark, vectors):
     assert p(2_000)["n_centroids"] == 13 and p(2_000)["nprobe"] == 6
     assert p(10)["n_centroids"] == 8  # clamp floor
     assert p(10**7)["n_centroids"] == 64  # literal-expression ceiling
-    # rerank: 8 per 1000 vectors, ceiling 64
+    # rerank: 8 per 1000 vectors, ceiling 256 (r8: the 64 ceiling bound
+    # at sf1 — ADC rank dilution needs k*r to keep growing with n while
+    # k*r stays << N, so the exact-rescore join remains a sliver)
     assert p(500)["rerank"] == 8
     assert p(2_000)["rerank"] == 16
-    assert p(100_000)["rerank"] == 64
+    assert p(20_000)["rerank"] == 160
+    assert p(100_000)["rerank"] == 256
     qs = vectors.filter(F.col("vec_id") < 3)
     assert similarity.lsh_topk(vectors, qs, k=3, n_planes=None).count() > 0
     assert similarity.ivf_topk(

@@ -75,10 +75,13 @@ def auto_ann_params(n: int) -> dict:
       the index grows sublinearly, half of it is probed, and corpus-scale
       ANN belongs to the bucket-join families (knn_graph / ann_join)
       anyway. Measured sf0.1: 0.7475 (vs 0.5375 at fixed 16/4).
-    - ``rerank`` = 8·⌈n/1000⌉ (clamped [8, 64]) — IVFADC+R re-scores k·r
+    - ``rerank`` = 8·⌈n/1000⌉ (clamped [8, 256]) — IVFADC+R re-scores k·r
       exact candidates; ADC rank quality dilutes roughly with corpus
-      scale, so r grows until the 64·k ceiling. Measured sf0.1: r=16 →
-      0.705 (vs 0.535 at fixed 8).
+      scale, so r grows linearly until the 256·k ceiling (r8: the old 64
+      ceiling bound at sf1 — recall 0.652; r=160 keeps k·r = 1600 of
+      20k candidates, still ≪ N, and the exact-rescore join stays a
+      per-query sliver while the ADC scan cost is unchanged). Measured
+      sf0.1: r=16 → 0.705 (vs 0.535 at fixed 8).
 
     Callers opt in by passing None (lsh/ivf) or "auto" (pq rerank); the
     one extra count() action is the price of plan-time derivation.
@@ -92,7 +95,7 @@ def auto_ann_params(n: int) -> dict:
         "n_planes": p,
         "n_centroids": nc,
         "nprobe": max(4, nc // 2),
-        "rerank": max(8, min(64, 8 * math.ceil(n / 1000))),
+        "rerank": max(8, min(256, 8 * math.ceil(n / 1000))),
     }
 
 
