@@ -87,6 +87,13 @@ def main():
     results = {}
     spark = get_spark("oracle_check", cpus=8)
     con = duckdb.connect()
+    # the in-memory default has NO temp directory, so DuckDB cannot spill
+    # and the quadratic oracle joins (embedding_neardup all-pairs,
+    # spacetime_weights theta-join) OOM at sf1 — give it one, and drop
+    # insertion-order preservation (compare_rows sorts rows itself)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='60GiB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
