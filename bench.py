@@ -118,10 +118,25 @@ def orchestrate(sessions: int) -> None:
         env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, stdout=subprocess.PIPE, text=True,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+        # stderr passes through live only when not captured; echo it so
+        # progress lines stay visible and failures carry the child's trace
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench child session {i + 1}/{sessions} exited "
+                f"rc={proc.returncode}; stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-20:])
+            )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench child session {i + 1}/{sessions} produced no JSON "
+                f"line (rc=0); stdout tail:\n"
+                + "\n".join(proc.stdout.splitlines()[-10:])
+            )
+        results.append(json.loads(lines[-1]))
         print(f"# session {i + 1}/{sessions}: {results[-1]['value']}s",
               file=sys.stderr)
     merged = dict(results[0])
@@ -166,7 +181,15 @@ def run_session():
     timings: dict[str, float] = {}
     from pyspark.sql import functions as F
 
-    for name in HEADLINE:
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset (r9: the
+    # superlinear-family scaling sweep times 3 queries at 4 corpora —
+    # running all 50 per corpus would be wasted hours). Committed
+    # BENCH_r{N} artifacts never set it.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
+    for name in headline:
         if name not in qs:
             continue
         # best of 3 full runs per query: single-run local-mode timings

@@ -94,3 +94,26 @@ def test_mice_golden_deterministic_and_complete(tmp_path):
         assert not (np.isnan(v1) or np.isnan(v2))
         if not np.isnan(v):
             assert v1 == v and v2 == 2 * v
+
+
+def test_multimodal_synth_matches_operators(spark):
+    """_synth_image/_synth_video must replicate attach_image/attach_video
+    byte-for-byte (ADVICE r8: the goldens re-derive the synthesis; widths
+    and frame_ms now come off the operator signatures, and this test pins
+    the remaining shared formula h = 8 + id % 8)."""
+    from views_transformation_library_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(0, "alpha"), (3, "beta gamma"), (7, None), (12, "x" * 200)],
+        "doc_id long, text string",
+    )
+    imgs = {r["media_id"]: bytes(r["payload"]) for r in M.attach_image(df).collect()}
+    vids = {
+        r["media_id"]: (bytes(r["payload"]), r["duration_ms"])
+        for r in M.attach_video(df).collect()
+    }
+    for did, text in [(0, "alpha"), (3, "beta gamma"), (7, None), (12, "x" * 200)]:
+        assert G._synth_image(did, text) == imgs[did], did
+        frames, dur = G._synth_video(did, text)
+        assert b"".join(frames) == vids[did][0], did
+        assert dur == vids[did][1], did

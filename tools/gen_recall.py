@@ -83,7 +83,23 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             out_path = a.split("=", 1)[1]
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # tolerate non-numeric dir suffixes like .sfdata/sf1skew (r9: the
+    # natural-skew recall sweep runs this tool on the skew corpus)
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1] if "sf" in sf_dir else ""
+    try:
+        sf = float(tail)
+    except ValueError:
+        num = ""
+        for ch in tail:
+            if ch.isdigit() or ch == ".":
+                num += ch
+            else:
+                break
+        sf = float(num) if num else -1.0
+    if tail and not tail.replace(".", "").isdigit():
+        sf_label = tail
+    else:
+        sf_label = None
     spark = get_spark("gen_recall")
     embs = entry._embs(spark, sf_dir)
     queries = entry._queries(spark, sf_dir)
@@ -210,6 +226,8 @@ def main() -> None:
     }
 
     doc = {"sf": sf, "k": K, "families": fams}
+    if sf_label:
+        doc["corpus"] = sf_label
     text = json.dumps(doc, indent=2)
     print(text)
     if out_path:

@@ -274,7 +274,7 @@ def apply_skew(con, out: str) -> None:
         cum.append(acc)
     n_hot = 0
     for i, eid in enumerate(eids):
-        if zlib.crc32(f"hot/{eid}".encode()) % 100 < int(HOT_EVENT_FRAC * 100):
+        if _stable_pct(f"hot/{eid}") < int(HOT_EVENT_FRAC * 100):
             r = zlib.crc32(f"rank/{eid}".encode()) % wsum
             rank = next(j for j, cv in enumerate(cum) if r < cv)
             users[i] = rank + 1  # hot unit ids 1..10

@@ -393,13 +393,27 @@ def _doc_rows(sf_dir: str):
     ).fetchall()
 
 
-def _synth_image(did: int, text, width: int = 16) -> bytes:
+def _operator_default(fn_name: str, param: str) -> int:
+    """Read a synthesis constant straight off the operator's signature so
+    a future default change can't silently desync these goldens (ADVICE
+    r8). The height formula (8 + id % 8) has no parameter to read — it is
+    pinned instead by tests/test_golden_oracles.py's byte-parity test."""
+    import inspect
+
+    from views_transformation_library_spark.operators import multimodal as M
+
+    return inspect.signature(getattr(M, fn_name)).parameters[param].default
+
+
+def _synth_image(did: int, text, width: int | None = None) -> bytes:
     """Replicates attach_image's synthesis (md5 hex tiled over a
     width x (8 + id % 8) raster)."""
     import hashlib
 
     from views_transformation_library_spark.operators import multimodal as M
 
+    if width is None:
+        width = _operator_default("attach_image", "width")
     h = 8 + int(did) % 8
     n = 3 * width * h
     digest = hashlib.md5(
@@ -408,12 +422,16 @@ def _synth_image(did: int, text, width: int = 16) -> bytes:
     return M.encode_ppm(width, h, (digest * (n // len(digest) + 1))[:n])
 
 
-def _synth_video(did: int, text, width: int = 16, frame_ms: int = 40):
+def _synth_video(did: int, text, width: int | None = None, frame_ms: int | None = None):
     """Replicates attach_video's synthesis; returns (frames, duration)."""
     import hashlib
 
     from views_transformation_library_spark.operators import multimodal as M
 
+    if width is None:
+        width = _operator_default("attach_video", "width")
+    if frame_ms is None:
+        frame_ms = _operator_default("attach_video", "frame_ms")
     h = 8 + int(did) % 8
     n_frames = 2 + int(did) % 4
     npix = 3 * width * h

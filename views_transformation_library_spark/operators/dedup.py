@@ -52,7 +52,11 @@ def lsh_guard_stats(df_or_obs, block: bool = False) -> dict | None:
       skipped_rows     doc-band memberships in over-cap buckets (exact)
       skipped_pairs    candidate pairs the cap dropped, Σ B·(B-1)/2 over
                        over-cap buckets (exact: the long sum Σ(B-1) per
-                       row is halved here — B·(B-1) is always even)
+                       row is halved here — B·(B-1) is always even).
+                       NOTE: counts per-bucket memberships, so it is an
+                       UPPER BOUND on actually-lost pairs — a pair whose
+                       members still co-bucket in another (under-cap)
+                       band is regenerated there yet still counted here
       skipped_buckets  over-cap (band, sig) buckets (Σ 1/B per member
                        row, rounded — exact until ~1e15 rows)
 

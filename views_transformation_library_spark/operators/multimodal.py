@@ -1,11 +1,16 @@
 """Multimodal column plumbing (beyond-reference surface).
 
-Images/audio/video are opaque `binary` columns plus typed metadata; the
-Spark-side machinery — schema, partition sizing, Arrow batch shape, UDF
-signatures — is real and tested, while the actual media decoding is stubbed
-(no image/audio libraries in this environment): `decode_stub=True` swaps in
-a deterministic fake decoder; `False` raises NotImplementedError at the
-clearly marked point where PIL/ffmpeg would plug in.
+Images/audio/video are opaque `binary` columns plus typed metadata. Since
+r6/r8 the media operations are REAL byte-level implementations, not stubs:
+a pure-python binary-PPM/BMP raster decoder (`decode_ppm` / `decode_bmp`,
+no image library needed), `resize_image` (decode → integer nearest-neighbor
+resample → PPM re-encode), and `frame_sample` (concatenated-PPM video
+container split + nearest-frame index) — all gated byte-exact against
+md5(payload) VALUES goldens. `extract_features(decode_stub=True)` (the
+default) still offers a deterministic byte-statistics fake for when inputs
+are arbitrary blobs rather than parseable rasters; `decode_stub=False`
+runs the real decoder (PIL is picked up via an import gate if ever
+present, but is not required).
 
 At scale the pattern is `mapInPandas` (per-partition Arrow batches, constant
 memory per task) rather than per-row UDFs; binary payloads stay in the JVM
@@ -176,6 +181,8 @@ def attach_image(
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if did is None or pd.isna(did):
+                    continue  # null ids can't be keyed — skip, don't fail the partition
                 h = 8 + int(did) % 8
                 n = 3 * width * h
                 digest = hashlib.md5(
@@ -439,6 +446,10 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
+                if mid is None or pd.isna(mid):
+                    # null-id rows can't be keyed; skip rather than fail
+                    # the whole partition (only ValueError is caught below)
+                    continue
                 d = 0 if dur is None or pd.isna(dur) else int(dur)
                 n_samples = max(1, d // int(every_ms))
                 try:
@@ -489,6 +500,8 @@ def attach_video(
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if did is None or pd.isna(did):
+                    continue  # null ids can't be keyed — skip, don't fail the partition
                 h = 8 + int(did) % 8
                 n_frames = 2 + int(did) % 4
                 npix = 3 * width * h

@@ -214,16 +214,26 @@ def embedding_neardup_pairs(
     centroids = train_ivf_centroids(
         unit_df, n_centroids=n_blocks, id_col="__id", vec_col="__u", seed=seed
     )
-    nearest = _bucket_structs("__u", centroids)[0]
     # one shared assignment table feeds BOTH self-join branches and the
     # radius aggregate — materialize so the scan+assign runs once
-    assigned = materialize(
-        unit_df.select(
-            "__id", "__v",
-            nearest["c"].alias("__blk"),
-            F.sqrt(nearest["d2"]).alias("__r"),
+    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+        assigned = materialize(
+            assign_probes_arrow(unit_df, "__u", centroids, 1, with_d2=True)
+            .select(
+                "__id", "__v",
+                F.col("__probes")[0].alias("__blk"),
+                F.sqrt(F.col("__d2")).alias("__r"),
+            )
         )
-    )
+    else:
+        nearest = _bucket_structs("__u", centroids)[0]
+        assigned = materialize(
+            unit_df.select(
+                "__id", "__v",
+                nearest["c"].alias("__blk"),
+                F.sqrt(nearest["d2"]).alias("__r"),
+            )
+        )
     radii = {
         r["__blk"]: r["r"]
         for r in assigned.groupBy("__blk").agg(F.max("__r").alias("r")).collect()
@@ -468,8 +478,18 @@ def lloyd_kmeans(
     Empty clusters keep their previous centroid."""
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    # ||x−c||² = ||x||² − 2x·c + ||c||² via one GEMM. The broadcast tensor
+    # this replaces ((n, nc, dim) float64) was ~3 GB of memory traffic PER
+    # ITERATION at n=20k, nc=313 — 40 s of the r8 sf1 knn_graph wall.
+    # Training-internal distances never need cross-engine float parity:
+    # the oracle replicates centroids by running THIS function on the
+    # same rows, so both engines see identical assignments by construction
+    # (deterministic for a fixed input order — argmin ties break to the
+    # lower centroid id in both).
+    xx = np.einsum("ij,ij->i", X, X)
     for _ in range(n_iters):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cc = np.einsum("ij,ij->i", centroids, centroids)
+        d2 = xx[:, None] - 2.0 * (X @ centroids.T) + cc[None, :]
         assign = d2.argmin(axis=1)
         for c in range(len(centroids)):
             members = X[assign == c]
@@ -560,12 +580,19 @@ def train_ivf_centroids_distributed(
     else:
         centroids = [list(map(float, c)) for c in init_centroids]
     for _ in range(n_iters):
-        nearest = _bucket_structs("__v", centroids)[0]["c"]
+        if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+            bucketed = assign_probes_arrow(
+                base.select("__v"), "__v", centroids, 1
+            ).select(F.col("__probes")[0].alias("__b"), "__v")
+        else:
+            bucketed = base.select(
+                _bucket_structs("__v", centroids)[0]["c"].alias("__b"), "__v"
+            )
         # assignment and posexplode in separate selects: a generator next to
         # a struct-subscript expression makes the analyzer resolve the
         # subscript against the generator's (col1, col2) output struct
         stats = (
-            base.select(nearest.alias("__b"), "__v")
+            bucketed
             .select("__b", F.posexplode("__v").alias("__dim", "__x"))
             .groupBy("__b", "__dim")
             # count the VALUE, not the row: null elements are skipped by the
@@ -597,6 +624,89 @@ def _bucket_structs(vec_col: str, centroids: list[list[float]]):
         for i, c in enumerate(centroids)
     ]
     return F.array_sort(F.array(*entries))
+
+
+# Below this many centroids the plan-literal `_bucket_structs` expression
+# path wins (no Arrow transfer, runs inside the scan, keeps the pinned
+# plan shapes of the small-index tests); at or above it the interpreted
+# HOF expression count — rows × nc × dim lambda evals — dominates the
+# whole operator (r9: the r8 auto_graph_params nc=313 at sf1 spent 21 s
+# of knn_graph's 71 s in assignment alone) and the Arrow path below
+# replaces it at identical output bytes.
+ARROW_ASSIGN_MIN_NC = 16
+
+
+def assign_probes_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    with_d2: bool = False,
+) -> DataFrame:
+    """``df`` + ``__probes array<int>`` (the ``nprobe`` nearest centroid
+    ids, ascending by (d2, centroid id)) and optionally ``__d2 double``
+    (distance to the nearest) — the `mapInPandas` twin of
+
+        transform(slice(_bucket_structs(vec), 1, nprobe), s -> s.c)
+
+    at numpy speed. BYTE-IDENTICAL to the expression path, which the
+    strict DuckDB gates prove end-to-end: per (row, centroid) the squared
+    distance is the same left-associated float64 fold — acc += (x_i −
+    c_i)·(x_i − c_i), i ascending, elementwise across the (rows × nc)
+    matrix — and ranking uses a stable argsort on d2 (ties to the lower
+    centroid id, exactly `array_sort`'s (d2, c) struct order). Null or
+    wrong-dimension vectors mirror the expression path's null-d2
+    behavior: nulls sort first, all-tied ⇒ probes = [0..nprobe), d2 null
+    (verified against Spark; such rows are dropped by every downstream
+    scorer anyway).
+
+    Scale shape: centroids ship once per task inside the serialized
+    closure (nc × dim doubles — the auto policies keep this ≲ a few MB
+    at any corpus size); work is embarrassingly parallel over input
+    partitions, O(rows × nc × dim) flops in ~dim vectorized passes with
+    O(batch × nc) memory; output adds nprobe ints per row, never a
+    per-centroid row explosion."""
+    C = np.asarray(centroids, dtype=np.float64)
+    nc, dim = C.shape
+    npb = min(int(nprobe), nc)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, __probes array<int>"
+    if with_d2:
+        schema += ", __d2 double"
+    null_probes = list(range(npb))
+
+    def run(batches):
+        for pdf in batches:
+            vals = pdf[vec_col]
+            n = len(pdf)
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            probes_out: list = [null_probes] * n
+            d2_out = [None] * n
+            if ok.any():
+                X = np.vstack(vals.values[ok]).astype(np.float64)
+                acc = np.zeros((len(X), nc))
+                for i in range(dim):
+                    d = X[:, i, None] - C[None, :, i]
+                    acc = acc + d * d
+                order = np.argsort(acc, axis=1, kind="stable")[:, :npb]
+                ok_idx = np.flatnonzero(ok)
+                for j, row in enumerate(ok_idx):
+                    probes_out[row] = order[j].tolist()
+                if with_d2:
+                    nearest = acc[np.arange(len(X)), order[:, 0]]
+                    for j, row in enumerate(ok_idx):
+                        d2_out[row] = float(nearest[j])
+            out = pdf.copy()
+            out["__probes"] = probes_out
+            if with_d2:
+                out["__d2"] = d2_out
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def ivf_topk(
@@ -649,23 +759,43 @@ def ivf_topk(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,
         )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vv"),
-        _norm(F.col(vec_col)).alias("__vn"),
-        _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-        F.explode(
-            F.transform(
-                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
-                lambda s: s["c"],
-            )
-        ).alias("__bucket"),
-    )
+    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+        v = assign_probes_arrow(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+            ),
+            "__vv", centroids, 1,
+        ).select(
+            "neighbor_id", "__vv", _norm(F.col("__vv")).alias("__vn"),
+            F.col("__probes")[0].alias("__bucket"),
+        )
+        q = assign_probes_arrow(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "__qv", centroids, nprobe,
+        ).select(
+            "query_id", "__qv", _norm(F.col("__qv")).alias("__qn"),
+            F.explode("__probes").alias("__bucket"),
+        )
+    else:
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__vv"),
+            _norm(F.col(vec_col)).alias("__vn"),
+            _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+            F.explode(
+                F.transform(
+                    F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
+                    lambda s: s["c"],
+                )
+            ).alias("__bucket"),
+        )
     pairs = v.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     return _score_and_rank(pairs, k)
 
@@ -782,17 +912,27 @@ def knn_graph(
     )
     # one assignment pass feeds BOTH cogroup branches: probes[0] is the
     # member bucket, the full slice is the probe list — materialized so the
-    # scan + centroid distances run once, not per branch
-    assigned = materialize(
-        vectors.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            F.transform(
-                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
-                lambda s: s["c"],
-            ).alias("__probes"),
-        )
+    # scan + centroid distances run once, not per branch. Large indexes
+    # (the auto_graph_params regime) assign in Arrow/numpy: the expression
+    # path's interpreted evals scale with rows × nc (r8's 21 s at sf1).
+    base = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
+    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+        assigned = materialize(
+            assign_probes_arrow(base, "__v", centroids, nprobe)
+        )
+    else:
+        assigned = materialize(
+            base.select(
+                "__id",
+                "__v",
+                F.transform(
+                    F.slice(_bucket_structs("__v", centroids), 1, nprobe),
+                    lambda s: s["c"],
+                ).alias("__probes"),
+            )
+        )
     members = assigned.select(
         "__id", "__v", F.col("__probes")[0].alias("__bucket")
     )
@@ -1035,22 +1175,33 @@ def ann_join(
         else min(int(nprobe), len(centroids))
     )
     # single-consumer scans on both sides: no materialize needed — each
-    # assignment expression runs inside its own source scan exactly once
-    members = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
-    )
-    probes = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(
-            F.transform(
-                F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
-                lambda s: s["c"],
-            )
-        ).alias("__bucket"),
-    )
+    # assignment pass runs inside its own source scan exactly once. Large
+    # indexes assign in Arrow (same bytes; see assign_probes_arrow).
+    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+        members = assign_probes_arrow(
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            "__v", centroids, 1,
+        ).select("__id", "__v", F.col("__probes")[0].alias("__bucket"))
+        probes = assign_probes_arrow(
+            queries.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")),
+            "__qv", centroids, nprobe,
+        ).select("__qid", "__qv", F.explode("__probes").alias("__bucket"))
+    else:
+        members = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _bucket_structs(vec_col, centroids)[0]["c"].alias("__bucket"),
+        )
+        probes = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.transform(
+                    F.slice(_bucket_structs(vec_col, centroids), 1, nprobe),
+                    lambda s: s["c"],
+                )
+            ).alias("__bucket"),
+        )
     id_t = dict(corpus.dtypes).get(id_col, "bigint")
     return _cogrouped_bucket_topk(members, probes, k, id_t, exclude_self=exclude_self)
 
@@ -1135,18 +1286,34 @@ def semantic_dedup(
             vectors, n_clusters, n_iters=n_iters, id_col=id_col,
             vec_col=vec_col, seed=seed,
         )
-    nearest = _bucket_structs(vec_col, centroids)[0]
-    assigned = materialize(
-        vectors.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            _norm(F.col(vec_col)).alias("__n"),
-            nearest["c"].cast("int").alias("__cl"),
-            # raw d2 to the assigned centroid: the same fold the
-            # assignment argmin compares, so oracle parity is bit-exact
-            nearest["d2"].alias("__dc"),
+    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+        assigned = materialize(
+            assign_probes_arrow(
+                vectors.select(
+                    F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+                ),
+                "__v", centroids, 1, with_d2=True,
+            ).select(
+                "__id", "__v", _norm(F.col("__v")).alias("__n"),
+                F.col("__probes")[0].cast("int").alias("__cl"),
+                # raw d2 to the assigned centroid: the same fold the
+                # assignment argmin compares, so oracle parity is bit-exact
+                F.col("__d2").alias("__dc"),
+            )
         )
-    )
+    else:
+        nearest = _bucket_structs(vec_col, centroids)[0]
+        assigned = materialize(
+            vectors.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                _norm(F.col(vec_col)).alias("__n"),
+                nearest["c"].cast("int").alias("__cl"),
+                # raw d2 to the assigned centroid: the same fold the
+                # assignment argmin compares, so oracle parity is bit-exact
+                nearest["d2"].alias("__dc"),
+            )
+        )
     # candidate pairs via per-cluster numpy scoring (grouped applyInPandas,
     # chunked pair matrices): each vector ships once per cluster, not once
     # per pair, and the dot is the same left-associated float64 fold as
