@@ -1923,3 +1923,42 @@ def test_bigram_logprob_orders_matter(spark):
     t = {r["doc_id"]: r.asDict() for r in T.bigram_logprob(tiny).collect()}
     assert t[1]["n_bigrams"] == 0 and t[1]["sum_logprob"] is None
     assert t[2]["n_bigrams"] == 1
+
+
+def test_arrow_assignment_matches_expression_path(spark, vectors, monkeypatch):
+    """r9 pin: `assign_probes_arrow` (the large-index numpy assignment)
+    must be BYTE-IDENTICAL to the `_bucket_structs` expression path —
+    same left-fold d2, same (d2, centroid-id) tie order, same null/ragged
+    mirroring. Forces each path via ARROW_ASSIGN_MIN_NC and compares full
+    outputs of every operator that gates on it, on a corpus that includes
+    a null and a ragged vector."""
+    rows = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    rows += [(200, None), (201, [1.0, 2.0])]  # null + wrong-dim
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qdf = df.limit(8)
+
+    def run_all():
+        out = {}
+        out["knn"] = sorted(
+            map(tuple, similarity.knn_graph(df, k=3, n_centroids=16, nprobe=5).collect())
+        )
+        out["ann"] = sorted(
+            map(tuple, similarity.ann_join(df, qdf, k=3, n_centroids=16, nprobe=5).collect())
+        )
+        out["ivf"] = sorted(
+            map(tuple, similarity.ivf_topk(df, qdf, k=3, n_centroids=16, nprobe=5).collect())
+        )
+        out["sem"] = sorted(
+            map(tuple, similarity.semantic_dedup(df, threshold=0.2, n_clusters=16).collect())
+        )
+        out["near"] = sorted(
+            map(tuple, similarity.embedding_neardup_pairs(df, threshold=0.3, n_blocks=16).collect())
+        )
+        return out
+
+    monkeypatch.setattr(similarity, "ARROW_ASSIGN_MIN_NC", 1)  # force Arrow
+    arrow = run_all()
+    monkeypatch.setattr(similarity, "ARROW_ASSIGN_MIN_NC", 1 << 30)  # force expr
+    expr = run_all()
+    for name in arrow:
+        assert arrow[name] == expr[name], name

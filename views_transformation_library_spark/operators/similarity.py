@@ -265,6 +265,7 @@ def embedding_neardup_pairs(
     id_t = dict(vectors.dtypes).get(id_col, "bigint")
     margin = t - 1e-6
     CHUNK = 2048
+    _blk_dim = len(centroids[0])  # index dimension; ragged rows are dropped
 
     def _score_blocks(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         cols = ["a", "b", "__cos"]
@@ -273,8 +274,15 @@ def embedding_neardup_pairs(
             return empty
 
         def prep(pdf, id_c, v_c):
-            ok = pdf[v_c].notna().values
+            # drop null / wrong-dimension vectors (no defined cosine)
+            # instead of crashing np.vstack on a ragged batch (r9)
+            ok = np.array(
+                [v is not None and len(v) == _blk_dim for v in pdf[v_c]],
+                dtype=bool,
+            )
             ids = pdf[id_c].values[ok]
+            if not ok.any():
+                return ids, np.zeros((0, 1)), np.zeros(0)
             X = np.vstack(pdf[v_c].values[ok]).astype(np.float64)
             nsq = np.zeros(len(X))
             for i in range(X.shape[1]):
@@ -525,7 +533,12 @@ def train_ivf_centroids(
         .toPandas()
         .sort_values(id_col)
     )
-    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    # train on the valid vectors only: null / wrong-dimension rows carry
+    # no geometry (they assign to the null-d2 bucket downstream and every
+    # scorer drops them) — and a ragged np.array would crash the trainer
+    vals = [v for v in pdf[vec_col] if v is not None and len(v) > 0]
+    dim = len(vals[0]) if vals else 0
+    X = np.array([list(v) for v in vals if len(v) == dim], dtype=np.float64)
     return lloyd_kmeans(X, n_centroids, n_iters=n_iters, seed=seed)
 
 
@@ -947,7 +960,10 @@ def knn_graph(
         F.explode("__probes").alias("__bucket"),
     )
     id_t = dict(vectors.dtypes).get(id_col, "bigint")
-    return _cogrouped_bucket_topk(members, probes, k, id_t, exclude_self=True)
+    return _cogrouped_bucket_topk(
+        members, probes, k, id_t, exclude_self=True,
+        dim=len(centroids[0]) if centroids else None,
+    )
 
 
 def _cogrouped_bucket_topk(
@@ -956,6 +972,7 @@ def _cogrouped_bucket_topk(
     k: int,
     id_t: str,
     exclude_self: bool,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared bucket-cogrouped scoring/ranking tail for the large-large
     ANN shapes (`knn_graph`, `ann_join`). members: (__id, __v, __bucket);
@@ -977,6 +994,7 @@ def _cogrouped_bucket_topk(
     full candidate set — the strict DuckDB gate proves it. Task memory is
     O(PRUNE_AT + CHUNK²) regardless of bucket size; a hot bucket costs
     quadratic WORK, never quadratic memory."""
+    exp_dim = dim  # closure alias: _score_bucket reuses the name `dim` locally
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, __cos double"
     CHUNK = 2048  # bounds the pair matrix at CHUNK^2 doubles per step
     prune_at, margin = PRUNE_AT, TOPK_MARGIN  # snapshot for the closure
@@ -1022,8 +1040,19 @@ def _cogrouped_bucket_topk(
             return empty
 
         def prep(pdf, id_c, v_c):
-            ok = pdf[v_c].notna().values
+            # null and (when the caller supplies the index dimension)
+            # wrong-dimension vectors carry no defined cosine — drop them
+            # like zero-norm rows instead of crashing np.vstack (r9)
+            ok = np.array(
+                [
+                    v is not None and (exp_dim is None or len(v) == exp_dim)
+                    for v in pdf[v_c]
+                ],
+                dtype=bool,
+            )
             ids = pdf[id_c].values[ok]
+            if not ok.any():
+                return ids, np.zeros((0, 1)), np.zeros(0)
             X = np.vstack(pdf[v_c].values[ok]).astype(np.float64)
             # norm via the same left-fold order as `_norm`
             nsq = np.zeros(len(X))
@@ -1203,7 +1232,10 @@ def ann_join(
             ).alias("__bucket"),
         )
     id_t = dict(corpus.dtypes).get(id_col, "bigint")
-    return _cogrouped_bucket_topk(members, probes, k, id_t, exclude_self=exclude_self)
+    return _cogrouped_bucket_topk(
+        members, probes, k, id_t, exclude_self=exclude_self,
+        dim=len(centroids[0]) if centroids else None,
+    )
 
 
 def _d2_mul_expr(vec_col: str, centroid: list[float]):
@@ -1327,10 +1359,15 @@ def semantic_dedup(
     margin = float(threshold) - 1e-6
     CHUNK = 2048
 
+    _cl_dim = len(centroids[0])  # index dimension; ragged rows are dropped
+
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["__ida", "__idb", "__cos", "__dca", "__dcb"]
         empty = pd.DataFrame({c: [] for c in cols})
-        ok = pdf["__v"].notna().values & (pdf["__n"].values > 0.0)
+        ok = (
+            np.array([v is not None and len(v) == _cl_dim for v in pdf["__v"]])
+            & (pdf["__n"].values > 0.0)
+        )
         if ok.sum() < 2:
             return empty
         ids = pdf["__id"].values[ok]
