@@ -147,7 +147,7 @@ def check_sessionize(spark, ev_dir: str) -> dict:
         )
         if r["user_id"] != FLUSH_USER
     }
-    ev = spark.read.parquet(ev_dir).filter(F.col("user_id") != FLUSH_USER)
+    ev = _read_batch(spark, ev_dir, EV_SCHEMA).filter(F.col("user_id") != FLUSH_USER)
     batch = {
         (r["unit_id"], r["start_tick"], r["end_tick"], r["n_events"])
         for r in relational.sessionize(
@@ -178,7 +178,7 @@ def check_dedup(spark, doc_dir: str) -> dict:
     }
     batch = {
         r["doc_id"]
-        for r in dedup.dedup_keep(spark.read.parquet(doc_dir)).select("doc_id").collect()
+        for r in dedup.dedup_keep(_read_batch(spark, doc_dir, DOC_SCHEMA)).select("doc_id").collect()
     }
     return _verdict(streamed, batch)
 
@@ -215,7 +215,7 @@ def check_sliding_sum(spark, ev_dir: str) -> dict:
     }
     batch = {
         (r["unit_id"], r["ws"], str(r["ms"]), r["n_events"])
-        for r in spark.read.parquet(ev_dir)
+        for r in _read_batch(spark, ev_dir, EV_SCHEMA)
         .filter(F.col("user_id") != FLUSH_USER)
         .groupBy(
             F.window("ts", "7 days", "1 day").alias("__w"),
@@ -254,7 +254,7 @@ def check_minhash(spark, doc_dir: str) -> dict:
     exactly_once = len(rows) == len(streamed)
 
     # batch expectation: band collisions over the full corpus signatures
-    docs = spark.read.parquet(doc_dir)
+    docs = _read_batch(spark, doc_dir, DOC_SCHEMA)
     sig = bdedup.minhash_signatures(bdedup._shingles(docs, "doc_id", "text", n), n_hashes=n_hashes)
     sig_rows = {r["doc"]: [r[f"mh_{j}"] for j in range(n_hashes)] for r in sig.collect()}
     batch = set()
@@ -301,7 +301,7 @@ def check_funnel(spark, ev_dir: str) -> dict:
         for u, r in final.items()
         if u != FLUSH_USER
     }
-    ev = spark.read.parquet(ev_dir).filter(F.col("user_id") != FLUSH_USER)
+    ev = _read_batch(spark, ev_dir, EV_SCHEMA).filter(F.col("user_id") != FLUSH_USER)
     batch = {
         (r["unit_id"], r["step_1_ts"], r["step_2_ts"], r["step_3_ts"], r["steps_reached"])
         for r in relational.funnel(
@@ -337,7 +337,7 @@ def check_panel(spark, ev_dir: str) -> dict:
     }
     batch = {
         (r["time_id"], r["unit_id"], str(r["v"]))
-        for r in spark.read.parquet(ev_dir)
+        for r in _read_batch(spark, ev_dir, EV_SCHEMA)
         .filter(F.col("user_id") != FLUSH_USER)
         .groupBy(
             F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("time_id"),
@@ -349,6 +349,17 @@ def check_panel(spark, ev_dir: str) -> dict:
         .collect()
     }
     return _verdict(streamed, batch)
+
+
+EV_SCHEMA = "ts timestamp, user_id long, event_type string, value double"
+DOC_SCHEMA = "ts timestamp, doc_id long, text string"
+
+
+def _read_batch(spark, path: str, schema: str):
+    """Batch read with the SAME explicit schema the stream side uses —
+    the pandas-written parquet reads as TIMESTAMP_NTZ otherwise, which
+    unix_micros/window reject."""
+    return spark.read.schema(schema).parquet(path)
 
 
 def _verdict(streamed: set, batch: set) -> dict:
