@@ -498,13 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prune; keep flag as INT for a type-stable hash gate
     q["semantic_dedup"] = lambda s, d: similarity.semantic_dedup(
         _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
-        n_clusters=SEMANTIC_DEDUP_CLUSTERS,
+        n_clusters=None,
     ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
     # the paper's keep-farthest-from-centroid representative rule
     # (local-only oracle row; the min_id flagship holds the driver slot)
     q["semantic_dedup_far"] = lambda s, d: similarity.semantic_dedup(
         _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
-        n_clusters=SEMANTIC_DEDUP_CLUSTERS, keep="farthest",
+        n_clusters=None, keep="farthest",
     ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
 
     # --- beyond-reference: multimodal plumbing (documents as binary)
@@ -673,10 +673,24 @@ DRIVER_PRIORITY = [
 # synthetic corpus so tf/df exercise the formula non-trivially)
 BM25_TERMS = ["hash", "join", "scan"]
 
-# semantic-dedup gate params: few clusters + permissive threshold so the
-# sf0.01 embeddings yield a real mix of kept/dropped rows
+# semantic-dedup gate params: permissive threshold so the sf0.01
+# embeddings yield a real mix of kept/dropped rows. The cluster count is
+# the r9 auto policy (n_clusters=None → ceil(n / SEMDEDUP_CLUSTER_TARGET));
+# the oracle derives the SAME number from the oracle dir's corpus count —
+# a fixed count left pair work quadratic in the corpus (SCALING_r09.md).
 SEMANTIC_DEDUP_THRESHOLD = 0.3
-SEMANTIC_DEDUP_CLUSTERS = 8
+
+
+def _semantic_dedup_clusters() -> int:
+    """The n_clusters the entry's semantic_dedup queries realize at the
+    oracle SF: the SEMDEDUP_CLUSTER_TARGET sizing rule on the embeddings
+    count (mirrors similarity.semantic_dedup's n_clusters=None path)."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    return max(1, -(-int(n) // similarity.SEMDEDUP_CLUSTER_TARGET))
 
 # knn-graph gate params (r8): the entry runs the auto_graph_params scale
 # policy — nc = ceil(n/64) buckets, nprobe = max(4, ceil(nc^(2/3))) — so
@@ -769,7 +783,7 @@ def _semantic_centroids(n_clusters: int | None = None) -> list[list[float]]:
         "ORDER BY vec_id"
     ).fetchall()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    return similarity.lloyd_kmeans(X, n_clusters or SEMANTIC_DEDUP_CLUSTERS)
+    return similarity.lloyd_kmeans(X, n_clusters or _semantic_dedup_clusters())
 
 
 def _pca_oracle(k: int = 4) -> str:
@@ -805,7 +819,7 @@ FROM embeddings e, m
 
 
 def _semantic_dedup_oracle(keep: str = "min_id") -> str:
-    cents = _semantic_centroids()
+    cents = _semantic_centroids(_semantic_dedup_clusters())
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
     )

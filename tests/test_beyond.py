@@ -1092,6 +1092,19 @@ def test_semantic_dedup_planted_duplicates(vectors):
     assert all(out[i]["keep"] for i in range(20))
 
 
+def test_semantic_dedup_auto_clusters(vectors):
+    """n_clusters=None derives ceil(n / SEMDEDUP_CLUSTER_TARGET) (the r9
+    scale policy) and matches the explicit parameterization exactly."""
+    n = vectors.count()
+    derived = max(1, -(-n // similarity.SEMDEDUP_CLUSTER_TARGET))
+    auto = sorted(map(tuple, similarity.semantic_dedup(
+        vectors, threshold=0.3, n_clusters=None).collect()))
+    explicit = sorted(map(tuple, similarity.semantic_dedup(
+        vectors, threshold=0.3, n_clusters=derived).collect()))
+    assert auto == explicit
+    assert {c for _, c, _ in auto} <= set(range(derived))
+
+
 def test_semantic_dedup_differential_brute_force(vectors):
     n_clusters, t = 4, 0.3
     cents = similarity.train_ivf_centroids(vectors, n_clusters)

@@ -860,6 +860,17 @@ def _graph_nprobe(n_centroids: int) -> int:
     return min(int(n_centroids), max(4, math.ceil(n_centroids ** (2.0 / 3.0))))
 
 
+# Default mean cluster size for semantic_dedup's nc=None auto policy.
+# Coarser than GRAPH_BUCKET_TARGET on purpose: SemDeDup only COMPARES
+# within a cluster (a duplicate pair split across clusters is missed
+# outright — there is no nprobe to recover it), so dedup recall wants the
+# largest clusters the pair scorer can afford. 512 keeps per-cluster pair
+# matrices ~512²/2 ≈ 131k (a single chunk block for the cogrouped numpy
+# scorer), total pair work ≈ 256·N (linear), and the ~2.5 ms/group Arrow
+# dispatch negligible (N/512 groups, vs N/64 at the graph target).
+SEMDEDUP_CLUSTER_TARGET = 512
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,
@@ -1268,7 +1279,7 @@ def nearest_cluster_expr(vec_col: str, centroids: list[list[float]]):
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.5,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -1296,9 +1307,13 @@ def semantic_dedup(
     undefined cosine and are always kept.
 
     Scale design: this is the SemDeDup bargain — candidate pairs are
-    confined to clusters, so pair work is sum_i |c_i|^2 instead of N^2;
-    n_clusters should grow ~N/10^4 at corpus scale so mean cluster size
-    stays bounded, and the cluster-id equi-join shuffles each vector once.
+    confined to clusters, so pair work is sum_i |c_i|^2 instead of N^2.
+    ``n_clusters=None`` derives ceil(N / SEMDEDUP_CLUSTER_TARGET) from a
+    cheap count (the same ∝N sizing rule as the graph family, coarser
+    target — see SEMDEDUP_CLUSTER_TARGET), which makes total pair work
+    LINEAR in N; a fixed n_clusters leaves it quadratic (measured: the r9
+    sf3/sf5 sweep, SCALING_r09.md). The cluster-id groupBy shuffles each
+    vector once.
     Assignment is a centroid-literal column expression in the scan (no
     join); the assignment table is materialized once and feeds both
     self-join branches (Catalyst would otherwise re-run scan+assign per
@@ -1312,6 +1327,12 @@ def semantic_dedup(
         id_type = dict(vectors.dtypes).get(id_col, "bigint")
         return vectors.sparkSession.createDataFrame(
             [], schema=f"{id_col} {id_type}, cluster int, keep boolean"
+        )
+    if n_clusters is None:
+        n_clusters = (
+            len(centroids)
+            if centroids is not None
+            else _derived_n_centroids(vectors, SEMDEDUP_CLUSTER_TARGET)
         )
     if centroids is None:
         centroids = train_ivf_centroids(
