@@ -342,6 +342,16 @@ def pca_fit(X: "np.ndarray", k: int) -> tuple[list[float], list[list[float]]]:
     return mean.tolist(), comps.T.tolist()
 
 
+def _stack_vectors(seq) -> "np.ndarray":
+    """Row-stack Arrow-native vector cells without python-list boxing.
+    Identical float64 values to np.array([list(v) for v in seq]) — which
+    boxed every element through a PyFloat (~15 s at a 100k×64 sample,
+    the r9 knn stage profile) — at vstack speed. Assumes uniform dims
+    (callers filter ragged rows first where they can occur)."""
+    arrs = [np.asarray(v, dtype=np.float64) for v in seq]
+    return np.vstack(arrs) if arrs else np.array([], dtype=np.float64)
+
+
 def train_pca(
     vectors: DataFrame,
     k: int = 4,
@@ -364,7 +374,7 @@ def train_pca(
         .toPandas()
         .sort_values(id_col)
     )
-    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    X = _stack_vectors(pdf[vec_col])
     return pca_fit(X, k)
 
 
@@ -386,7 +396,7 @@ def train_pca_distributed(
         s = None
         g = None
         for pdf in batches:
-            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            X = _stack_vectors(pdf[vec_col])
             if not len(X):
                 continue
             n += len(X)
@@ -486,19 +496,23 @@ def lloyd_kmeans(
     Empty clusters keep their previous centroid."""
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    # ||x−c||² = ||x||² − 2x·c + ||c||² via one GEMM. The broadcast tensor
-    # this replaces ((n, nc, dim) float64) was ~3 GB of memory traffic PER
-    # ITERATION at n=20k, nc=313 — 40 s of the r8 sf1 knn_graph wall.
+    # Assignment key: argmin_c ||x−c||² == argmin_c (||c||² − 2x·c) — the
+    # per-row ||x||² term is constant and dropped. One GEMM into a
+    # preallocated buffer, then two IN-PLACE passes; the r8 version (full
+    # d2 = xx − 2G + cc) spent 14 s/call at n=1e5, nc=1563 ASSEMBLING d2
+    # through ~3.7 GB of broadcast temporaries (the GEMM itself was 1.7 s;
+    # r9 sweep, KNN_STAGES_r09.json — train was 78% of the sf5 knn wall).
     # Training-internal distances never need cross-engine float parity:
     # the oracle replicates centroids by running THIS function on the
     # same rows, so both engines see identical assignments by construction
     # (deterministic for a fixed input order — argmin ties break to the
     # lower centroid id in both).
-    xx = np.einsum("ij,ij->i", X, X)
+    G = np.empty((len(X), len(centroids)))
     for _ in range(n_iters):
-        cc = np.einsum("ij,ij->i", centroids, centroids)
-        d2 = xx[:, None] - 2.0 * (X @ centroids.T) + cc[None, :]
-        assign = d2.argmin(axis=1)
+        np.dot(X, centroids.T, out=G)
+        np.multiply(G, -2.0, out=G)
+        G += np.einsum("ij,ij->i", centroids, centroids)[None, :]
+        assign = G.argmin(axis=1)
         for c in range(len(centroids)):
             members = X[assign == c]
             if len(members):
@@ -538,7 +552,10 @@ def train_ivf_centroids(
     # scorer drops them) — and a ragged np.array would crash the trainer
     vals = [v for v in pdf[vec_col] if v is not None and len(v) > 0]
     dim = len(vals[0]) if vals else 0
-    X = np.array([list(v) for v in vals if len(v) == dim], dtype=np.float64)
+    # vstack of the Arrow-native arrays, not np.array([list(v) ...]):
+    # boxing every element through a python list cost ~15 s at a 100k×64
+    # sample (6.4M PyFloat objects) — identical float64 values either way
+    X = _stack_vectors(v for v in vals if len(v) == dim)
     return lloyd_kmeans(X, n_centroids, n_iters=n_iters, seed=seed)
 
 
@@ -1467,7 +1484,7 @@ def train_pq_codebooks(
         .toPandas()
         .sort_values(id_col)
     )
-    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    X = _stack_vectors(pdf[vec_col])
     if X.size == 0:
         raise ValueError("cannot train PQ codebooks on an empty sample")
     dim = X.shape[1]
