@@ -506,6 +506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD,
         n_clusters=None, keep="farthest",
     ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
+    # explicit multi-cluster variant (local-only strict row): the auto
+    # policy resolves to ONE cluster at the driver SF (ceil(500/512)), so
+    # without this the k-means assignment / cluster-confinement parity
+    # surface of semantic_dedup would leave the byte-exact gates (ADVICE r9)
+    q["semantic_dedup_nc4"] = lambda s, d: similarity.semantic_dedup(
+        _embs(s, d), threshold=SEMANTIC_DEDUP_THRESHOLD, n_clusters=4,
+    ).select("vec_id", "cluster", F.col("keep").cast("int").alias("keep"))
 
     # --- beyond-reference: multimodal plumbing (documents as binary)
     q["multimodal_features"] = lambda s, d: multimodal.extract_features(
@@ -690,7 +697,9 @@ def _semantic_dedup_clusters() -> int:
     n = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
     ).fetchone()[0]
-    return max(1, -(-int(n) // similarity.SEMDEDUP_CLUSTER_TARGET))
+    # the ONE shared sizing rule (similarity.semdedup_n_clusters) — never
+    # re-derive the formula here, or a policy tweak desyncs oracle vs query
+    return similarity.semdedup_n_clusters(n)
 
 # knn-graph gate params (r8): the entry runs the auto_graph_params scale
 # policy — nc = ceil(n/64) buckets, nprobe = max(4, ceil(nc^(2/3))) — so
@@ -818,8 +827,8 @@ FROM embeddings e, m
 """
 
 
-def _semantic_dedup_oracle(keep: str = "min_id") -> str:
-    cents = _semantic_centroids(_semantic_dedup_clusters())
+def _semantic_dedup_oracle(keep: str = "min_id", n_clusters: int | None = None) -> str:
+    cents = _semantic_centroids(n_clusters or _semantic_dedup_clusters())
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -3116,6 +3125,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["bm25_topk"] = retrieval.bm25_oracle_sql(BM25_TERMS, k=25)
     o["semantic_dedup"] = _semantic_dedup_oracle()
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
+    o["semantic_dedup_nc4"] = _semantic_dedup_oracle(n_clusters=4)
     o["knn_graph"] = _knn_graph_oracle()
     o["embedding_pca"] = _pca_oracle(4)
     o["ann_join"] = _knn_graph_oracle(

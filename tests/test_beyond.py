@@ -1092,17 +1092,23 @@ def test_semantic_dedup_planted_duplicates(vectors):
     assert all(out[i]["keep"] for i in range(20))
 
 
-def test_semantic_dedup_auto_clusters(vectors):
-    """n_clusters=None derives ceil(n / SEMDEDUP_CLUSTER_TARGET) (the r9
-    scale policy) and matches the explicit parameterization exactly."""
+def test_semantic_dedup_auto_clusters(vectors, monkeypatch):
+    """n_clusters=None derives the shared semdedup_n_clusters policy and
+    matches the explicit parameterization exactly. The cluster target is
+    monkeypatched small so the fixture derives MULTIPLE clusters — the
+    22-row fixture at the real target derives 1 and would leave the
+    multi-cluster wiring untested (ADVICE r9)."""
+    monkeypatch.setattr(similarity, "SEMDEDUP_CLUSTER_TARGET", 8)
     n = vectors.count()
-    derived = max(1, -(-n // similarity.SEMDEDUP_CLUSTER_TARGET))
+    derived = similarity.semdedup_n_clusters(n)
+    assert derived > 1
     auto = sorted(map(tuple, similarity.semantic_dedup(
         vectors, threshold=0.3, n_clusters=None).collect()))
     explicit = sorted(map(tuple, similarity.semantic_dedup(
         vectors, threshold=0.3, n_clusters=derived).collect()))
     assert auto == explicit
     assert {c for _, c, _ in auto} <= set(range(derived))
+    assert len({c for _, c, _ in auto}) > 1
 
 
 def test_semantic_dedup_differential_brute_force(vectors):

@@ -349,7 +349,9 @@ def _stack_vectors(seq) -> "np.ndarray":
     the r9 knn stage profile) — at vstack speed. Assumes uniform dims
     (callers filter ragged rows first where they can occur)."""
     arrs = [np.asarray(v, dtype=np.float64) for v in seq]
-    return np.vstack(arrs) if arrs else np.array([], dtype=np.float64)
+    # empty case keeps the 2-D contract (shape (0, 0)), so callers reading
+    # X.shape[1] after a size check never hit a 1-D surprise (ADVICE r9)
+    return np.vstack(arrs) if arrs else np.empty((0, 0), dtype=np.float64)
 
 
 def train_pca(
@@ -888,6 +890,16 @@ def _graph_nprobe(n_centroids: int) -> int:
 SEMDEDUP_CLUSTER_TARGET = 512
 
 
+def semdedup_n_clusters(n: int) -> int:
+    """THE semantic_dedup cluster-count policy for ``n_clusters=None`` —
+    the single source of truth shared by `semantic_dedup` itself, the
+    entry oracle helper (`__spark_entry__._semantic_dedup_clusters`) and
+    the tests, so a future policy tweak (a floor, a cap) cannot desync
+    oracle vs query cluster counts (ADVICE r9). Reads the module-level
+    SEMDEDUP_CLUSTER_TARGET at call time (monkeypatch-friendly)."""
+    return max(1, -(-int(n) // int(SEMDEDUP_CLUSTER_TARGET)))
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,
@@ -1349,7 +1361,7 @@ def semantic_dedup(
         n_clusters = (
             len(centroids)
             if centroids is not None
-            else _derived_n_centroids(vectors, SEMDEDUP_CLUSTER_TARGET)
+            else semdedup_n_clusters(vectors.count())
         )
     if centroids is None:
         centroids = train_ivf_centroids(
