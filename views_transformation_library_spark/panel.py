@@ -15,6 +15,8 @@ the reference (SURVEY.md §7 "positional vs value-based lags").
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TIME = "time_id"
@@ -77,7 +79,23 @@ def materialize(df: DataFrame) -> DataFrame:
     (checkpointing is a batch concept)."""
     if df.isStreaming:
         return df
-    return df.localCheckpoint(eager=False)
+    # eager=True (default since r10). eager=False shared the
+    # materialization with the first consumer job, but when that first
+    # consumer was a broadcast-subquery job racing the main job, the
+    # finisher's doCheckpoint truncated lineage and dropped the only
+    # strong refs to upstream SQLMetric accumulators while the other
+    # job's tasks were in flight — their completion logged a non-fatal
+    # "ERROR DAGScheduler: Failed to update accumulator" on every panel
+    # query (UI metrics only; data, results, timings unaffected —
+    # root-caused r10, repro: tools/repro_accum_gc.py, 50 ERRORs lazy /
+    # 0 eager on the entry flagship). The r3 lazy-wins A/B no longer
+    # holds: the r10 counterbalanced ABBA over the 9 panel-heavy bench
+    # queries at sf0.1 is a wash (lazy 12.551 s vs eager 12.612 s,
+    # 1.00x, per-query ±4% both directions — BENCH_NOTES_r10.md), so
+    # eager buys a clean scheduler log for free. SPARK_GRAFT_EAGER_MAT=0
+    # forces the old lazy behavior (kept reachable for A/Bs).
+    eager = os.environ.get("SPARK_GRAFT_EAGER_MAT", "1") != "0"
+    return df.localCheckpoint(eager=eager)
 
 
 # The PRIO-GRID unit axis is structurally bounded at 720 x 360 = 259,200
