@@ -486,6 +486,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), k=KNN_GRAPH_K, n_centroids=None, nprobe=None,
         bucket_target=KNN_GRAPH_BUCKET_TARGET,
     )
+    # forced TWO-LEVEL coarse-quantizer variant (local-only strict row,
+    # r10): bucket_target=4 realizes nc >= TWO_LEVEL_MIN_NC at every SF
+    # (125 at sf0.01), so the super-rank -> restricted-child-rank parity
+    # surface sits inside a byte-exact gate even where the auto params
+    # stay single-level; the driver-slot knn_graph exercises two-level
+    # naturally from sf1 up (nc=313)
+    q["knn_graph_2l"] = lambda s, d: similarity.knn_graph(
+        _embs(s, d), k=KNN_GRAPH_K, n_centroids=None, nprobe=None,
+        bucket_target=4,
+    )
     # two-table large-large ANN join: every 5th vector as the query table
     # against the full corpus (local-only oracle row; knn_graph holds the
     # family's driver slot)
@@ -710,7 +720,9 @@ KNN_GRAPH_K = 5
 KNN_GRAPH_BUCKET_TARGET = similarity.GRAPH_BUCKET_TARGET
 
 
-def _knn_graph_params() -> tuple[int, int]:
+def _knn_graph_params(
+    bucket_target: int = KNN_GRAPH_BUCKET_TARGET,
+) -> tuple[int, int]:
     """(n_centroids, nprobe) the entry's knn_graph/ann_join queries will
     realize at the oracle SF: auto_graph_params on the embeddings count."""
     import duckdb
@@ -718,18 +730,30 @@ def _knn_graph_params() -> tuple[int, int]:
     n = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
     ).fetchone()[0]
-    p = similarity.auto_graph_params(n, KNN_GRAPH_BUCKET_TARGET)
+    p = similarity.auto_graph_params(n, bucket_target)
     return p["n_centroids"], p["nprobe"]
 
 
-def _knn_graph_oracle(query_filter: str = "", exclude_self: bool = True) -> str:
+def _knn_graph_oracle(
+    query_filter: str = "",
+    exclude_self: bool = True,
+    bucket_target: int = KNN_GRAPH_BUCKET_TARGET,
+) -> str:
     """DuckDB mirror of the IVF-bucketed kNN graph / two-table ANN join:
     same inlined centroids (bit-identical trainer replication), same
     argmin assignment, same nprobe-nearest probe list, same 6dp cosine +
     neighbor_id tie ranking. ``query_filter`` restricts the probe side
     (the ann_join gate); ``exclude_self=False`` keeps identical-id pairs
-    (two-table semantics)."""
-    nc, np_ = _knn_graph_params()
+    (two-table semantics).
+
+    When the index is large enough for the TWO-LEVEL coarse quantizer
+    (nc >= similarity.TWO_LEVEL_MIN_NC — the exact gate the Spark
+    operators apply), the mirror derives the IDENTICAL super index via
+    `similarity.two_level_index` on the replicated centroids and ranks
+    children only within each vector's nsp nearest supers — the same
+    (d2s asc, sid asc) super order and (d2 asc, cid asc) child order,
+    each d2 the same left-fold list_sum comprehension."""
+    nc, np_ = _knn_graph_params(bucket_target)
     cents = _semantic_centroids(nc)
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
@@ -738,8 +762,45 @@ def _knn_graph_oracle(query_filter: str = "", exclude_self: bool = True) -> str:
         "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
         "for i in generate_series(1, len(e.embedding))])"
     )
-    self_cond = " AND m.vec_id <> p.vec_id" if exclude_self else ""
-    return f"""
+    if nc >= similarity.TWO_LEVEL_MIN_NC:
+        tl = similarity.two_level_index(cents, np_)
+        svals = ",\n    ".join(
+            f"({i}, {[float(x) for x in s]!r}::DOUBLE[])"
+            for i, s in enumerate(tl["supers"])
+        )
+        cvals = ",\n    ".join(
+            f"({i}, {sid}, {[float(x) for x in c]!r}::DOUBLE[])"
+            for i, (c, sid) in enumerate(zip(cents, tl["child_super"]))
+        )
+        d2s = (
+            "list_sum([(e.embedding[i]::DOUBLE - s.sc[i]) * (e.embedding[i]::DOUBLE - s.sc[i]) "
+            "for i in generate_series(1, len(e.embedding))])"
+        )
+        head = f"""
+WITH supers(sid, sc) AS (VALUES
+    {svals}
+),
+cents(cid, csid, c) AS (VALUES
+    {cvals}
+),
+sprb AS (
+  SELECT e.vec_id, s.sid
+  FROM embeddings e CROSS JOIN supers s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2s}, s.sid) <= {tl["nsp"]}
+),
+d AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM sprb sp
+  JOIN cents c ON c.csid = sp.sid
+  JOIN embeddings e ON e.vec_id = sp.vec_id
+),
+prb AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+  FROM d
+),"""
+    else:
+        head = f"""
 WITH cents(cid, c) AS (VALUES
     {vals}
 ),
@@ -751,7 +812,9 @@ prb AS (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
   FROM d
-),
+),"""
+    self_cond = " AND m.vec_id <> p.vec_id" if exclude_self else ""
+    return f"""{head}
 asg AS (SELECT vec_id, cid FROM prb WHERE pr = 1),
 probes AS (SELECT vec_id, cid FROM prb WHERE pr <= {np_} {query_filter}),
 nrm AS (
@@ -3127,6 +3190,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
     o["semantic_dedup_nc4"] = _semantic_dedup_oracle(n_clusters=4)
     o["knn_graph"] = _knn_graph_oracle()
+    o["knn_graph_2l"] = _knn_graph_oracle(bucket_target=4)
     o["embedding_pca"] = _pca_oracle(4)
     o["ann_join"] = _knn_graph_oracle(
         query_filter="AND vec_id % 5 = 0", exclude_self=False

@@ -1981,3 +1981,126 @@ def test_arrow_assignment_matches_expression_path(spark, vectors, monkeypatch):
     expr = run_all()
     for name in arrow:
         assert arrow[name] == expr[name], name
+
+# ---------------------------------------------------------------------------
+# two-level coarse quantizer (r10)
+
+
+@pytest.fixture(scope="module")
+def tl_corpus(spark):
+    """400 gaussian vectors — big enough for a real two-level index
+    (nc=80 -> ns=9 supers) — plus a null and a ragged row."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(400, 16)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(400)]
+    rows += [(500, None), (501, [1.0, 2.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_two_level_index_pure_and_covering(tl_corpus):
+    """two_level_index is a pure deterministic function of
+    (centroids, nprobe, seed) and its nsp rule guarantees worst-case
+    child coverage >= min(nc, SUPER_COVERAGE*nprobe)."""
+    cents = similarity.train_ivf_centroids(tl_corpus, 80)
+    a = similarity.two_level_index(cents, nprobe=12)
+    b = similarity.two_level_index(cents, nprobe=12)
+    assert a == b  # pure: bit-identical floats, same map, same nsp
+    ns = len(a["supers"])
+    assert ns == math.ceil(math.sqrt(len(cents)))
+    assert len(a["child_super"]) == len(cents)
+    counts = sorted(
+        np.bincount(a["child_super"], minlength=ns).tolist()
+    )
+    target = min(len(cents), similarity.SUPER_COVERAGE * 12)
+    assert sum(counts[: a["nsp"]]) >= target  # ANY nsp supers cover it
+
+
+def test_two_level_assign_matches_brute_force(tl_corpus):
+    """assign_probes_two_level == a per-row python-fold reference of the
+    same semantics (super rank by (d2s, sid), child rank by (d2, cid)
+    over the restricted set), bit-exactly — including the null/ragged
+    contract (probes=[0..np), d2 null)."""
+    cents = similarity.train_ivf_centroids(tl_corpus, 80)
+    tl = similarity.two_level_index(cents, nprobe=12)
+    out = similarity.assign_probes_two_level(
+        tl_corpus, "embedding", cents, 12, tl, with_d2=True
+    ).collect()
+    assert len(out) == 402
+    C, S = np.asarray(cents), np.asarray(tl["supers"])
+    CS = np.asarray(tl["child_super"])
+
+    def fold(x, c):
+        acc = 0.0
+        for i in range(len(x)):
+            d = x[i] - c[i]
+            acc = acc + d * d
+        return acc
+
+    for r in out:
+        if r["embedding"] is None or len(r["embedding"]) != 16:
+            assert list(r["__probes"]) == list(range(12))
+            assert r["__d2"] is None
+            continue
+        x = np.asarray(r["embedding"])
+        top_sup = [s for _, s in sorted((fold(x, S[s]), s) for s in range(len(S)))[: tl["nsp"]]]
+        cand = [c for c in range(len(C)) if CS[c] in top_sup]
+        ranked = sorted((fold(x, C[c]), c) for c in cand)
+        assert list(r["__probes"]) == [c for _, c in ranked[:12]]
+        assert r["__d2"] == ranked[0][0]  # bit-exact fold
+
+
+def test_two_level_vacuous_restriction_equals_flat(tl_corpus, monkeypatch):
+    """With nsp == ns the restriction is vacuous: two-level output must be
+    BYTE-IDENTICAL to the flat Arrow path (same folds, same tie order) —
+    the strongest cross-path equivalence available, since a partial nsp
+    legitimately changes probe sets."""
+    cents = similarity.train_ivf_centroids(tl_corpus, 80)
+    tl = similarity.two_level_index(cents, nprobe=12)
+    tl_full = dict(tl, nsp=len(tl["supers"]))
+    two = similarity.assign_probes_two_level(
+        tl_corpus, "embedding", cents, 12, tl_full, with_d2=True
+    ).collect()
+    flat = similarity.assign_probes_arrow(
+        tl_corpus, "embedding", cents, 12, with_d2=True
+    ).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, flat))
+
+
+def test_two_level_knn_graph_end_to_end(tl_corpus, monkeypatch):
+    """knn_graph over the two-level gate: emitted cosines are EXACT (only
+    coverage is approximate), ranks are dense per query, and recall@3 vs
+    the exact graph stays high on a 400-vector corpus."""
+    monkeypatch.setattr(similarity, "TWO_LEVEL_MIN_NC", 1)
+    approx = similarity.knn_graph(
+        tl_corpus, k=3, n_centroids=None, nprobe=None, bucket_target=5
+    ).collect()
+    monkeypatch.setattr(similarity, "TWO_LEVEL_MIN_NC", 1 << 30)
+    pdf = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in tl_corpus.collect()
+           if r["embedding"] is not None and len(r["embedding"]) == 16}
+    # exact cosine check on every emitted pair (same fold + HALF_UP round)
+    import decimal
+    for r in approx:
+        a, b = pdf[r["query_id"]], pdf[r["neighbor_id"]]
+        acc = na = nb = 0.0
+        for i in range(16):
+            acc = acc + a[i] * b[i]
+            na = na + a[i] * a[i]
+            nb = nb + b[i] * b[i]
+        cos = acc / (math.sqrt(na) * math.sqrt(nb))
+        exp = float(decimal.Decimal(repr(cos)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)) + 0.0
+        assert r["cosine"] == exp
+    # dense ranks
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # recall@3 vs the exact graph (nprobe = nc probes everything)
+    exact = similarity.knn_graph(
+        tl_corpus, k=3, n_centroids=8, nprobe=8
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall

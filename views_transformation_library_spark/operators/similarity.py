@@ -741,6 +741,192 @@ def assign_probes_arrow(
     return df.mapInPandas(run, schema=schema)
 
 
+# Two-level (coarse-quantized) assignment engages at/above this index
+# size. Below it the flat scan of all nc centroids is already cheap and
+# the extra super-level pass + restricted candidate bookkeeping would
+# cost more than it saves; above it assignment flops drop from
+# rows × nc to rows × (√nc + nsp·√nc) — the last ∝ n² term in the
+# graph family once nc grows ∝ N (SCALING_r09.md; VERDICT r9 #1).
+TWO_LEVEL_MIN_NC = 64
+
+# Worst-case child-coverage multiple for the super-probe count: probe
+# enough supers that ANY nsp of them contain >= SUPER_COVERAGE × nprobe
+# child centroids, so probe lists are always full and near-boundary
+# children are rarely missed (recall headroom; floors re-measured in
+# RECALL_*_r10).
+SUPER_COVERAGE = 2
+
+
+def two_level_index(
+    centroids: list[list[float]],
+    nprobe: int,
+    seed: int = 42,
+    coverage: int = SUPER_COVERAGE,
+) -> dict:
+    """Group an IVF index's child centroids under ⌈√nc⌉ super-centroids
+    (k-means ON THE CENTROIDS — driver-side, nc × dim, microseconds) and
+    derive the fixed super-probe count ``nsp``.
+
+    Returns ``{"supers", "child_super", "nsp"}``. Everything is a pure
+    deterministic function of (centroids, nprobe, seed), so the DuckDB
+    oracle re-derives the IDENTICAL structure by calling this function on
+    its replicated centroids — training-internal floats never need
+    cross-engine parity (CLAUDE.md); only the per-row d2 folds computed
+    downstream do.
+
+    ``nsp`` is the smallest s such that the s SMALLEST super child-counts
+    sum to >= min(nc, coverage·nprobe): a worst-case guarantee that every
+    row's restricted candidate set holds at least nprobe children (probe
+    lists never come up short), with `coverage`× headroom for recall."""
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = len(C)
+    ns = max(1, math.ceil(math.sqrt(nc)))
+    supers = lloyd_kmeans(C.copy(), ns, seed=seed)
+    S = np.asarray(supers, dtype=np.float64)
+    # child -> nearest super, ties to the lower super id (np.argmin takes
+    # the first minimum). Same left-associated (x−c)·(x−c) fold as every
+    # assignment in this module — not that it matters cross-engine here
+    # (both engines consume THIS function's output), but it keeps the
+    # semantics uniform.
+    acc = np.zeros((nc, len(S)))
+    for i in range(C.shape[1]):
+        d = C[:, i, None] - S[None, :, i]
+        acc = acc + d * d
+    child_super = acc.argmin(axis=1)
+    counts = np.sort(np.bincount(child_super, minlength=len(S)))
+    target = min(nc, int(coverage) * min(int(nprobe), nc))
+    nsp = int(np.searchsorted(np.cumsum(counts), target) + 1)
+    return {
+        "supers": [list(map(float, s)) for s in supers],
+        "child_super": [int(c) for c in child_super],
+        "nsp": min(len(S), max(1, nsp)),
+    }
+
+
+def assign_probes_two_level(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    index: dict,
+    with_d2: bool = False,
+) -> DataFrame:
+    """Two-level twin of `assign_probes_arrow`: rank the ⌈√nc⌉
+    super-centroids first, then score ONLY the child centroids of the
+    ``nsp`` nearest supers — per-row flops drop from nc·dim to
+    (√nc + nsp·√nc)·dim, the escape from the graph family's last ∝ n²
+    term (nc grows ∝ N under `auto_graph_params`).
+
+    Semantics (both engines derive them identically):
+      - super ranking: same (x−s)·(x−s) left fold, stable order
+        (d2s asc, super id asc), top ``nsp`` — worst-case child coverage
+        >= nprobe by `two_level_index`'s nsp rule.
+      - child ranking: same (x−c)·(x−c) left fold over the RESTRICTED
+        candidate set, order (d2 asc, child id asc), top ``nprobe``.
+        probes[0] is the member bucket (nearest RESTRICTED child — for a
+        near-boundary row this may differ from the global argmin; that is
+        the two-level semantics, mirrored exactly by the oracle SQL).
+      - null / wrong-dimension vectors: probes = [0..nprobe), d2 null
+        (the `assign_probes_arrow` contract; every scorer drops them).
+
+    Each per-(row, centroid) d2 is the identical left-associated float64
+    fold as the flat path and the DuckDB list_sum comprehension, computed
+    elementwise in super-grouped blocks (grouping cannot change a
+    per-element result) — so the strict gates hold byte-exactly.
+
+    Scale shape: the closure ships (nc + ns) × dim doubles once per task;
+    work is embarrassingly parallel, O(rows × (ns + nsp·nc/ns) × dim)
+    flops; per-batch candidate memory is rows × nsp × (nc/ns) entries —
+    ~coverage·nprobe per row, never a per-centroid explosion."""
+    C = np.asarray(centroids, dtype=np.float64)
+    S = np.asarray(index["supers"], dtype=np.float64)
+    child_super = np.asarray(index["child_super"], dtype=np.int64)
+    nsp = int(index["nsp"])
+    nc, dim = C.shape
+    ns = len(S)
+    npb = min(int(nprobe), nc)
+    children_of = [np.flatnonzero(child_super == s) for s in range(ns)]
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, __probes array<int>"
+    if with_d2:
+        schema += ", __d2 double"
+    null_probes = list(range(npb))
+
+    def run(batches):
+        for pdf in batches:
+            vals = pdf[vec_col]
+            n = len(pdf)
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            probes_out: list = [null_probes] * n
+            d2_out = [None] * n
+            if ok.any():
+                X = np.vstack(vals.values[ok]).astype(np.float64)
+                n_ok = len(X)
+                # super level: same left fold, stable top-nsp (ties → lower sid)
+                accs = np.zeros((n_ok, ns))
+                for i in range(dim):
+                    d = X[:, i, None] - S[None, :, i]
+                    accs = accs + d * d
+                sp = np.argsort(accs, axis=1, kind="stable")[:, :nsp]
+                # child level, grouped by probed super: score each super's
+                # children against exactly the rows that probe it
+                rows_flat = np.repeat(np.arange(n_ok), nsp)
+                sup_flat = sp.ravel()
+                order = np.argsort(sup_flat, kind="stable")
+                s_sorted, r_sorted = sup_flat[order], rows_flat[order]
+                run_starts = np.r_[
+                    0, np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1
+                ]
+                run_ends = np.r_[run_starts[1:], len(s_sorted)]
+                cr, cc, cd = [], [], []
+                for st, en in zip(run_starts, run_ends):
+                    ch = children_of[s_sorted[st]]
+                    if not len(ch):
+                        continue
+                    rws = r_sorted[st:en]
+                    Xs, Cs = X[rws], C[ch]
+                    acc = np.zeros((len(rws), len(ch)))
+                    for i in range(dim):
+                        d = Xs[:, i, None] - Cs[None, :, i]
+                        acc = acc + d * d
+                    cr.append(np.repeat(rws, len(ch)))
+                    cc.append(np.tile(ch, len(rws)))
+                    cd.append(acc.ravel())
+                r_all = np.concatenate(cr)
+                c_all = np.concatenate(cc)
+                d_all = np.concatenate(cd)
+                # rank candidates per row by (d2, child id) — lexsort keys
+                # are last-primary; ties on d2 break to the lower child id,
+                # exactly the oracle's row_number ORDER BY d2, cid
+                sel = np.lexsort((c_all, d_all, r_all))
+                rs, cs_, ds_ = r_all[sel], c_all[sel], d_all[sel]
+                starts = np.r_[0, np.flatnonzero(rs[1:] != rs[:-1]) + 1]
+                grp_len = np.diff(np.r_[starts, len(rs)])
+                rank_in_grp = np.arange(len(rs)) - np.repeat(starts, grp_len)
+                mask = rank_in_grp < npb
+                # two_level_index guarantees >= npb candidates per row, so
+                # the masked set is a dense (n_ok, npb) matrix in row order
+                pm = cs_[mask].reshape(n_ok, npb)
+                ok_idx = np.flatnonzero(ok)
+                for j, row in enumerate(ok_idx):
+                    probes_out[row] = pm[j].tolist()
+                if with_d2:
+                    nearest = ds_[mask].reshape(n_ok, npb)[:, 0]
+                    for j, row in enumerate(ok_idx):
+                        d2_out[row] = float(nearest[j])
+            out = pdf.copy()
+            out["__probes"] = probes_out
+            if with_d2:
+                out["__d2"] = d2_out
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -791,7 +977,27 @@ def ivf_topk(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,
         )
-    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+    if len(centroids) >= TWO_LEVEL_MIN_NC:
+        tl = two_level_index(centroids, nprobe, seed=seed)
+        v = assign_probes_two_level(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+            ),
+            "__vv", centroids, 1, tl,
+        ).select(
+            "neighbor_id", "__vv", _norm(F.col("__vv")).alias("__vn"),
+            F.col("__probes")[0].alias("__bucket"),
+        )
+        q = assign_probes_two_level(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "__qv", centroids, nprobe, tl,
+        ).select(
+            "query_id", "__qv", _norm(F.col("__qv")).alias("__qn"),
+            F.explode("__probes").alias("__bucket"),
+        )
+    elif len(centroids) >= ARROW_ASSIGN_MIN_NC:
         v = assign_probes_arrow(
             vectors.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
@@ -971,7 +1177,16 @@ def knn_graph(
     base = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+    if len(centroids) >= TWO_LEVEL_MIN_NC:
+        # two-level coarse quantizer (r10): super-rank then score only the
+        # nsp nearest supers' children — assignment flops ∝ √nc per row
+        # instead of nc, the escape from the last ∝ n² term. The oracle
+        # derives the IDENTICAL index/probe sets via `two_level_index`.
+        tl = two_level_index(centroids, nprobe, seed=seed)
+        assigned = materialize(
+            assign_probes_two_level(base, "__v", centroids, nprobe, tl)
+        )
+    elif len(centroids) >= ARROW_ASSIGN_MIN_NC:
         assigned = materialize(
             assign_probes_arrow(base, "__v", centroids, nprobe)
         )
@@ -1245,8 +1460,20 @@ def ann_join(
     )
     # single-consumer scans on both sides: no materialize needed — each
     # assignment pass runs inside its own source scan exactly once. Large
-    # indexes assign in Arrow (same bytes; see assign_probes_arrow).
-    if len(centroids) >= ARROW_ASSIGN_MIN_NC:
+    # indexes assign in Arrow (same bytes; see assign_probes_arrow); the
+    # largest go two-level (√nc flops per row; same index on both sides,
+    # members take probes[0] of the restricted ranking).
+    if len(centroids) >= TWO_LEVEL_MIN_NC:
+        tl = two_level_index(centroids, nprobe, seed=seed)
+        members = assign_probes_two_level(
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            "__v", centroids, 1, tl,
+        ).select("__id", "__v", F.col("__probes")[0].alias("__bucket"))
+        probes = assign_probes_two_level(
+            queries.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")),
+            "__qv", centroids, nprobe, tl,
+        ).select("__qid", "__qv", F.explode("__probes").alias("__bucket"))
+    elif len(centroids) >= ARROW_ASSIGN_MIN_NC:
         members = assign_probes_arrow(
             corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
             "__v", centroids, 1,
