@@ -5,12 +5,20 @@ at the given sf dir, then compares row count, schema (column names sorted),
 and an order-insensitive value comparison (sorted rows, NaN==NaN, doubles
 to 1e-9 relative). Usage:
 
-    python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+    python tools/check_oracle.py [--strict] [--shard k/n] [sf_dir] [query ...]
 
 ``--strict`` compares doubles byte-exactly (IEEE bit pattern), mirroring the
 driver's value-hash: it catches what isclose() hides — e.g. DuckDB's
 ``round()`` emitting ``-0.0`` where Spark emits ``+0.0`` (the r1
 temporal_entropy red row was exactly this, not a float-sum flake).
+
+``--shard k/n`` (r10, VERDICT r9 #3) runs only every n-th query starting
+at k (0-based, registration order) so the full sf1 strict log — whose
+quadratic DuckDB oracle sides made the single-session run impractical
+(abandoned at 22/148 after ~26 min in r9) — splits across parallel
+sessions. Merge the per-shard ``--json`` outputs with
+tools/merge_oracle_shards.py; striped assignment balances the few heavy
+oracles across shards.
 """
 
 from __future__ import annotations
@@ -82,6 +90,15 @@ def main():
         if a.startswith("--skip="):
             skip |= set(a.split("=", 1)[1].split(","))
             argv.remove(a)
+    shard_k, shard_n = 0, 1
+    for a in list(argv):
+        if a.startswith("--shard"):
+            spec = a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1]
+            if "=" not in a:
+                argv.remove(spec)
+            argv.remove(a)
+            shard_k, shard_n = (int(x) for x in spec.split("/"))
+            assert 0 <= shard_k < shard_n, f"bad shard {spec}"
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results = {}
@@ -107,8 +124,10 @@ def main():
     entrymod._ORACLE_SF_DIR = sf_dir
     oracles = entrymod.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
         if (only and name not in only) or name in skip:
+            continue
+        if qi % shard_n != shard_k:
             continue
         t0 = time.time()
         try:

@@ -761,7 +761,7 @@ def two_level_index(
     centroids: list[list[float]],
     nprobe: int,
     seed: int = 42,
-    coverage: int = SUPER_COVERAGE,
+    coverage: int | None = None,
 ) -> dict:
     """Group an IVF index's child centroids under ⌈√nc⌉ super-centroids
     (k-means ON THE CENTROIDS — driver-side, nc × dim, microseconds) and
@@ -778,6 +778,9 @@ def two_level_index(
     sum to >= min(nc, coverage·nprobe): a worst-case guarantee that every
     row's restricted candidate set holds at least nprobe children (probe
     lists never come up short), with `coverage`× headroom for recall."""
+    if coverage is None:
+        coverage = SUPER_COVERAGE  # late-bound: entry, oracle and tests
+        # all read the same module global, so a tuned value cannot desync
     C = np.asarray(centroids, dtype=np.float64)
     nc = len(C)
     ns = max(1, math.ceil(math.sqrt(nc)))
