@@ -2104,3 +2104,26 @@ def test_two_level_knn_graph_end_to_end(tl_corpus, monkeypatch):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, recall
+
+
+def test_ngram_jaccard_guard_counters(spark):
+    """r10: the max_doc_freq guard carries the same observe counters as
+    the minhash max_bucket guard — engaged caps are distinguishable from
+    exact runs by counted signal, and the counters are exact integers."""
+    # 6 docs sharing one ultra-common shingle ("aa bb cc") + pairs that
+    # survive: with max_doc_freq=5 the common shingle (df=6) is dropped
+    rows = [(i, f"aa bb cc unique{i} tail{i}") for i in range(6)]
+    rows += [(10, "xx yy zz ww"), (11, "xx yy zz ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_doc_freq=5)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (10, 11) in pairs
+    stats = dedup.lsh_guard_stats(out, block=True)
+    # exactly one over-cap shingle ("aa bb cc", df=6): 6 posting rows,
+    # C(6,2)=15 candidate pairs lost at it
+    assert stats == {
+        "skipped_rows": 6, "skipped_pairs": 15, "skipped_buckets": 1,
+    }
+    # uncapped: no guard object at all
+    exact = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    assert dedup.lsh_guard_stats(exact) is None

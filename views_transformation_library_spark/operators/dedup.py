@@ -169,6 +169,7 @@ def ngram_jaccard_pairs(
     # materialize it once instead of re-tokenizing the corpus per branch
     sh = materialize(_shingles(df, id_col, text_col, n))
     sh_kept = sh
+    guard_obs = None
     if max_doc_freq is not None:
         # guard BELOW the collect_list (r5, the minhash max_bucket fix):
         # filtering the collected arrays by size still buffered a hot
@@ -178,11 +179,28 @@ def ngram_jaccard_pairs(
         # share ONE shingle exchange and a boilerplate shingle's rows pass
         # through the spillable window sorter instead — identical output.
         w_sh = Window.partitionBy("shingle")
-        sh_kept = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
-            .filter(F.col("__df") <= int(max_doc_freq))
-            .drop("__df")
+        sh_df = sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        # guard accounting (r10, VERDICT r9 #3): same CollectMetrics shape
+        # as the minhash max_bucket guard — counts what the doc-frequency
+        # cap drops inside the same job. skipped_pair_terms sums (df−1)
+        # per over-cap posting row (Σ = df(df−1) per shingle, halved at
+        # read time → C(df,2) candidate pairs lost AT that shingle; an
+        # upper bound on truly-lost pairs, since a pair can co-occur under
+        # another surviving shingle). skipped_bucket_frac sums 1/df per
+        # row (1.0 per over-cap shingle). Read with `lsh_guard_stats`.
+        guard_obs = Observation()
+        over = F.col("__df") > F.lit(int(max_doc_freq))
+        sh_df = sh_df.observe(
+            guard_obs,
+            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))).alias("skipped_rows"),
+            F.sum(
+                F.when(over, F.col("__df") - F.lit(1)).otherwise(F.lit(0))
+            ).alias("skipped_pair_terms"),
+            F.sum(
+                F.when(over, F.lit(1.0) / F.col("__df")).otherwise(F.lit(0.0))
+            ).alias("skipped_bucket_frac"),
         )
+        sh_kept = sh_df.filter(~over).drop("__df")
     postings = sh_kept.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc")).alias("__docs")
     )
@@ -210,7 +228,7 @@ def ngram_jaccard_pairs(
         sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
     sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
-    return (
+    out = (
         inter.join(sz_a, "a")
         .join(sz_b, "b")
         .select(
@@ -220,6 +238,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if guard_obs is not None:
+        setattr(out, _GUARD_ATTR, guard_obs)
+    return out
 
 
 def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
