@@ -488,12 +488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # forced TWO-LEVEL coarse-quantizer variant (local-only strict row,
     # r10): bucket_target=4 realizes nc >= TWO_LEVEL_MIN_NC at every SF
-    # (125 at sf0.01), so the super-rank -> restricted-child-rank parity
-    # surface sits inside a byte-exact gate even where the auto params
-    # stay single-level; the driver-slot knn_graph exercises two-level
-    # naturally from sf1 up (nc=313)
+    # (125 at sf0.01) and the explicit nprobe=8 keeps the engagement
+    # condition (coverage·nprobe < nc) true there too, so the super-rank
+    # -> restricted-child-rank parity surface sits inside a byte-exact
+    # gate even where the auto params stay single-level; the driver-slot
+    # knn_graph exercises two-level naturally from sf1 up (nc=313)
     q["knn_graph_2l"] = lambda s, d: similarity.knn_graph(
-        _embs(s, d), k=KNN_GRAPH_K, n_centroids=None, nprobe=None,
+        _embs(s, d), k=KNN_GRAPH_K, n_centroids=None, nprobe=8,
         bucket_target=4,
     )
     # two-table large-large ANN join: every 5th vector as the query table
@@ -738,6 +739,7 @@ def _knn_graph_oracle(
     query_filter: str = "",
     exclude_self: bool = True,
     bucket_target: int = KNN_GRAPH_BUCKET_TARGET,
+    nprobe: int | None = None,
 ) -> str:
     """DuckDB mirror of the IVF-bucketed kNN graph / two-table ANN join:
     same inlined centroids (bit-identical trainer replication), same
@@ -754,6 +756,8 @@ def _knn_graph_oracle(
     (d2s asc, sid asc) super order and (d2 asc, cid asc) child order,
     each d2 the same left-fold list_sum comprehension."""
     nc, np_ = _knn_graph_params(bucket_target)
+    if nprobe is not None:
+        np_ = min(int(nprobe), nc)
     cents = _semantic_centroids(nc)
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
@@ -762,7 +766,7 @@ def _knn_graph_oracle(
         "list_sum([(e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]) "
         "for i in generate_series(1, len(e.embedding))])"
     )
-    if nc >= similarity.TWO_LEVEL_MIN_NC:
+    if similarity.two_level_engages(nc, np_):
         tl = similarity.two_level_index(cents, np_)
         svals = ",\n    ".join(
             f"({i}, {[float(x) for x in s]!r}::DOUBLE[])"
@@ -3190,7 +3194,7 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["semantic_dedup_far"] = _semantic_dedup_oracle(keep="farthest")
     o["semantic_dedup_nc4"] = _semantic_dedup_oracle(n_clusters=4)
     o["knn_graph"] = _knn_graph_oracle()
-    o["knn_graph_2l"] = _knn_graph_oracle(bucket_target=4)
+    o["knn_graph_2l"] = _knn_graph_oracle(bucket_target=4, nprobe=8)
     o["embedding_pca"] = _pca_oracle(4)
     o["ann_join"] = _knn_graph_oracle(
         query_filter="AND vec_id % 5 = 0", exclude_self=False

@@ -2071,6 +2071,10 @@ def test_two_level_knn_graph_end_to_end(tl_corpus, monkeypatch):
     coverage is approximate), ranks are dense per query, and recall@3 vs
     the exact graph stays high on a 400-vector corpus."""
     monkeypatch.setattr(similarity, "TWO_LEVEL_MIN_NC", 1)
+    monkeypatch.setattr(similarity, "SUPER_COVERAGE", 2)
+    # engagement must be REAL (restrictive), not vacuous: nc=80 buckets,
+    # nprobe=19 auto, coverage 2 -> target 38 < 80
+    assert similarity.two_level_engages(80, 19)
     approx = similarity.knn_graph(
         tl_corpus, k=3, n_centroids=None, nprobe=None, bucket_target=5
     ).collect()

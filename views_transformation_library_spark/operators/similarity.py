@@ -752,9 +752,30 @@ TWO_LEVEL_MIN_NC = 64
 # Worst-case child-coverage multiple for the super-probe count: probe
 # enough supers that ANY nsp of them contain >= SUPER_COVERAGE × nprobe
 # child centroids, so probe lists are always full and near-boundary
-# children are rarely missed (recall headroom; floors re-measured in
-# RECALL_*_r10).
-SUPER_COVERAGE = 2
+# children are rarely missed. 6, from the r10 measured frontier
+# (TWO_LEVEL_FRONTIER_r10.md, tools/exp_two_level_cov.py): on the
+# clustered corpus (the realistic shape) recall is IDENTICAL to the
+# flat ranking at every coverage >= 2 (supers capture real structure);
+# on the structureless gaussian corpus — the adversarial case, nothing
+# for supers to latch onto — coverage 6 keeps sf1 recall at flat parity
+# (0.6855 vs 0.6878) and concedes 0.05 at sf5 (0.635 vs 0.689, floor
+# 0.45), while assignment stays ∝ √nc + 6·nprobe flops per row — the
+# asymptotic win over the flat scan still grows as nc^(1/3)/6.
+SUPER_COVERAGE = 6
+
+
+def two_level_engages(n_centroids: int, nprobe: int, coverage: int | None = None) -> bool:
+    """True iff two-level assignment actually RESTRICTS for this
+    (nc, nprobe): the worst-case coverage target must be below nc, or the
+    nsp rule selects every super and the second level is pure overhead
+    over the flat scan (observed: the forced gate row ran 2.9× slower
+    vacuous). Under the auto probe policy (nprobe = nc^(2/3)) this
+    resolves to nc > coverage³. Shared by the operators AND the entry
+    oracle so the engagement decision can never desync."""
+    if coverage is None:
+        coverage = SUPER_COVERAGE
+    nc = int(n_centroids)
+    return nc >= TWO_LEVEL_MIN_NC and int(coverage) * min(int(nprobe), nc) < nc
 
 
 def two_level_index(
@@ -980,7 +1001,7 @@ def ivf_topk(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
             sample_mod=sample_mod,
         )
-    if len(centroids) >= TWO_LEVEL_MIN_NC:
+    if two_level_engages(len(centroids), nprobe):
         tl = two_level_index(centroids, nprobe, seed=seed)
         v = assign_probes_two_level(
             vectors.select(
@@ -1180,7 +1201,7 @@ def knn_graph(
     base = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    if len(centroids) >= TWO_LEVEL_MIN_NC:
+    if two_level_engages(len(centroids), nprobe):
         # two-level coarse quantizer (r10): super-rank then score only the
         # nsp nearest supers' children — assignment flops ∝ √nc per row
         # instead of nc, the escape from the last ∝ n² term. The oracle
@@ -1466,7 +1487,7 @@ def ann_join(
     # indexes assign in Arrow (same bytes; see assign_probes_arrow); the
     # largest go two-level (√nc flops per row; same index on both sides,
     # members take probes[0] of the restricted ranking).
-    if len(centroids) >= TWO_LEVEL_MIN_NC:
+    if two_level_engages(len(centroids), nprobe):
         tl = two_level_index(centroids, nprobe, seed=seed)
         members = assign_probes_two_level(
             corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
