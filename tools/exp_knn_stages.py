@@ -60,11 +60,18 @@ def main() -> None:
         t1 = time.monotonic()
         cents = similarity.train_ivf_centroids(embs, nc)
         t2 = time.monotonic()
-        similarity.assign_probes_arrow(
-            embs.select(F.col("vec_id").alias("__id"),
-                        F.col("embedding").alias("__v")),
-            "__v", cents, nprobe,
-        ).agg(F.count("__probes"), F.sum(F.col("__probes")[0])).collect()
+        # measure the SAME assignment path knn_graph takes at these params
+        # (r10: two-level when it restricts, flat Arrow otherwise)
+        base = embs.select(F.col("vec_id").alias("__id"),
+                           F.col("embedding").alias("__v"))
+        if similarity.two_level_engages(len(cents), nprobe):
+            tl = similarity.two_level_index(cents, nprobe)
+            assigned = similarity.assign_probes_two_level(
+                base, "__v", cents, nprobe, tl
+            )
+        else:
+            assigned = similarity.assign_probes_arrow(base, "__v", cents, nprobe)
+        assigned.agg(F.count("__probes"), F.sum(F.col("__probes")[0])).collect()
         t3 = time.monotonic()
         g = similarity.knn_graph(
             embs, k=entry.KNN_GRAPH_K, n_centroids=None, nprobe=None,

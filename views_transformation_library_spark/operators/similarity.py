@@ -489,6 +489,24 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     return acc
 
 
+# Lloyd's switches to HIERARCHICAL assignment (restricted argmin through
+# a per-iteration super index over the current centroids) at/above this
+# index size: the flat n×nc GEMM is ∝ sample·nc flops AND a 1.25 GB
+# d2-matrix write per iteration at (1e5, 1563) — the r10 stage profile's
+# dominant knn term after the serving-side two-level fix. Below it the
+# flat path is kept BYTE-IDENTICAL to r9 (small-SF gate outputs do not
+# churn).
+TRAIN_TWO_LEVEL_MIN_NC = 256
+
+# Worst-case child coverage of the training super-probe count: probe
+# enough supers that any nsp of them hold >= this many child centroids.
+# Training assignment needs no parity with anything (the oracle re-runs
+# this function on the same rows) — only determinism and cluster
+# quality; 32 is plain hierarchical k-means with a safety margin
+# (recall floors re-verified at sf1/sf5/skew after this change).
+TRAIN_SUPER_COVER = 32
+
+
 def lloyd_kmeans(
     X: "np.ndarray", n_centroids: int, n_iters: int = 5, seed: int = 42
 ) -> list[list[float]]:
@@ -498,6 +516,8 @@ def lloyd_kmeans(
     Empty clusters keep their previous centroid."""
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    if len(centroids) >= TRAIN_TWO_LEVEL_MIN_NC:
+        return _lloyd_hierarchical(X, centroids, n_iters, seed)
     # Assignment key: argmin_c ||x−c||² == argmin_c (||c||² − 2x·c) — the
     # per-row ||x||² term is constant and dropped. One GEMM into a
     # preallocated buffer, then two IN-PLACE passes; the r8 version (full
@@ -519,6 +539,76 @@ def lloyd_kmeans(
             members = X[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def _lloyd_hierarchical(
+    X: "np.ndarray", centroids: "np.ndarray", n_iters: int, seed: int
+) -> list[list[float]]:
+    """Lloyd iterations with RESTRICTED assignment (r10): each iteration
+    clusters the current centroids under ⌈√nc⌉ supers (a recursive flat
+    `lloyd_kmeans` on nc×dim — microseconds) and assigns every sample to
+    the best child of its nsp nearest supers, all through GEMM blocks —
+    flops drop from sample·nc to sample·(√nc + nsp·√nc) and the 1.25 GB
+    per-iteration d2 matrix disappears. This is plain hierarchical
+    k-means; assignment is deterministic (stable super order, block
+    argmin ties to the lower child id), and centroid parity needs no
+    cross-engine story — both engines call THIS function on the same
+    rows. Means update via per-dimension bincount (the flat path's
+    per-cluster boolean-mask loop was O(nc·sample) per iteration).
+    Empty clusters keep their previous centroid."""
+    n, dim = X.shape
+    nc = len(centroids)
+    for _ in range(n_iters):
+        ns = max(1, math.ceil(math.sqrt(nc)))
+        S = np.asarray(lloyd_kmeans(centroids.copy(), ns, seed=seed))
+        # child -> super: relative d2 = ||s||² − 2c·s (row term constant);
+        # argmin takes the first minimum -> ties to the lower super id
+        rel_cs = np.einsum("ij,ij->i", S, S)[None, :] - 2.0 * (centroids @ S.T)
+        child_super = rel_cs.argmin(axis=1)
+        children_of = [np.flatnonzero(child_super == s) for s in range(len(S))]
+        counts = np.array([len(c) for c in children_of], dtype=np.int64)
+        target = min(nc, TRAIN_SUPER_COVER)
+        nsp = min(
+            len(S),
+            int(np.searchsorted(np.cumsum(np.sort(counts)), target) + 1),
+        )
+        # super ranking per sample (stable -> ties to the lower sid)
+        rel_s = np.einsum("ij,ij->i", S, S)[None, :] - 2.0 * (X @ S.T)
+        sp = np.argsort(rel_s, axis=1, kind="stable")[:, :nsp]
+        # best child among the probed supers' children, GEMM per
+        # super-run; ties: within a block argmin picks the first (= lowest
+        # cid, children_of ascending); across blocks the strict < keeps
+        # the earlier (lower-cid-block ordering is not guaranteed, so
+        # compare (d2, cid) explicitly)
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int64)
+        rows_flat = np.repeat(np.arange(n), nsp)
+        sup_flat = sp.ravel()
+        order = np.argsort(sup_flat, kind="stable")
+        s_sorted, r_sorted = sup_flat[order], rows_flat[order]
+        run_starts = np.r_[0, np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1]
+        run_ends = np.r_[run_starts[1:], len(s_sorted)]
+        for st, en in zip(run_starts, run_ends):
+            ch = children_of[s_sorted[st]]
+            if not len(ch):
+                continue
+            rws = r_sorted[st:en]
+            Cs = centroids[ch]
+            rel = np.einsum("ij,ij->i", Cs, Cs)[None, :] - 2.0 * (X[rws] @ Cs.T)
+            bi = rel.argmin(axis=1)
+            bd = rel[np.arange(len(rws)), bi]
+            bc = ch[bi]
+            upd = (bd < best_d[rws]) | ((bd == best_d[rws]) & (bc < best_c[rws]))
+            ur = rws[upd]
+            best_d[ur] = bd[upd]
+            best_c[ur] = bc[upd]
+        cnt = np.bincount(best_c, minlength=nc)
+        nz = cnt > 0
+        sums = np.empty((nc, dim))
+        for i in range(dim):
+            sums[:, i] = np.bincount(best_c, weights=X[:, i], minlength=nc)
+        centroids[nz] = sums[nz] / cnt[nz, None]
     return centroids.tolist()
 
 
@@ -870,6 +960,7 @@ def assign_probes_two_level(
     ns = len(S)
     npb = min(int(nprobe), nc)
     children_of = [np.flatnonzero(child_super == s) for s in range(ns)]
+    counts = np.array([len(c) for c in children_of], dtype=np.int64)
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -877,6 +968,72 @@ def assign_probes_two_level(
     if with_d2:
         schema += ", __d2 double"
     null_probes = list(range(npb))
+    # row sub-chunks bound the padded candidate matrix at
+    # CH × (nsp · max children) doubles — tens of MB regardless of the
+    # Arrow batch size
+    CH = 2048
+
+    def _chunk(X):
+        """(probes (n, npb) int, nearest-d2 (n,)) for a dense row chunk."""
+        n_ok = len(X)
+        # super level: same left fold, stable top-nsp (ties → lower sid)
+        accs = np.zeros((n_ok, ns))
+        for i in range(dim):
+            d = X[:, i, None] - S[None, :, i]
+            accs = accs + d * d
+        sp = np.argsort(accs, axis=1, kind="stable")[:, :nsp]
+        # scatter layout: row-major padded candidate matrix. within[r, p]
+        # is the first column of probe-p's children for row r; +inf pads
+        # keep unselected cells out of every ranking below.
+        ccounts = counts[sp]  # (n_ok, nsp)
+        within = np.cumsum(ccounts, axis=1) - ccounts  # exclusive cumsum
+        W = int((within[:, -1] + ccounts[:, -1]).max()) if n_ok else 0
+        pad_d2 = np.full((n_ok, W), np.inf)
+        pad_cid = np.zeros((n_ok, W), dtype=np.int64)
+        # child level, grouped by probed super: score each super's
+        # children against exactly the rows that probe it
+        rows_flat = np.repeat(np.arange(n_ok), nsp)
+        sup_flat = sp.ravel()
+        pos_flat = np.tile(np.arange(nsp), n_ok)
+        order = np.argsort(sup_flat, kind="stable")
+        s_sorted = sup_flat[order]
+        r_sorted = rows_flat[order]
+        p_sorted = pos_flat[order]
+        run_starts = np.r_[0, np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1]
+        run_ends = np.r_[run_starts[1:], len(s_sorted)]
+        for st, en in zip(run_starts, run_ends):
+            ch = children_of[s_sorted[st]]
+            if not len(ch):
+                continue
+            rws = r_sorted[st:en]
+            Xs, Cs = X[rws], C[ch]
+            acc = np.zeros((len(rws), len(ch)))
+            for i in range(dim):
+                d = Xs[:, i, None] - Cs[None, :, i]
+                acc = acc + d * d
+            dest = within[rws, p_sorted[st:en]][:, None] + np.arange(len(ch))[None, :]
+            pad_d2[rws[:, None], dest] = acc
+            pad_cid[rws[:, None], dest] = ch[None, :]
+        # top-npb by (d2, cid): np.partition finds each row's npb-th
+        # smallest VALUE in O(W); every candidate with d2 <= that value is
+        # kept (a superset of the lexicographic top-npb — d2 ties at the
+        # boundary are all included), and only this ~npb-per-row sliver is
+        # lexsorted with the exact (d2 asc, cid asc) key. Replaces the r10
+        # first-cut global 3-key lexsort over ALL candidates, which was
+        # 55% of the kernel at sf5 (39.6 s of 72 single-threaded).
+        kth = np.partition(pad_d2, npb - 1, axis=1)[:, npb - 1]
+        ri, ci = np.nonzero(pad_d2 <= kth[:, None])
+        dsel = pad_d2[ri, ci]
+        csel = pad_cid[ri, ci]
+        sel = np.lexsort((csel, dsel, ri))
+        rs, cs_, ds_ = ri[sel], csel[sel], dsel[sel]
+        starts = np.r_[0, np.flatnonzero(rs[1:] != rs[:-1]) + 1]
+        grp_len = np.diff(np.r_[starts, len(rs)])
+        rank_in_grp = np.arange(len(rs)) - np.repeat(starts, grp_len)
+        mask = rank_in_grp < npb
+        # coverage rule guarantees >= npb candidates per row, so the
+        # masked set is a dense (n_ok, npb) matrix in row order
+        return cs_[mask].reshape(n_ok, npb), ds_[mask].reshape(n_ok, npb)[:, 0]
 
     def run(batches):
         for pdf in batches:
@@ -889,59 +1046,14 @@ def assign_probes_two_level(
             d2_out = [None] * n
             if ok.any():
                 X = np.vstack(vals.values[ok]).astype(np.float64)
-                n_ok = len(X)
-                # super level: same left fold, stable top-nsp (ties → lower sid)
-                accs = np.zeros((n_ok, ns))
-                for i in range(dim):
-                    d = X[:, i, None] - S[None, :, i]
-                    accs = accs + d * d
-                sp = np.argsort(accs, axis=1, kind="stable")[:, :nsp]
-                # child level, grouped by probed super: score each super's
-                # children against exactly the rows that probe it
-                rows_flat = np.repeat(np.arange(n_ok), nsp)
-                sup_flat = sp.ravel()
-                order = np.argsort(sup_flat, kind="stable")
-                s_sorted, r_sorted = sup_flat[order], rows_flat[order]
-                run_starts = np.r_[
-                    0, np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1
-                ]
-                run_ends = np.r_[run_starts[1:], len(s_sorted)]
-                cr, cc, cd = [], [], []
-                for st, en in zip(run_starts, run_ends):
-                    ch = children_of[s_sorted[st]]
-                    if not len(ch):
-                        continue
-                    rws = r_sorted[st:en]
-                    Xs, Cs = X[rws], C[ch]
-                    acc = np.zeros((len(rws), len(ch)))
-                    for i in range(dim):
-                        d = Xs[:, i, None] - Cs[None, :, i]
-                        acc = acc + d * d
-                    cr.append(np.repeat(rws, len(ch)))
-                    cc.append(np.tile(ch, len(rws)))
-                    cd.append(acc.ravel())
-                r_all = np.concatenate(cr)
-                c_all = np.concatenate(cc)
-                d_all = np.concatenate(cd)
-                # rank candidates per row by (d2, child id) — lexsort keys
-                # are last-primary; ties on d2 break to the lower child id,
-                # exactly the oracle's row_number ORDER BY d2, cid
-                sel = np.lexsort((c_all, d_all, r_all))
-                rs, cs_, ds_ = r_all[sel], c_all[sel], d_all[sel]
-                starts = np.r_[0, np.flatnonzero(rs[1:] != rs[:-1]) + 1]
-                grp_len = np.diff(np.r_[starts, len(rs)])
-                rank_in_grp = np.arange(len(rs)) - np.repeat(starts, grp_len)
-                mask = rank_in_grp < npb
-                # two_level_index guarantees >= npb candidates per row, so
-                # the masked set is a dense (n_ok, npb) matrix in row order
-                pm = cs_[mask].reshape(n_ok, npb)
                 ok_idx = np.flatnonzero(ok)
-                for j, row in enumerate(ok_idx):
-                    probes_out[row] = pm[j].tolist()
-                if with_d2:
-                    nearest = ds_[mask].reshape(n_ok, npb)[:, 0]
-                    for j, row in enumerate(ok_idx):
-                        d2_out[row] = float(nearest[j])
+                for cs0 in range(0, len(X), CH):
+                    pm, nearest = _chunk(X[cs0:cs0 + CH])
+                    for j in range(len(pm)):
+                        row = ok_idx[cs0 + j]
+                        probes_out[row] = pm[j].tolist()
+                        if with_d2:
+                            d2_out[row] = float(nearest[j])
             out = pdf.copy()
             out["__probes"] = probes_out
             if with_d2:
