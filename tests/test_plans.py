@@ -317,33 +317,36 @@ def test_minhash_bucket_guard_single_exchange(spark):
     assert filt_i < metrics_i, plan
 
 
-def test_ngram_postings_guard_single_exchange(spark, monkeypatch):
-    """Same invariant as the minhash bucket guard: the max_doc_freq
-    window + filter + collect_list share one shingle exchange, and the
-    filter sits BELOW the aggregate (a hot shingle never reaches an
-    in-memory collect_list buffer). materialize is stubbed to identity so
-    the checkpoint does not hide the postings subplan from the audit."""
+def test_ngram_doc_freq_guard_plan_shape(spark):
+    """r10 guard design pins: (a) an ENGAGED max_doc_freq cap drops hot
+    shingles via a BROADCAST anti-join on the main path — never a Window
+    sort and never a size filter on collected arrays (no list ever
+    buffers a hot shingle); (b) a cap that drops nothing leaves the main
+    plan in the UNCAPPED shape (no join, no window — zero engagement is
+    free on the main path)."""
     from views_transformation_library_spark.operators import dedup
 
-    monkeypatch.setattr(dedup, "materialize", lambda df: df)
-    df = spark.createDataFrame(
-        [(i, f"common prefix text item {i}") for i in range(10)],
-        "doc_id long, text string",
-    )
-    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=5)
-    plan = plans.physical_plan(out)
-    lines = plan.splitlines()
-    ex_idx = [
-        i for i, l in enumerate(lines)
-        if "Exchange hashpartitioning(shingle" in l
-    ]
-    # every shingle exchange directly feeds the windowed doc-frequency
-    # count (parent node in the tree listing), i.e. the guard's window
-    # reuses the aggregate's own exchange — no extra shuffle for the guard
-    assert ex_idx, plan
-    for i in ex_idx:
-        parents = "\n".join(lines[max(0, i - 2):i])  # Window -> Sort -> Exchange
-        assert "windowspecdefinition(shingle" in parents, parents
-    # and the guard is the __df row filter BELOW collect_list, not a
-    # post-hoc filter on the collected arrays
-    assert "__df" in plan, plan
+    # 6 docs share one ultra-common shingle (df=6 > cap=5) -> engaged
+    rows = [(i, f"aa bb cc unique{i} tail{i}") for i in range(6)]
+    rows += [(10, "xx yy zz ww"), (11, "xx yy zz ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    engaged = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=5)
+    plan = plans.physical_plan(engaged)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Window" not in plan, plan
+    # the collect_list aggregate is never size-FILTERED above (hot
+    # shingles were removed BELOW it by the anti-join); size(__docs)
+    # appears only inside the pair-expansion transform expression
+    assert not [
+        l for l in plan.splitlines() if "Filter" in l and "size(__docs" in l
+    ], plan
+
+    # cap present but nothing over it -> main plan identical to uncapped
+    idle = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=50)
+    idle_plan = plans.physical_plan(idle)
+    # no anti-join, no window — the size joins of the jaccard denominator
+    # are the uncapped plan's own
+    assert "LeftAnti" not in idle_plan and "Window" not in idle_plan, idle_plan
+    assert dedup.lsh_guard_stats(idle) == {
+        "skipped_rows": 0, "skipped_pairs": 0, "skipped_buckets": 0,
+    }

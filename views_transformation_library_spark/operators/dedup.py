@@ -34,8 +34,16 @@ MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
 SHINGLE_BITS_HEX = 7  # 28-bit shingle ints keep a*x + b < 2^51
 
 # Attribute under which capped pipelines carry their guard Observation on
-# the returned DataFrame (read it with `lsh_guard_stats`).
+# the returned DataFrame (read it with `lsh_guard_stats`). ngram_jaccard
+# (r10) attaches a plain precomputed dict instead — its guard counters
+# come from the hot-shingle aggregate that also drives the broadcast
+# gate, so they exist at plan-build time with no observe listener.
 _GUARD_ATTR = "_lsh_guard_observation"
+
+# Over-cap shingle sets up to this many rows anti-join as a broadcast
+# (scan-side filter, no extra shuffle of the postings table); a corpus
+# whose hot set exceeds it falls back to a shuffle anti-join.
+HOT_SHINGLE_BROADCAST_CAP = 1_000_000
 
 
 def lsh_guard_stats(df_or_obs, block: bool = False) -> dict | None:
@@ -70,11 +78,15 @@ def lsh_guard_stats(df_or_obs, block: bool = False) -> dict | None:
     run yet); `block=True` waits for one."""
     obs = (
         df_or_obs
-        if isinstance(df_or_obs, Observation)
+        if isinstance(df_or_obs, (Observation, dict))
         else getattr(df_or_obs, _GUARD_ATTR, None)
     )
     if obs is None:
         return None
+    if isinstance(obs, dict):
+        # precomputed counters (ngram_jaccard r10): already exact ints,
+        # available regardless of `block` or whether an action has run
+        return dict(obs)
     if not block:
         jo = getattr(obs, "_jo", None)
         if jo is None:  # observe() never attached (defensive)
@@ -158,56 +170,59 @@ def ngram_jaccard_pairs(
     in more than that many docs (skew guard at scale; None = exact).
 
     Pair generation is postings-list expansion, not a self-join: ONE
-    groupBy(shingle) builds each shingle's sorted doc list (and its
-    document frequency, so the max_doc_freq guard is a filter on the same
-    aggregate instead of an extra join), then array expressions emit the
-    C(D,2) within-list pairs and ONE groupBy(a, b) counts intersections —
-    two shuffles end-to-end where the r1 self-join plan had five. The
-    per-shingle expansion is the same C(D,2) rows the join produced,
-    bounded by max_doc_freq when set."""
-    # the postings table feeds two branches (sizes + postings):
-    # materialize it once instead of re-tokenizing the corpus per branch
+    groupBy(shingle) builds each shingle's sorted doc list, then array
+    expressions emit the C(D,2) within-list pairs and ONE groupBy(a, b)
+    counts intersections — two shuffles end-to-end where the r1 self-join
+    plan had five. The per-shingle expansion is the same C(D,2) rows the
+    join produced, bounded by max_doc_freq when set.
+
+    Guard design (r10, third generation): the over-cap shingle set is
+    computed by a plain COUNT hash-aggregate — map-side partial, (shingle,
+    long) buffers, memory-safe at any skew, unlike filtering collected
+    lists (r1: unbounded reduce buffers) and ~16 s/sf1 cheaper than the
+    r5 windowed-count-in-the-same-exchange plan (the window sort + a
+    postings localCheckpoint cost 3.3× the whole uncapped operator while
+    dropping ZERO shingles at the entry cap — tools/exp_ngram_tiers.py,
+    NGRAM_GUARD_SF1_r10.json). The tiny hot aggregate is checkpointed,
+    its stats collect is BOTH the guard counters and the broadcast gate,
+    and sh anti-joins it only when hot shingles exist — zero engagement
+    costs one small aggregate job, nothing on the main path."""
     sh = materialize(_shingles(df, id_col, text_col, n))
     sh_kept = sh
-    guard_obs = None
+    guard_stats = None
     if max_doc_freq is not None:
-        # guard BELOW the collect_list (r5, the minhash max_bucket fix):
-        # filtering the collected arrays by size still buffered a hot
-        # shingle's full posting list in one in-memory aggregation buffer
-        # before dropping it. The windowed doc-frequency count partitions
-        # on the aggregate's own key, so window -> filter -> collect_list
-        # share ONE shingle exchange and a boilerplate shingle's rows pass
-        # through the spillable window sorter instead — identical output.
-        w_sh = Window.partitionBy("shingle")
-        sh_df = sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
-        # guard accounting (r10, VERDICT r9 #3): same CollectMetrics shape
-        # as the minhash max_bucket guard — counts what the doc-frequency
-        # cap drops inside the same job. skipped_pair_terms sums (df−1)
-        # per over-cap posting row (Σ = df(df−1) per shingle, halved at
-        # read time → C(df,2) candidate pairs lost AT that shingle; an
-        # upper bound on truly-lost pairs, since a pair can co-occur under
-        # another surviving shingle). skipped_bucket_frac sums 1/df per
-        # row (1.0 per over-cap shingle). Read with `lsh_guard_stats`.
-        guard_obs = Observation()
-        over = F.col("__df") > F.lit(int(max_doc_freq))
-        sh_df = sh_df.observe(
-            guard_obs,
-            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))).alias("skipped_rows"),
-            F.sum(
-                F.when(over, F.col("__df") - F.lit(1)).otherwise(F.lit(0))
-            ).alias("skipped_pair_terms"),
-            F.sum(
-                F.when(over, F.lit(1.0) / F.col("__df")).otherwise(F.lit(0.0))
-            ).alias("skipped_bucket_frac"),
+        cap = int(max_doc_freq)
+        hot = materialize(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
         )
-        sh_kept = sh_df.filter(~over).drop("__df")
+        row = hot.agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum("__df").alias("r"),
+            F.sum(F.col("__df") * (F.col("__df") - F.lit(1))).alias("p2"),
+        ).collect()[0]
+        # exact integers: skipped_pairs = Σ C(df,2) over hot shingles —
+        # candidate pairs lost AT those shingles (an upper bound on truly
+        # lost pairs: a pair can co-occur under a surviving shingle)
+        guard_stats = {
+            "skipped_rows": int(row["r"] or 0),
+            "skipped_pairs": int(row["p2"] or 0) // 2,
+            "skipped_buckets": int(row["b"] or 0),
+        }
+        if guard_stats["skipped_buckets"] == 0:
+            sh_kept = sh  # cap never engaged: keep the uncapped plan shape
+        elif guard_stats["skipped_buckets"] <= HOT_SHINGLE_BROADCAST_CAP:
+            sh_kept = sh.join(
+                F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+            )
+        else:
+            # pathological corpus (millions of over-cap shingles): a
+            # shuffle anti-join — still list-buffer-free end to end
+            sh_kept = sh.join(hot.select("shingle"), "shingle", "left_anti")
     postings = sh_kept.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc")).alias("__docs")
     )
-    if max_doc_freq is not None:
-        # with the guard on, postings feeds two branches (pairs + sizes) —
-        # materialize so the window + groupBy run once
-        postings = materialize(postings)
     pair_structs = F.expr(
         "flatten(transform(__docs, (x, i) -> "
         "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
@@ -219,13 +234,11 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
     )
-    if max_doc_freq is not None:
-        # sizes must count only guard-surviving shingles (same as r1's
-        # post-filter sizes) so jaccard denominators match the oracle
-        kept = postings.select(F.explode("__docs").alias("doc"))
-        sizes = kept.groupBy("doc").agg(F.count("*").alias("sz"))
-    else:
-        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # sizes count only guard-surviving shingles (jaccard denominators
+    # match the oracle): sh_kept IS that set row-for-row, so both branches
+    # (postings + sizes) re-filter the checkpointed sh — a scan-side
+    # broadcast anti per branch, no postings materialize, no explode
+    sizes = sh_kept.groupBy("doc").agg(F.count("*").alias("sz"))
     sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
     sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
     out = (
@@ -238,8 +251,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    if guard_obs is not None:
-        setattr(out, _GUARD_ATTR, guard_obs)
+    if guard_stats is not None:
+        setattr(out, _GUARD_ATTR, guard_stats)
     return out
 
 
