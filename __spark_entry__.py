@@ -281,6 +281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), n=3, threshold=0.5, max_doc_freq=1000
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    # engaged-guard variant (r10, local-only strict row): cap=5 actually
+    # DROPS hot shingles at every SF, gating the anti-join path +
+    # surviving-shingle jaccard denominators byte-exactly; lower τ keeps
+    # a non-trivial survivor set
+    q["ngram_jaccard_hot"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), n=3, threshold=0.2, max_doc_freq=5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -2659,6 +2666,13 @@ FROM documents GROUP BY 1
 """
     o["ngram_jaccard"] = _ngram_sql(3, 1000) + """
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
+"""
+    # engaged-cap variant (r10): cap=5 is below the max shingle doc
+    # frequency at every SF (sf0.01 max df = 7), so the hot-shingle
+    # anti-join path and its denominator semantics sit inside a
+    # byte-exact gate — the cap=1000 row never engages on this data
+    o["ngram_jaccard_hot"] = _ngram_sql(3, 5) + """
+SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.2
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # leakage = the same verified pair set, labels re-derived from the
