@@ -45,6 +45,15 @@ _GUARD_ATTR = "_lsh_guard_observation"
 # whose hot set exceeds it falls back to a shuffle anti-join.
 HOT_SHINGLE_BROADCAST_CAP = 1_000_000
 
+# ngram_jaccard's per-doc shingle-count table broadcasts only when the
+# corpus is provably this small (2 longs/row ≈ 64 MB at the cap);
+# bigger corpora hash-shuffle it instead. The gate is a runtime count —
+# never a Catalyst estimate: at sf5 the static planner BROADCAST the
+# corpus-scale PAIR table (BuildLeft off a junk post-aggregate
+# estimate), a 6 GB build-side collect that blew
+# spark.driver.maxResultSize (r10 sweep).
+SIZES_BROADCAST_CAP = 4_000_000
+
 
 def lsh_guard_stats(df_or_obs, block: bool = False) -> dict | None:
     """Read the hot-bucket guard counters of a capped minhash pipeline
@@ -241,6 +250,17 @@ def ngram_jaccard_pairs(
     sizes = sh_kept.groupBy("doc").agg(F.count("*").alias("sz"))
     sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
     sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    # denominator-join strategy by RUNTIME doc count (SIZES_BROADCAST_CAP):
+    # broadcast the per-doc counts while the corpus is provably small
+    # (the measured sf0.1 win), hash-shuffle them beyond — `sizes` is one
+    # row per doc, unbounded at 100 TB, and `inter` (every near-dup pair)
+    # must NEVER be a build side. An explicit hint on the sizes side pins
+    # the build side either way; Spark's own estimate picked
+    # BuildLeft(inter) at sf5 and collected 6 GB to the driver.
+    if df.count() <= SIZES_BROADCAST_CAP:
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+    else:
+        sz_a, sz_b = sz_a.hint("shuffle_hash"), sz_b.hint("shuffle_hash")
     out = (
         inter.join(sz_a, "a")
         .join(sz_b, "b")
