@@ -2131,3 +2131,28 @@ def test_ngram_jaccard_guard_counters(spark):
     # uncapped: no guard object at all
     exact = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
     assert dedup.lsh_guard_stats(exact) is None
+
+
+def test_ngram_join_gates_forced_paths_agree(spark, monkeypatch):
+    """r10 join gates: forcing the over-cap strategies — shuffle_hash
+    size-joins (SIZES_BROADCAST_CAP=0) and the shuffle anti-join for the
+    hot set (HOT_SHINGLE_BROADCAST_CAP=0) — must reproduce the gated
+    defaults exactly (same pairs, same jaccards, same counters)."""
+    rows = [(i, f"aa bb cc unique{i} tail{i}") for i in range(6)]
+    rows += [(10, "xx yy zz ww"), (11, "xx yy zz ww"), (12, "xx yy zz ww qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=5)
+        return (
+            sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in out.collect()),
+            dedup.lsh_guard_stats(out),
+        )
+
+    base_pairs, base_stats = run()
+    assert base_stats["skipped_buckets"] >= 1  # the guard is engaged
+    monkeypatch.setattr(dedup, "SIZES_BROADCAST_CAP", 0)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 0)
+    forced_pairs, forced_stats = run()
+    assert forced_pairs == base_pairs
+    assert forced_stats == base_stats
