@@ -110,6 +110,12 @@ def main():
     # insertion-order preservation (compare_rows sorts rows itself)
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET max_temp_directory_size='60GiB'")
+    # hard memory ceiling so the quadratic oracle joins SPILL instead of
+    # growing to the OS OOM killer (r10: the sf1 spacetime θ-join reached
+    # 63 GB anon RSS and got the whole shard process killed when run
+    # concurrently with other sessions; DuckDB's default limit is 80 % of
+    # RAM and assumes it is alone on the box)
+    con.execute("SET memory_limit='40GiB'")
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
