@@ -114,8 +114,13 @@ def main():
     # growing to the OS OOM killer (r10: the sf1 spacetime θ-join reached
     # 63 GB anon RSS and got the whole shard process killed when run
     # concurrently with other sessions; DuckDB's default limit is 80 % of
-    # RAM and assumes it is alone on the box)
-    con.execute("SET memory_limit='40GiB'")
+    # RAM and assumes it is alone on the box). Default 80GiB suits a SOLO
+    # session (the fuzzy_dedup_keep sf1 oracle needs ~60+GB and overflows
+    # the 60GiB spill cap if squeezed to 40GiB); parallel shard runs
+    # should set SPARK_GRAFT_DUCK_MEM to RAM/shards.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '80GiB')}'"
+    )
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
