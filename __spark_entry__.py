@@ -322,6 +322,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a", "b", "split_a", "split_b",
         F.round("jaccard", 6).alias("jaccard"),
     )
+    # benchmark decontamination (r11): eval set = doc_id % 17 == 0 (a
+    # deterministic "benchmark" the oracle reproduces), train = the rest;
+    # 5-gram exact overlap. Boolean surfaced as INT (hash type stability).
+    q["decontaminate"] = lambda s, d: dedup.decontaminate(
+        _docs(s, d).filter(F.col("doc_id") % 17 != 0),
+        _docs(s, d).filter(F.col("doc_id") % 17 == 0),
+        n=5,
+    ).select(
+        "doc_id", "n_grams", "n_hit_grams",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+    # substring-level exact-duplicate spans (Lee et al. ExactSubstr at
+    # 5-gram granularity) — all-integer output, byte-strict
+    q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
+        _docs(s, d), k=5, min_tokens=10, max_gram_freq=1000
+    )
+    # DSIR importance weights (Xie et al. 2023): target = 4 of the 20
+    # sources; gate columns are the exact quantized longs (weight_q) —
+    # the float `weight` is display-only (quotient-rounding class)
+    q["dsir_weights"] = lambda s, d: sampling.dsir_weights(
+        _docs(s, d).withColumn("is_target", F.col("source").isin(*_DSIR_TARGETS)),
+        n=2, n_buckets=_DSIR_BUCKETS,
+    ).select(
+        "doc_id", F.col("is_target").cast("int").alias("is_target"),
+        "n_grams", "weight_q",
+    )
+    q["dsir_select"] = lambda s, d: sampling.dsir_select(
+        _docs(s, d).withColumn("is_target", F.col("source").isin(*_DSIR_TARGETS)),
+        50, n=2, n_buckets=_DSIR_BUCKETS,
+    )
     q["chunk_text"] = lambda s, d: retrieval.chunk_text(
         _docs(s, d), size=24, overlap=8
     )
@@ -1417,6 +1447,8 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embs(spark, sf_dir).filter(F.col("vec_id") % 50 == 0)
 
 
+_DSIR_TARGETS = ("src0", "src1", "src2", "src3")  # DSIR target domain
+_DSIR_BUCKETS = 4096  # DSIR hashed-bigram feature space (index param)
 GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
 EVENT_THRESHOLD = 500.0  # ~p99 of panel values -> sparse event set
 
@@ -1901,6 +1933,126 @@ FROM {panel_cte} p {joins}
 
 
 # shared DuckDB fragments for the beyond-reference oracles
+def _gram_concat(n: int, arr: str = "toks") -> str:
+    """DuckDB word-n-gram string at position i — byte-identical to the
+    Spark side's concat_ws(' ', slice(toks, i, n))."""
+    return " || ' ' || ".join(f"{arr}[i + {k}]" if k else f"{arr}[i]" for k in range(n))
+
+
+def _decontaminate_oracle(n: int = 5, min_hits: int = 1) -> str:
+    """Mirror of dedup.decontaminate at the gate parameterization: eval =
+    doc_id % 17 == 0, train = rest. All-integer (distinct-gram counts);
+    the contaminated flag surfaces as INT (gopher_filter convention)."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i
+  FROM d WHERE len(toks) >= {n}
+),
+g AS (SELECT DISTINCT doc_id AS doc, {_gram_concat(n)} AS gr FROM pos),
+eg AS (SELECT DISTINCT gr FROM g WHERE doc % 17 = 0),
+per AS (
+  SELECT g.doc, count(*) AS n_grams, count(eg.gr) AS n_hit_grams
+  FROM g LEFT JOIN eg ON g.gr = eg.gr
+  WHERE g.doc % 17 <> 0 GROUP BY 1
+)
+SELECT doc AS doc_id, n_grams, n_hit_grams,
+       CAST(n_hit_grams >= {min_hits} AS INT) AS contaminated
+FROM per
+"""
+
+
+def _duplicate_spans_oracle(
+    k: int = 5, min_tokens: int = 10, max_gram_freq: int = 1000
+) -> str:
+    """Mirror of dedup.duplicate_spans: positional k-gram postings
+    self-join, gaps-and-islands per (a, b, diagonal). All-integer."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+  FROM d WHERE len(toks) >= {k}
+),
+g0 AS (SELECT doc_id AS doc, i AS pos, {_gram_concat(k)} AS gr FROM pos),
+freq AS (SELECT gr FROM g0 GROUP BY 1 HAVING count(*) <= {max_gram_freq}),
+g AS (SELECT g0.* FROM g0 JOIN freq USING (gr)),
+m AS (
+  SELECT a.doc AS a, b.doc AS b, a.pos AS pa, a.pos - b.pos AS dg
+  FROM g a JOIN g b ON a.gr = b.gr AND a.doc < b.doc
+),
+r AS (
+  SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, dg ORDER BY pa) = 1
+                 THEN 0 ELSE 1 END AS brk
+  FROM m
+),
+runs AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY a, b, dg ORDER BY pa ROWS UNBOUNDED PRECEDING) AS run
+  FROM r
+),
+spans AS (
+  SELECT a, b, min(pa) AS a_start, min(pa) - dg AS b_start,
+         max(pa) - min(pa) + {k} AS span_tokens
+  FROM runs GROUP BY a, b, dg, run
+)
+SELECT a, b, a_start, b_start, span_tokens
+FROM spans WHERE span_tokens >= {min_tokens}
+"""
+
+
+def _dsir_sql(n: int = 2, v: int | None = None, alpha: float = 1.0) -> str:
+    """DSIR oracle CTE prefix (ends with a `per` CTE of doc, tgt,
+    n_grams, weight_q). The per-bucket quantized log-ratio table is
+    regenerated HERE, at oracle_sql() call time, from DuckDB's own exact
+    integer counts over _ORACLE_SF_DIR and the SAME pure function the
+    Spark operator uses (sampling.dsir_bucket_weights) — both engines
+    consume bit-identical longs and the gate has no float surface
+    (grid_lag driver-side-weights pattern)."""
+    import duckdb
+
+    v = _DSIR_BUCKETS if v is None else v
+    targets = ", ".join(f"'{t}'" for t in _DSIR_TARGETS)
+    base = rf"""
+WITH d AS (
+  SELECT doc_id, source IN ({targets}) AS tgt,
+         regexp_extract_all(lower(text), '\S+') AS toks
+  FROM {{src}}
+),
+pos AS (
+  SELECT doc_id, tgt, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i
+  FROM d WHERE len(toks) >= {n}
+),
+occ AS (
+  SELECT doc_id AS doc, tgt,
+         CAST('0x' || substr(md5({_gram_concat(n)}), 1, 7) AS BIGINT) % {v} AS bucket
+  FROM pos
+)"""
+    counts = duckdb.sql(
+        base.format(src=f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')")
+        + """
+SELECT bucket, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+FROM occ GROUP BY 1
+"""
+    ).fetchall()
+    wmap = sampling.dsir_bucket_weights(counts, v, alpha)
+    vals = ", ".join(f"({b}, {q})" for b, q in sorted(wmap.items()))
+    return (
+        base.format(src="documents")
+        + f""",
+w(bucket, q) AS (VALUES {vals}),
+per AS (
+  SELECT doc, tgt, count(*) AS n_grams, sum(q)::BIGINT AS weight_q
+  FROM occ JOIN w USING (bucket) GROUP BY 1, 2
+)
+"""
+    )
+
+
 def _ngram_sql(n: int, max_doc_freq: int | None = None) -> str:
     shingle = " || ' ' || ".join(f"toks[i + {k}]" if k else "toks[i]" for k in range(n))
     freq = (
@@ -2673,6 +2825,22 @@ SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.5
     # byte-exact gate — the cap=1000 row never engages on this data
     o["ngram_jaccard_hot"] = _ngram_sql(3, 5) + """
 SELECT a, b, round(jac, 6) AS jaccard FROM jacc WHERE jac >= 0.2
+"""
+    # benchmark decontamination + substring spans + DSIR (r11): all three
+    # are integer-exact end to end (distinct-gram counts / positional runs
+    # / quantized log-ratio dot products) — strict with no float surface
+    o["decontaminate"] = _decontaminate_oracle(n=5, min_hits=1)
+    o["duplicate_spans"] = _duplicate_spans_oracle(
+        k=5, min_tokens=10, max_gram_freq=1000
+    )
+    o["dsir_weights"] = _dsir_sql(n=2) + """
+SELECT doc AS doc_id, CAST(tgt AS INT) AS is_target, n_grams, weight_q FROM per
+"""
+    o["dsir_select"] = _dsir_sql(n=2) + """
+SELECT doc AS doc_id, n_grams, weight_q,
+       CAST(row_number() OVER (ORDER BY weight_q DESC, doc) AS INT) AS dsir_rank
+FROM per WHERE NOT tgt
+ORDER BY weight_q DESC, doc LIMIT 50
 """
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # leakage = the same verified pair set, labels re-derived from the

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from views_transformation_library_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -2156,3 +2157,137 @@ def test_ngram_join_gates_forced_paths_agree(spark, monkeypatch):
     forced_pairs, forced_stats = run()
     assert forced_pairs == base_pairs
     assert forced_stats == base_stats
+
+
+# ---------------------------------------------------------------------------
+# decontaminate / duplicate_spans / DSIR (r11)
+
+def test_decontaminate_exact_ngram_overlap(spark):
+    # eval doc carries the 5-token phrase "p1 p2 p3 p4 p5"
+    ev = spark.createDataFrame(
+        [(100, "zz p1 p2 p3 p4 p5 yy")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "a b p1 p2 p3 p4 p5 c d"),   # verbatim 5-gram -> contaminated
+            (2, "a b p1 p2 p3 p4 X c d"),    # only 4 shared tokens -> clean
+            (3, "q r s t"),                  # < n tokens -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.decontaminate(tr, ev, n=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] and out[1]["n_hit_grams"] == 1
+    assert out[1]["n_grams"] == 5  # 9 tokens -> 5 distinct 5-grams
+    assert not out[2]["contaminated"] and out[2]["n_hit_grams"] == 0
+
+
+def test_decontaminate_min_hits(spark):
+    ev = spark.createDataFrame(
+        [(100, "p1 p2 p3 p4 p5 p6")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [(1, "p1 p2 p3 p4 p5 p6")], "doc_id long, text string"
+    )
+    one = dedup.decontaminate(tr, ev, n=5, min_hits=3).collect()[0]
+    assert one["n_hit_grams"] == 2 and not one["contaminated"]
+
+
+def test_duplicate_spans_positions_and_islands(spark):
+    w = lambda lo, hi: " ".join(f"a{i}" for i in range(lo, hi + 1))
+    rows = [
+        (1, w(1, 20)),                                  # a1..a20
+        (2, "x1 x2 " + w(5, 14) + " y1 y2"),            # shares a5..a14
+        (3, "totally unrelated words only here"),
+        # two disjoint shared runs with doc 1: a1..a5 and a10..a15
+        (4, w(1, 5) + " zz " + w(10, 15)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, k=3, min_tokens=5, max_gram_freq=100)
+    spans = {(r["a"], r["b"]): [] for r in out.collect()}
+    for r in out.collect():
+        spans[(r["a"], r["b"])].append(
+            (r["a_start"], r["b_start"], r["span_tokens"])
+        )
+    # doc1-doc2: one span, doc1 pos 5..14 (10 tokens), doc2 pos 3
+    assert spans[(1, 2)] == [(5, 3, 10)]
+    # doc1-doc4: two islands (the gap token breaks the diagonal run)
+    assert sorted(spans[(1, 4)]) == [(1, 1, 5), (10, 7, 6)]
+    assert not any(3 in p for p in spans)
+
+
+def test_duplicate_spans_gram_freq_guard(spark):
+    # every shared gram occurs >= 2 times corpus-wide, so cap=1 drops all
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.duplicate_spans(df, k=3, min_tokens=3, max_gram_freq=1).count() == 0
+    full = dedup.duplicate_spans(df, k=3, min_tokens=3, max_gram_freq=100).collect()
+    assert [(r["a_start"], r["b_start"], r["span_tokens"])
+            for r in full] == [(1, 1, 6)]
+
+
+def _dsir_docs(spark):
+    rows = [
+        (1, True, "cats purr and cats nap and cats purr"),
+        (2, True, "cats purr while cats nap"),
+        (10, False, "cats purr and cats nap often"),       # target-like raw
+        (11, False, "dogs bark and dogs dig and dogs bark"),
+        (12, False, "x"),                                   # < n tokens: omitted
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, is_target boolean, text string"
+    )
+
+
+def test_dsir_weights_orders_target_like_raw_docs(spark):
+    df = _dsir_docs(spark)
+    out = {r["doc_id"]: r for r in
+           sampling.dsir_weights(df, n=2, n_buckets=256).collect()}
+    assert set(out) == {1, 2, 10, 11}  # doc 12 has no bigram
+    assert out[10]["weight_q"] > out[11]["weight_q"]
+    # n_grams counts OCCURRENCES (6 tokens -> 5 bigrams)
+    assert out[10]["n_grams"] == 5
+    # display double mirrors the quantized long
+    assert out[10]["weight"] == pytest.approx(out[10]["weight_q"] / 1e9, abs=1e-6)
+
+
+def test_dsir_weights_match_pure_python_replication(spark):
+    """Differential: the Spark pipeline reproduces a from-scratch pure
+    python computation (tokenize, bucket via md5, count, weight, dot)."""
+    import hashlib
+    from collections import Counter
+
+    df = _dsir_docs(spark)
+    v, n = 256, 2
+    rows = [(1, True, "cats purr and cats nap and cats purr"),
+            (2, True, "cats purr while cats nap"),
+            (10, False, "cats purr and cats nap often"),
+            (11, False, "dogs bark and dogs dig and dogs bark")]
+
+    def buckets(txt):
+        toks = txt.lower().split()
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:7], 16) % v
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    ct, cr = Counter(), Counter()
+    for _, tgt, txt in rows:
+        (ct if tgt else cr).update(buckets(txt))
+    all_b = sorted(set(ct) | set(cr))
+    wmap = sampling.dsir_bucket_weights(
+        [(b, ct[b], cr[b]) for b in all_b], v, 1.0
+    )
+    expected = {
+        did: sum(wmap[b] for b in buckets(txt)) for did, _, txt in rows
+    }
+    got = {r["doc_id"]: r["weight_q"] for r in
+           sampling.dsir_weights(df, n=n, n_buckets=v).collect()}
+    assert got == expected
+
+
+def test_dsir_select_topk_raw_only(spark):
+    df = _dsir_docs(spark)
+    sel = sampling.dsir_select(df, 2, n=2, n_buckets=256).collect()
+    assert [r["doc_id"] for r in sel] == [10, 11]  # raw docs only, best first
+    assert [r["dsir_rank"] for r in sel] == [1, 2]

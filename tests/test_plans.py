@@ -239,6 +239,7 @@ def test_no_corpus_linear_single_partition_windows():
 
     Current sites, all bounded:
       sampling.py  weighted_sample rank  — input limit(n), O(n)
+      sampling.py  dsir_select rank      — input limit(n_select), O(n)
       retrieval.py bm25 rank            — input limit(k), O(k)
       text.py      vocab_top_terms rank — input limit(n), O(n)
       text.py      corpus_mix total     — input |strata| agg rows
@@ -257,7 +258,7 @@ def test_no_corpus_linear_single_partition_windows():
         n = sum(1 for line in p.read_text().splitlines() if pat.search(line))
         if n:
             counts[p.name] = n
-    assert counts == {"retrieval.py": 1, "sampling.py": 1, "text.py": 3}, counts
+    assert counts == {"retrieval.py": 1, "sampling.py": 2, "text.py": 3}, counts
 
 
 def test_pack_windows_two_level_shard_bases(spark, monkeypatch):
@@ -350,3 +351,18 @@ def test_ngram_doc_freq_guard_plan_shape(spark):
     assert dedup.lsh_guard_stats(idle) == {
         "skipped_rows": 0, "skipped_pairs": 0, "skipped_buckets": 0,
     }
+
+
+def test_duplicate_spans_window_and_agg_share_one_exchange(spark):
+    """The islands window partitions by (a, b, dg) and the span aggregate
+    groups by (a, b, dg, run) — subset partitioning must satisfy the
+    finer clustering so both run off ONE hashpartitioning exchange (the
+    cweq stacked-window invariant, applied to window -> aggregate)."""
+    from views_transformation_library_spark.operators import dedup
+
+    rows = [(i, "a b c d e f g h " + f"t{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, k=3, min_tokens=3, max_gram_freq=100)
+    plan = plans.physical_plan(out)
+    assert plan.count("Exchange hashpartitioning(a#") == 1, plan
+    assert plan.count("Window") == 2, plan  # lag + running sum, one sort

@@ -993,3 +993,153 @@ def split_leakage(
     if getattr(pairs, _GUARD_ATTR, None) is not None:
         setattr(out, _GUARD_ATTR, getattr(pairs, _GUARD_ATTR))
     return out
+
+
+# Eval-side distinct-gram sets up to this many rows join as a broadcast
+# (benchmarks are tiny next to the corpus); bigger eval sets fall back to
+# a shuffle join. Runtime count, never a Catalyst estimate (r10 lesson:
+# post-aggregate size estimates are junk).
+EVAL_GRAM_BROADCAST_CAP = 4_000_000
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` distinct word ``n``-grams with ANY document of an
+    evaluation/benchmark set (the exact-overlap test used to scrub eval
+    contamination from pretraining corpora — GPT-3 appendix C / PaLM-style
+    n-gram collision checks).
+
+    Output: one row per training doc with at least one n-gram —
+    (id_col, n_grams, n_hit_grams, contaminated). ``n_hit_grams`` counts
+    the doc's DISTINCT grams that occur anywhere in the eval set. Docs
+    with fewer than ``n`` tokens have no grams and are omitted (they
+    cannot be contaminated at this gram length).
+
+    Scale shape: the eval side reduces to one distinct-gram set —
+    benchmarks are orders of magnitude smaller than the corpus, so it
+    broadcasts (runtime-counted gate, EVAL_GRAM_BROADCAST_CAP) and the
+    whole operator is a scan-side map join plus ONE groupBy(doc) with
+    map-side combine: no corpus-sized shuffle other than the per-doc sum,
+    linear at 100 TB."""
+    corpus = _shingles(df, id_col, text_col, n)
+    egr = materialize(
+        _shingles(eval_df, eval_id_col, eval_text_col, n).select("shingle").distinct()
+    )
+    eg = egr.withColumn("__hit", F.lit(1))
+    if egr.count() <= EVAL_GRAM_BROADCAST_CAP:
+        eg = F.broadcast(eg)
+    per = (
+        corpus.join(eg, "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit_grams"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_grams",
+        "n_hit_grams",
+        (F.col("n_hit_grams") >= int(min_hits)).alias("contaminated"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_tokens: int = 10,
+    max_gram_freq: int | None = 1000,
+) -> DataFrame:
+    """Substring-level exact duplicate spans across documents (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the suffix-array ExactSubstr pass, re-expressed at word-``k``-gram
+    granularity so it distributes): every maximal run of >= ``min_tokens``
+    consecutive tokens shared verbatim between two documents.
+
+    Algorithm: positional k-gram postings (doc, pos, md5(gram)) self-join
+    on the gram hash; matches at diagonal d = pos_a - pos_b that are
+    CONSECUTIVE in pos_a belong to one shared substring, so a
+    gaps-and-islands pass per (a, b, d) merges them into maximal spans of
+    span_tokens = max(pos_a) - min(pos_a) + k tokens. All-integer — the
+    gate is byte-strict with no float surface.
+
+    Output: (a, b, a_start, b_start, span_tokens), a < b, 1-based token
+    positions.
+
+    Scale shape: the postings join shuffles on the gram hash, so hot
+    grams are the skew risk — ``max_gram_freq`` drops grams occurring
+    more than that many times corpus-wide (the ngram_jaccard guard-v3
+    shape: a COUNT hash-aggregate computes the tiny hot set, which
+    anti-joins as a broadcast only when non-empty; zero engagement costs
+    one small aggregate job). The islands window partitions by
+    (a, b, diagonal) and the span aggregate groups by a superset of those
+    keys, so window + aggregate share ONE exchange."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_expr(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {k})))"
+    )
+    g = toks.select("doc", F.posexplode(grams).alias("__p", "__gram")).select(
+        "doc",
+        (F.col("__p") + 1).cast("long").alias("pos"),
+        F.md5("__gram").alias("h"),
+    )
+    g = materialize(g)  # feeds both join branches (+ the guard aggregate)
+    if max_gram_freq is not None:
+        hot = materialize(
+            g.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") > int(max_gram_freq))
+        )
+        n_hot = hot.count()
+        if n_hot and n_hot <= HOT_SHINGLE_BROADCAST_CAP:
+            g = g.join(F.broadcast(hot.select("h")), "h", "left_anti")
+        elif n_hot:
+            g = g.join(hot.select("h"), "h", "left_anti")
+    right = g.select(
+        F.col("doc").alias("b"), F.col("pos").alias("pb"), F.col("h").alias("hb")
+    )
+    m = (
+        g.join(right, (F.col("h") == F.col("hb")) & (F.col("doc") < F.col("b")))
+        .select(
+            F.col("doc").alias("a"),
+            "b",
+            F.col("pos").alias("pa"),
+            "pb",
+            (F.col("pos") - F.col("pb")).alias("dg"),
+        )
+    )
+    w = Window.partitionBy("a", "b", "dg").orderBy("pa")
+    brk = F.when(F.col("pa") - F.lag("pa").over(w) == 1, F.lit(0)).otherwise(F.lit(1))
+    runs = m.withColumn("__brk", brk).withColumn(
+        "run",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("a", "b", "dg", "run")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("span_tokens"),
+        )
+        .select(
+            "a",
+            "b",
+            "a_start",
+            (F.col("a_start") - F.col("dg")).alias("b_start"),
+            "span_tokens",
+        )
+        .filter(F.col("span_tokens") >= int(min_tokens))
+    )

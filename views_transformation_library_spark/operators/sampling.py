@@ -280,3 +280,186 @@ def temperature_mix(
         df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
         default_fraction=0.0,
     )
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Hashed n-gram bag-of-buckets importance weights:
+# log p_target(bucket) - log p_raw(bucket) summed over a doc's gram
+# occurrences, with add-alpha smoothing over a FIXED bucket space.
+#
+# Scale shape: one gram explode -> bucket hash (pure column exprs in the
+# scan), ONE tiny groupBy(bucket) whose collect is bounded by n_buckets
+# (an index parameter, never data-sized), a driver-computed weight table
+# broadcast back, and ONE groupBy(doc) with map-side combine. Linear in
+# corpus tokens end to end; the only wide shuffle is the per-doc sum.
+#
+# Float discipline (CLAUDE.md grid_lag lesson): log() differs between
+# engines in the last ulp, so the per-bucket log-ratios are evaluated
+# ONCE, driver-side, by the pure function `dsir_bucket_weights` over the
+# exact integer counts both engines agree on, quantized to 1e-9 longs
+# (floor is exact IEEE; integer sums commute under any aggregation
+# tree). The oracle re-derives the identical table from DuckDB's own
+# counts and inlines it as VALUES — per-doc `weight_q` is then a pure
+# integer dot product, byte-strict with no float surface at all.
+
+DSIR_WEIGHT_SCALE = 1_000_000_000  # log-ratio quantization (1e-9 resolution)
+DSIR_BUCKET_BITS_HEX = 7  # 28-bit md5 prefix, engine-portable (minhash family)
+
+
+def dsir_bucket_weights(
+    rows, n_buckets: int, alpha: float = 1.0
+) -> dict[int, int]:
+    """Pure driver function: quantized per-bucket log importance ratios
+    from exact integer counts. ``rows`` iterates (bucket, c_target,
+    c_raw); returns {bucket: floor(1e9 * (log p_t - log p_r))} with
+    add-``alpha`` smoothing over the fixed ``n_buckets`` feature space.
+    Shared verbatim by the Spark operator and the DuckDB oracle generator
+    so both engines consume bit-identical weights (the only floats live
+    here, computed once on one machine)."""
+    import math
+
+    rows = [(int(b), int(ct), int(cr)) for b, ct, cr in rows]
+    t_tot = sum(ct for _, ct, _ in rows)
+    r_tot = sum(cr for _, _, cr in rows)
+    a = float(alpha)
+    denom_t = math.log(t_tot + a * n_buckets)
+    denom_r = math.log(r_tot + a * n_buckets)
+    return {
+        b: math.floor(
+            (math.log(ct + a) - denom_t - math.log(cr + a) + denom_r)
+            * DSIR_WEIGHT_SCALE
+        )
+        for b, ct, cr in rows
+    }
+
+
+def _gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, target_col: str, n: int, n_buckets: int
+) -> DataFrame:
+    """(doc, is_target, bucket) per word-n-gram OCCURRENCE (DSIR weights
+    count occurrences, unlike the dedup family's distinct shingles).
+    Bucket = 28-bit md5 prefix of the gram mod n_buckets — identical in
+    DuckDB (CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) % V)."""
+    from .dedup import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(target_col).cast("boolean").alias("is_target"),
+        tokens_expr(text_col).alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    gram = F.explode(grams).alias("__gram")
+    out = toks.select("doc", "is_target", gram)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, DSIR_BUCKET_BITS_HEX), 16, 10)
+        .cast("long")
+        % F.lit(int(n_buckets))
+    )
+    return out.select("doc", "is_target", bucket.alias("bucket"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weights: how much more likely the
+    doc's hashed n-gram bag is under the TARGET distribution (rows where
+    ``target_col`` is true) than under the RAW distribution (the rest).
+    The standard "select raw web data that looks like the target domain"
+    curation step.
+
+    Output: (id_col, is_target, n_grams, weight_q, weight) — ``weight_q``
+    is the exact 1e-9-quantized long (the strict-gate column; integer
+    sums are aggregation-order-free), ``weight`` its rounded double for
+    humans. Docs with fewer than ``n`` tokens have no features and are
+    omitted (no defined weight — the contract the ANN family uses for
+    undefined cosines).
+
+    The gram table feeds two branches (bucket counts + per-doc scoring),
+    so it is materialized once (CLAUDE.md multi-branch rule)."""
+    from ..panel import materialize
+
+    occ = materialize(_gram_buckets(df, id_col, text_col, target_col, n, n_buckets))
+    counts = (
+        occ.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+        )
+        .collect()  # bounded by n_buckets (an index param), never data-sized
+    )
+    wmap = dsir_bucket_weights(
+        ((r["bucket"], r["ct"], r["cr"]) for r in counts), n_buckets, alpha
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(wmap.items()), "bucket long, __q long"
+    )
+    per = (
+        occ.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__q").alias("weight_q"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "is_target",
+        "n_grams",
+        "weight_q",
+        (
+            F.round(F.col("weight_q").cast("double") / F.lit(float(DSIR_WEIGHT_SCALE)), 6)
+            + F.lit(0.0)
+        ).alias("weight"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    n_select: int,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    prefilter_above: int = 100_000,
+) -> DataFrame:
+    """Top-``n_select`` RAW documents by DSIR importance weight — the
+    deterministic-selection variant of DSIR's resampling step (ranking on
+    the exact quantized long with id tie-breaks keeps the gate
+    byte-strict; for sampled selection compose `dsir_weights` with
+    `weighted_sample`, which already carries the hash-Gumbel machinery).
+
+    Scale shape: orderBy(key).limit(n) — a distributed
+    TakeOrderedAndProject like `weighted_sample`, with the same
+    approx-quantile prefilter for corpus-scale n (exactness preserved:
+    only rows that provably cannot reach the top n are dropped).
+
+    Output: (id_col, n_grams, weight_q, dsir_rank), rank 1..n by
+    descending weight."""
+    w = dsir_weights(
+        df, target_col=target_col, id_col=id_col, text_col=text_col,
+        n=n, n_buckets=n_buckets, alpha=alpha,
+    )
+    raw = w.filter(~F.col("is_target")).withColumn(
+        # negate so the shared ascending-top-n helper keeps the LARGEST
+        "sample_key", -F.col("weight_q").cast("double")
+    )
+    sel = _bounded_top(raw, int(n_select), prefilter_above)
+    top = sel.orderBy(
+        F.col("weight_q").desc(), F.col(id_col).asc()
+    ).limit(int(n_select))
+    rank_w = Window.orderBy(F.col("weight_q").desc(), F.col(id_col).asc())
+    return top.withColumn("dsir_rank", F.row_number().over(rank_w)).select(
+        id_col, "n_grams", "weight_q", "dsir_rank"
+    )
