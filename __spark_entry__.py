@@ -33,6 +33,7 @@ from views_transformation_library_spark.operators import (
     sampling,
     scalar,
     similarity,
+    sketches,
     spacetime,
     spatial_graph,
     spatial_grid,
@@ -351,6 +352,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_select"] = lambda s, d: sampling.dsir_select(
         _docs(s, d).withColumn("is_target", F.col("source").isin(*_DSIR_TARGETS)),
         50, n=2, n_buckets=_DSIR_BUCKETS,
+    )
+    # mergeable sketches (r10): all state integer (registers / scaled
+    # power-of-two sums / counters / bit positions); the single float per
+    # estimator is one literal/BIGINT division — byte-strict gates
+    q["hll_distinct"] = lambda s, d: sketches.hll_distinct(
+        s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey",
+        ["l_returnflag"], p=_HLL_P,
+    )
+    q["kmv_distinct"] = lambda s, d: sketches.kmv_distinct(
+        s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey",
+        k=_KMV_K, group_cols=["l_returnflag"],
+    )
+    q["cm_estimate"] = lambda s, d: sketches.cm_estimate(
+        _docs(s, d).select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("t")
+        ),
+        "t", _CM_ITEMS, depth=_CM_DEPTH, width=_CM_WIDTH,
+    )
+    # bloom pre-filter: build side = a deterministic 2/3 subset of order
+    # custkeys (o_custkey % 3 != 0) so the probe has true negatives and
+    # the false-positive behavior is inside the gate surface
+    q["bloom_prefilter"] = lambda s, d: sketches.bloom_prefilter(
+        s.read.parquet(f"{d}/orders.parquet").filter(F.col("o_custkey") % 3 != 0),
+        "o_custkey",
+        s.read.parquet(f"{d}/customer.parquet"),
+        "c_custkey",
+        n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+    )
+    # BPE tokenizer training: distributed count pass + bounded driver
+    # merge learning (text.bpe_learn — shared verbatim with the oracle)
+    q["bpe_train"] = lambda s, d: text.bpe_train(
+        _docs(s, d), num_merges=_BPE_MERGES
+    )
+    # BPE apply: tokenize the corpus under the vocabulary just trained on
+    # it (train -> encode composition; scan -> narrow map, no shuffle)
+    q["bpe_encode"] = lambda s, d: text.bpe_encode(
+        _docs(s, d),
+        [tuple(r) for r in text.bpe_train(_docs(s, d), num_merges=_BPE_MERGES).collect()],
     )
     q["chunk_text"] = lambda s, d: retrieval.chunk_text(
         _docs(s, d), size=24, overlap=8
@@ -1449,6 +1490,16 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_TARGETS = ("src0", "src1", "src2", "src3")  # DSIR target domain
 _DSIR_BUCKETS = 4096  # DSIR hashed-bigram feature space (index param)
+
+# sketch gate parameterizations (r10) — oracle mirrors derive every
+# numeric literal from these + the sketches module's own helpers, so a
+# policy change cannot desync the two sides (ADVICE r9 lesson)
+_HLL_P = 8
+_KMV_K = 128
+_CM_DEPTH, _CM_WIDTH = 4, 1024
+_CM_ITEMS = ["the", "a", "of", "and", "data", "model", "x", "q", "zzznope", "test"]
+_BLOOM_BITS, _BLOOM_HASHES = 1 << 17, 5
+_BPE_MERGES = 200  # bpe_train gate: merge steps to learn
 GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
 EVENT_THRESHOLD = 500.0  # ~p99 of panel values -> sparse event set
 
@@ -2051,6 +2102,198 @@ per AS (
 )
 """
     )
+
+
+def _hll_oracle(p: int = _HLL_P) -> str:
+    """Mirror of sketches.hll_distinct over lineitem l_partkey grouped by
+    l_returnflag: identical 60-bit md5 hashes, unpadded bin() rank,
+    integer 2^(K-M) register sum; the one float is the literal/BIGINT
+    division (alpha numerator inlined via repr so both engines consume
+    the same double)."""
+    m, bw = 1 << p, 60 - p
+    k = bw + 1
+    numer = repr(sketches.hll_alpha(m) * m * m * float(1 << k))
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS h
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, h % {m} AS idx,
+         CASE WHEN h // {m} = 0 THEN {k}
+              ELSE {bw} - length(bin(h // {m})) + 1 END AS rho
+  FROM h
+), regs AS (SELECT l_returnflag, idx, max(rho) AS m FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT l_returnflag, count(*) AS nreg,
+         sum((CAST(1 AS BIGINT) << ({k} - m)))::BIGINT AS sp
+  FROM regs GROUP BY 1
+)
+SELECT l_returnflag, CAST({m} - nreg AS INT) AS n_zero,
+       (sp + ({m} - nreg) * {1 << k})::BIGINT AS s_scaled,
+       round(CAST({numer} AS DOUBLE)
+             / CAST(sp + ({m} - nreg) * {1 << k} AS DOUBLE), 6) + 0.0 AS estimate
+FROM agg
+"""
+
+
+def _kmv_oracle(kk: int = _KMV_K) -> str:
+    """Mirror of sketches.kmv_distinct: distinct 60-bit hashes, k-th
+    smallest via row_number, (k-1)*2^60/h_k estimate (exact-count branch
+    below k distinct)."""
+    numer = repr(float(kk - 1) * float(sketches.HASH_SPACE))
+    return f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS h
+  FROM lineitem
+), rk AS (
+  SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h
+), agg AS (
+  SELECT l_returnflag, CAST(max(rn) AS INT) AS n_min, max(h) AS kth_hash
+  FROM rk WHERE rn <= {kk} GROUP BY 1
+)
+SELECT l_returnflag, n_min, kth_hash,
+       round(CASE WHEN n_min < {kk} THEN CAST(n_min AS DOUBLE)
+             ELSE CAST({numer} AS DOUBLE) / CAST(kth_hash AS DOUBLE) END, 6) + 0.0
+         AS estimate
+FROM agg
+"""
+
+
+def _cm_oracle(depth: int = _CM_DEPTH, width: int = _CM_WIDTH) -> str:
+    """Mirror of sketches.cm_estimate over the documents token stream:
+    salted md5 bucket per (row, depth), min-over-rows estimate for the
+    literal item list — all integer."""
+    items_sql = ", ".join(f"('{i}')" for i in _CM_ITEMS)
+    return f"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents
+), rows_ AS (
+  SELECT t, unnest(generate_series(0, {depth - 1})) AS d FROM tk
+), sk AS (
+  SELECT d, CAST(CAST('0x'||substr(md5('cm'||d||':'||t),1,15) AS BIGINT) % {width} AS INT) AS bucket,
+         count(*) AS c
+  FROM rows_ GROUP BY 1, 2
+), it(item) AS (VALUES {items_sql}),
+pr AS (
+  SELECT item, d,
+         CAST(CAST('0x'||substr(md5('cm'||d||':'||item),1,15) AS BIGINT) % {width} AS INT) AS bucket
+  FROM it, generate_series(0, {depth - 1}) AS gs(d)
+)
+SELECT item, min(coalesce(c, 0))::BIGINT AS est_count
+FROM pr LEFT JOIN sk USING (d, bucket) GROUP BY 1
+"""
+
+
+def _bloom_oracle(n_bits: int = _BLOOM_BITS, n_hashes: int = _BLOOM_HASHES) -> str:
+    """Mirror of sketches.bloom_prefilter: build = o_custkey %% 3 != 0
+    subset of orders, probe = all customers; hit iff all salted positions
+    are in the built distinct-position set."""
+    return f"""
+WITH bpos AS (
+  SELECT DISTINCT
+         CAST('0x'||substr(md5('bf'||j||':'||CAST(o_custkey AS VARCHAR)),1,15) AS BIGINT)
+           % {n_bits} AS pos
+  FROM orders, generate_series(0, {n_hashes - 1}) AS g(j)
+  WHERE o_custkey % 3 != 0
+), pk AS (SELECT DISTINCT c_custkey FROM customer),
+ppos AS (
+  SELECT c_custkey,
+         CAST('0x'||substr(md5('bf'||j||':'||CAST(c_custkey AS VARCHAR)),1,15) AS BIGINT)
+           % {n_bits} AS pos
+  FROM pk, generate_series(0, {n_hashes - 1}) AS g(j)
+)
+SELECT c_custkey,
+       CAST(sum(CASE WHEN bpos.pos IS NOT NULL THEN 1 ELSE 0 END) = {n_hashes} AS INT)
+         AS bloom_hit
+FROM ppos LEFT JOIN bpos ON ppos.pos = bpos.pos
+GROUP BY 1
+"""
+
+
+def _bpe_oracle(
+    num_merges: int = _BPE_MERGES,
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    max_word_types: int = 100_000,
+) -> str:
+    """VALUES-golden mirror of text.bpe_train: DuckDB computes the exact
+    integer word counts over _ORACLE_SF_DIR, the SAME deterministic cap
+    ((count desc, word) total order) and the SAME pure merge learner
+    (text.bpe_learn) run here at oracle time — all-integer/string, no
+    float surface (dsir/pack_bins golden class)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+SELECT w, count(*)::BIGINT AS c FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet')
+) GROUP BY 1 HAVING count(*) >= {min_count}
+"""
+    ).fetchall()
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    counts = {w: int(c) for w, c in rows[:max_word_types]}
+    merges = text.bpe_learn(counts, num_merges, min_pair_count=min_pair_count)
+    if not merges:
+        return (
+            'SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS "left", '
+            'CAST(NULL AS VARCHAR) AS "right", CAST(NULL AS BIGINT) AS pair_count '
+            "WHERE FALSE"
+        )
+    vals = ", ".join(f"({r}, '{l}', '{rt}', {c})" for r, l, rt, c in merges)
+    return f"""
+SELECT CAST(col0 AS INT) AS rank, col1 AS "left", col2 AS "right",
+       CAST(col3 AS BIGINT) AS pair_count
+FROM (VALUES {vals}) t(col0, col1, col2, col3)
+"""
+
+
+def _bpe_encode_oracle(
+    num_merges: int = _BPE_MERGES,
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    max_word_types: int = 100_000,
+) -> str:
+    """Mirror of text.bpe_encode ∘ bpe_train: DuckDB's word counts feed
+    the SAME pure learner (text.bpe_learn), DuckDB's distinct corpus
+    words feed the SAME pure segmenter (text.bpe_segment_word), and the
+    per-doc aggregation runs in SQL over the inlined word -> n_subwords
+    map (vocab-bounded VALUES, corpus-scale safe) — all integer."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+SELECT w, count(*)::BIGINT AS c FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet')
+) GROUP BY 1
+"""
+    ).fetchall()
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    counts = {w: int(c) for w, c in rows if c >= min_count}
+    capped = dict(list(counts.items())[:max_word_types])
+    merges = text.bpe_learn(capped, num_merges, min_pair_count=min_pair_count)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    vals = ", ".join(
+        f"('{w}', {len(text.bpe_segment_word(w, ranks))})" for w, _ in rows
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+map(w, ns) AS (VALUES {vals}),
+per AS (
+  SELECT doc_id, count(*) AS n_words, sum(ns)::BIGINT AS n_subwords
+  FROM tok JOIN map USING (w) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(per.n_words, 0)::BIGINT AS n_words,
+       coalesce(per.n_subwords, 0)::BIGINT AS n_subwords
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
 
 
 def _ngram_sql(n: int, max_doc_freq: int | None = None) -> str:
@@ -2842,6 +3085,14 @@ SELECT doc AS doc_id, n_grams, weight_q,
 FROM per WHERE NOT tgt
 ORDER BY weight_q DESC, doc LIMIT 50
 """
+    # mergeable sketches (r10): integer state, one literal/BIGINT
+    # division per estimator — byte-strict
+    o["bpe_train"] = _bpe_oracle()
+    o["bpe_encode"] = _bpe_encode_oracle()
+    o["hll_distinct"] = _hll_oracle()
+    o["kmv_distinct"] = _kmv_oracle()
+    o["cm_estimate"] = _cm_oracle()
+    o["bloom_prefilter"] = _bloom_oracle()
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # leakage = the same verified pair set, labels re-derived from the
     # parity split, same-split pairs dropped (subquery-with-CTE wrap)

@@ -860,3 +860,115 @@ def test_spec_language_runs_on_streams(spark, tmp_path):
     # batch run of the SAME spec on the same file agrees
     batch = transform(spark.read.parquet(src), spec)
     assert got == {r["doc_id"] for r in batch.collect()} == {1}
+
+
+def test_hll_stream_batch_equivalence(spark, tmp_path):
+    """Streamed HLL registers must equal the batch operator's integer
+    summary on the union of all micro-batches — exact, not approximate:
+    the hashing is the same JVM expression, the merge is max."""
+    import random
+
+    from views_transformation_library_spark.operators import sketches
+    from views_transformation_library_spark.streaming.sketches import (
+        hll_distinct_stream,
+    )
+
+    rng = random.Random(7)
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    frames = []
+    for b in range(3):  # 3 micro-batches, overlapping value sets
+        pdf = pd.DataFrame(
+            {
+                "g": [rng.choice(["x", "y"]) for _ in range(400)],
+                "v": [rng.randrange(1500) for _ in range(400)],
+            }
+        )
+        pdf.to_parquet(f"{src}/b{b}.parquet", index=False)
+        frames.append(pdf)
+
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = hll_distinct_stream(stream, "v", "g", p=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode: the LAST emitted row per group is the final summary
+        hist = spark.sql("SELECT * FROM hll_out").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in hist:  # memory sink appends in batch order
+        final[r["g"]] = (r["n_zero"], r["s_scaled"])
+
+    batch_df = spark.createDataFrame(pd.concat(frames), "g string, v long")
+    expected = {
+        r["g"]: (r["n_zero"], r["s_scaled"])
+        for r in sketches.hll_distinct(batch_df, "v", ["g"], p=6).collect()
+    }
+    assert final == expected
+    # and the shared estimate projection agrees with the batch estimate
+    from pyspark.sql import functions as F
+
+    est_stream = {
+        r["g"]: r["e"]
+        for r in spark.createDataFrame(
+            [(g, s) for g, (_, s) in final.items()], "g string, s_scaled long"
+        )
+        .select("g", sketches.hll_estimate_from_scaled("s_scaled", 6).alias("e"))
+        .collect()
+    }
+    est_batch = {
+        r["g"]: r["estimate"]
+        for r in sketches.hll_distinct(batch_df, "v", ["g"], p=6).collect()
+    }
+    assert est_stream == est_batch
+
+
+def test_hll_stream_state_is_replay_safe(spark, tmp_path):
+    """Re-delivering an entire micro-batch must not move the sketch
+    (max-merge idempotence — the at-least-once safety property)."""
+    from views_transformation_library_spark.streaming.sketches import (
+        hll_distinct_stream,
+    )
+
+    src = str(tmp_path / "hll_replay")
+    os.makedirs(src)
+    pdf = pd.DataFrame({"g": ["x"] * 50, "v": list(range(50))})
+    pdf.to_parquet(f"{src}/b0.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = hll_distinct_stream(stream, "v", "g", p=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_replay_out")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM hll_replay_out").collect()[-1]
+        # identical content, new file: the duplicate rows must be absorbed
+        pdf.to_parquet(f"{src}/b1.parquet", index=False)
+        q.processAllAvailable()
+        second = spark.sql("SELECT * FROM hll_replay_out").collect()[-1]
+    finally:
+        q.stop()
+    assert (first["n_zero"], first["s_scaled"]) == (
+        second["n_zero"],
+        second["s_scaled"],
+    )

@@ -22,6 +22,7 @@ Ops covered (streaming module -> batch counterpart):
   minhash_candidates_stream  -> minhash_signatures band collisions
   funnel_stream              -> relational.funnel            (epoch-us)
   panel_from_events_stream   -> batch DECIMAL-sum day groupBy
+  hll_distinct_stream        -> sketches.hll_distinct        (integer-exact)
 
 tick_time_since_stream is excluded: its batch counterpart consumes a
 built panel, not raw events, so "same files" equivalence is already the
@@ -351,6 +352,40 @@ def check_panel(spark, ev_dir: str) -> dict:
     return _verdict(streamed, batch)
 
 
+def check_hll(spark, ev_dir: str) -> dict:
+    """Streaming HLL distinct users per event_type: the final update per
+    group must equal the batch operator's integer summary EXACTLY (same
+    JVM hash expressions, max-merged registers) — no approximation gap
+    between the two sides."""
+    from views_transformation_library_spark.operators import sketches
+    from views_transformation_library_spark.streaming.sketches import (
+        hll_distinct_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = hll_distinct_stream(
+        stream.filter(F.col("user_id") != FLUSH_USER), "user_id", "event_type", p=8
+    )
+    final: dict = {}
+    for r in _run_stream(spark, out, "update"):  # memory sink appends in batch order
+        final[r["event_type"]] = (r["n_zero"], r["s_scaled"])
+    streamed = {(g, nz, s) for g, (nz, s) in final.items()}
+    batch = {
+        (r["event_type"], r["n_zero"], r["s_scaled"])
+        for r in sketches.hll_distinct(
+            _read_batch(spark, ev_dir, EV_SCHEMA).filter(F.col("user_id") != FLUSH_USER),
+            "user_id",
+            ["event_type"],
+            p=8,
+        ).collect()
+    }
+    return _verdict(streamed, batch)
+
+
 EV_SCHEMA = "ts timestamp, user_id long, event_type string, value double"
 DOC_SCHEMA = "ts timestamp, doc_id long, text string"
 
@@ -415,6 +450,7 @@ def main() -> None:
             "minhash_candidates_stream": lambda: check_minhash(spark, doc_dir),
             "funnel_stream": lambda: check_funnel(spark, ev_dir),
             "panel_from_events_stream": lambda: check_panel(spark, ev_dir),
+            "hll_distinct_stream": lambda: check_hll(spark, ev_dir),
         }
         results = {}
         for name, fn in checks.items():

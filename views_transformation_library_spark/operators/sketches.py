@@ -1,0 +1,301 @@
+"""Mergeable sketch operators (beyond-reference surface): HyperLogLog
+distinct counting, KMV (k-minimum-values) distinct estimation, Count-Min
+frequency estimation, and Bloom-filter join pre-filtering.
+
+Why sketches are first-class at 100 TB: a sketch is a tiny, MERGEABLE
+summary — per-partition partial sketches combine associatively, so the
+wide shuffle moves kilobytes instead of the column. Spark's built-ins
+(approx_count_distinct, Bloom pushdown in AQE) cover some of this, but
+their hash functions are engine-private; these operators build the same
+sketches from md5-derived integers so a DuckDB oracle can reproduce every
+register byte-for-byte (the dedup.py minhash discipline, dedup.py:286).
+
+Engine-parity discipline (CLAUDE.md float rules):
+  * All sketch state is INTEGER (registers, scaled power-of-two sums,
+    counters, bit positions) — no float enters until the final estimate.
+  * The one float step per estimator is a single literal-times-division
+    from a BIGINT: both engines cast BIGINT -> DOUBLE with IEEE
+    round-to-nearest and divide identically, then round(6) + 0.0.
+  * 2^(k - M) sums use integer shifts (shiftleft / DuckDB <<), never
+    pow() — terms are exact and integer addition commutes.
+
+Reference: the reference library has no sketch surface; these implement
+the standard published algorithms (Flajolet et al. 2007 HyperLogLog;
+Bar-Yossef et al. 2002 KMV; Cormode & Muthukrishnan 2005 Count-Min;
+Bloom 1970) Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_HEX = 15  # 60-bit hashes: 15 hex chars < 2^63, uniform, engine-parity
+HASH_SPACE = 1 << 60
+
+# Bloom build-side position tables broadcast only while provably small
+# (driver-side upper bound: the distinct-position table has <= n_bits
+# rows by construction — never a Catalyst estimate).
+BLOOM_BROADCAST_MAX_BITS = 1 << 22
+
+
+def _h60(col, salt: str | None = None):
+    """60-bit integer hash of a (string-cast) column via md5 — identical
+    in any engine with md5 + hex parsing (DuckDB:
+    CAST('0x'||substr(md5(x),1,15) AS BIGINT)). Optional salt prefixes
+    the payload so independent hash functions h_j are cheap."""
+    s = F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}:"), s)
+    return F.conv(F.substring(F.md5(s), 1, HASH_HEX), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HyperLogLog bias constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate_from_scaled(s_scaled, p: int):
+    """Column expression: raw HLL estimate from the integer scaled sum
+    (alpha_m * m^2 * 2^K / S, one literal/BIGINT division, round 6 +0.0).
+    Shared by hll_distinct and batch post-processing of
+    streaming.sketches.hll_distinct_stream output."""
+    m = 1 << p
+    kscale = 61 - p
+    numer = hll_alpha(m) * m * m * float(1 << kscale)
+    col = F.col(s_scaled) if isinstance(s_scaled, str) else s_scaled
+    return F.round(F.lit(numer) / col.cast("double"), 6) + F.lit(0.0)
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group.
+
+    Register index = low p bits of a 60-bit md5 hash; rank rho = leading
+    zeros of the high (60-p) bits + 1, computed INTEGER-exactly as
+    (60-p) - length(bin(w)) + 1 (bin() is unpadded in both Spark and
+    DuckDB; w = 0 => rho = 61-p). Registers are max(rho) — idempotent
+    and mergeable, so no pre-distinct pass is needed and the map-side
+    partial aggregation already shrinks each partition to <= m rows per
+    group before the single shuffle.
+
+    The harmonic sum is kept integer: S = sum over all m registers of
+    2^(K - M[j]) with K = 61-p (empty registers contribute 2^K), a long
+    <= m * 2^K < 2^63. The raw estimate alpha_m * m^2 * 2^K / S is ONE
+    literal/BIGINT division (IEEE-identical cross-engine). The
+    small-range linear-counting correction (m * ln(m / V), used when the
+    raw estimate < 2.5m and zero registers exist) is exposed via
+    ``small_range_correction=True`` in :func:`hll_estimate_expr` for
+    callers that want textbook accuracy at tiny cardinalities — the
+    default output keeps the raw estimator so the gate surface has no
+    libm ln (engine last-ulp divergence, CLAUDE.md grid_lag lesson).
+
+    Output: group_cols + (n_zero int, s_scaled long, estimate double).
+    At 100 TB: one shuffle of <= m rows per group; everything else is
+    map-side.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_distinct: p must be in [4, 16], got {p}")
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    bits_w = 60 - p
+    kscale = bits_w + 1  # max rho; scaled-sum exponent
+    h = _h60(value_col)
+    w = F.expr(f"CAST(__hll_h DIV {m} AS BIGINT)")
+    rho = F.when(w == 0, F.lit(kscale)).otherwise(
+        F.lit(bits_w) - F.length(F.bin(w)) + F.lit(1)
+    )
+    regs = (
+        df.select(*group_cols, h.alias("__hll_h"))
+        .select(
+            *group_cols,
+            (F.col("__hll_h") % m).alias("__idx"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {kscale} - __m)"))
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nreg"), s_present.alias("__sp")
+    )
+    s_scaled = (F.col("__sp") + (F.lit(m) - F.col("__nreg")) * F.lit(1 << kscale)).alias(
+        "s_scaled"
+    )
+    out = agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("__nreg")).cast("int").alias("n_zero"),
+        s_scaled,
+    )
+    return out.withColumn(estimate_col, hll_estimate_from_scaled("s_scaled", p))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct estimate per group: keep the k
+    smallest distinct 60-bit hashes; if the k-th exists, the estimate is
+    (k-1) * 2^60 / h_k (Bar-Yossef et al. 2002), else the group has
+    fewer than k distinct values and the count is exact.
+
+    Output: group_cols + (n_min int, kth_hash long, estimate double).
+    n_min = min(k, exact distinct count); kth_hash = the n_min-th
+    smallest hash. Scale: the distinct pass is the one wide shuffle;
+    the top-k window then ranks <= distinct rows per group (partial
+    aggregation cannot pre-truncate a row_number, but the shuffled
+    payload is already one long per distinct value).
+    """
+    group_cols = list(group_cols or [])
+    h = _h60(value_col)
+    dist = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__h")
+    ranked = dist.select(*group_cols, "__h", F.row_number().over(w).alias("__rn")).filter(
+        F.col("__rn") <= k
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("__rn").cast("int").alias("n_min"), F.max("__h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * float(HASH_SPACE)) / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn(estimate_col, F.round(est, 6) + F.lit(0.0))
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch table over a column: depth independent hash rows
+    (salted md5), width buckets each. Output (d int, bucket int, c long)
+    — depth*width integer counters, mergeable by (d, bucket) addition.
+
+    Scale: the explode multiplies rows by `depth` map-side, but the
+    groupBy's partial aggregation collapses each partition to <=
+    depth*width rows before the shuffle — the exchange is O(sketch), not
+    O(data), which is the whole point of the sketch at 100 TB.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"), (_h60(value_col, salt=f"cm{j}") % width).alias("b")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("__e"))
+        .select(F.col("__e.d").alias("d"), F.col("__e.b").cast("int").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    df: DataFrame,
+    value_col: str,
+    items: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    out: str = "est_count",
+) -> DataFrame:
+    """Count-Min point estimates for a literal item list: est(x) =
+    min over d of sketch[d][h_d(x) % width] — an upper bound on the true
+    frequency, with the standard (eps, delta) guarantees.
+
+    The probe side is a depth*|items| literal table (bucket positions
+    computed driver-free, in-plan, from the same salted md5), broadcast
+    into the sketch — no second scan of the corpus. Items absent from
+    every bucket still return a row (est 0) via the left join.
+    Output: (item string, est_count long).
+    """
+    sketch = cm_sketch(df, value_col, depth=depth, width=width)
+    spark = df.sparkSession
+    probe = (
+        spark.createDataFrame([(it,) for it in items], "item string")
+        .select(
+            "item",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("d"),
+                            (_h60("item", salt=f"cm{j}") % width)
+                            .cast("int")
+                            .alias("bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("__e"),
+        )
+        .select("item", F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket"))
+    )
+    # the sketch is <= depth*width rows BY CONSTRUCTION (driver-side
+    # bound) — broadcast it into the tiny probe table, never the reverse
+    joined = probe.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out))
+    )
+
+
+def bloom_prefilter(
+    build_df: DataFrame,
+    build_col: str,
+    probe_df: DataFrame,
+    probe_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Bloom-filter join pre-filter: summarize the build side's distinct
+    keys as a set of bit positions (n_hashes salted md5 positions per
+    key, modulo n_bits), then flag each distinct probe key by whether
+    ALL its positions are present. bloom_hit = 1 guarantees nothing;
+    bloom_hit = 0 PROVES the key is absent — the classic shuffle-saving
+    semi-join pre-filter (at 100 TB: ship the <= n_bits-row position set
+    instead of shuffling the fact table on the join key).
+
+    Collided positions within one key are harmless: the per-key match
+    count equals n_hashes iff every salted position is in the built set.
+    The position table is broadcast under a DRIVER-SIDE bound (<= n_bits
+    rows by construction — never a Catalyst size estimate, CLAUDE.md
+    SIZES_BROADCAST_CAP lesson); larger filters fall back to a shuffle
+    join. Output: (probe_col, bloom_hit int).
+    """
+
+    def positions(frame: DataFrame, col: str) -> DataFrame:
+        pos = F.array(*[(_h60(col, salt=f"bf{j}") % n_bits) for j in range(n_hashes)])
+        return frame.select(F.col(col), F.explode(pos).alias("__pos"))
+
+    built = positions(build_df, build_col).select("__pos").distinct()
+    if n_bits <= BLOOM_BROADCAST_MAX_BITS:
+        built = F.broadcast(built)
+    probe = positions(probe_df.select(probe_col).distinct(), probe_col)
+    hits = (
+        probe.join(built.withColumnRenamed("__pos", "__bpos"),
+                   probe["__pos"] == F.col("__bpos"), "left")
+        .groupBy(probe_col)
+        .agg(
+            (F.count(F.col("__bpos")) == n_hashes).cast("int").alias(hit_col)
+        )
+    )
+    return hits

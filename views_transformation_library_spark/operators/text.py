@@ -981,3 +981,206 @@ def unigram_logprob(
         )
         .drop("__sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+
+
+BPE_EOW = "</w>"  # end-of-word marker symbol (Sennrich et al. 2016)
+
+
+def bpe_learn(
+    word_counts: dict[str, int],
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Pure-python BPE merge learning over a word-frequency table
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units") — deterministic, all-integer, shared verbatim
+    by the Spark operator and the DuckDB oracle (the DSIR
+    dsir_bucket_weights pattern: both engines consume the same pure
+    function of the same exact counts, so the gate has no float surface).
+
+    Each word is a symbol sequence (chars + BPE_EOW); each step merges
+    the most frequent adjacent pair, ties broken by the lexicographically
+    SMALLEST (left, right) — a total, engine-free order. Pair counts are
+    maintained incrementally (only words containing the merged pair are
+    touched), so learning is O(num_merges * touched), not
+    O(num_merges * vocabulary).
+
+    Returns [(rank, left, right, pair_count)], stopping early when the
+    best pair's count falls below min_pair_count.
+    """
+    seqs: dict[str, list[str]] = {
+        w: list(w) + [BPE_EOW] for w, c in word_counts.items() if w and c > 0
+    }
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, syms in seqs.items():
+        c = word_counts[w]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(w)
+
+    def _bump(p: tuple[str, str], w: str, delta: int) -> None:
+        n = pair_counts.get(p, 0) + delta
+        if n > 0:
+            pair_counts[p] = n
+        else:
+            pair_counts.pop(p, None)
+        if delta > 0:
+            pair_words.setdefault(p, set()).add(w)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < min_pair_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append((rank, best[0], best[1], best_count))
+        merged_sym = best[0] + best[1]
+        for w in sorted(pair_words.pop(best, ())):
+            c, old = word_counts[w], seqs[w]
+            new: list[str] = []
+            i = 0
+            while i < len(old):
+                if i + 1 < len(old) and (old[i], old[i + 1]) == best:
+                    new.append(merged_sym)
+                    i += 2
+                else:
+                    new.append(old[i])
+                    i += 1
+            if len(new) == len(old):
+                continue  # stale index entry (pair already merged away)
+            for p in zip(old, old[1:]):
+                _bump(p, w, -c)
+            for p in zip(new, new[1:]):
+                _bump(p, w, c)
+            seqs[w] = new
+        pair_counts.pop(best, None)
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    max_word_types: int = 100_000,
+) -> DataFrame:
+    """Train a BPE subword vocabulary on a corpus — the standard
+    100 TB-scale tokenizer-training shape: ONE distributed counting pass
+    collapses the corpus to its word-frequency table (map-side partial
+    combine → shuffle is O(|vocab|) per task, not O(tokens)), a
+    deterministic frequency cap bounds the driver pull
+    (TakeOrdered on (count desc, word) — total order, ties at the cut
+    deterministic), and the merge loop runs driver-side on the bounded
+    table via :func:`bpe_learn`. This is how production tokenizers are
+    actually trained on web-scale corpora: the corpus-sized work is the
+    count, the learning is vocabulary-sized.
+
+    Output: (rank int, left string, right string, pair_count long) —
+    one row per learned merge, all-integer/string (byte-strict gateable).
+    """
+    wc = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(int(max_word_types))
+    )
+    counts = {r["w"]: int(r["c"]) for _, r in wc.toPandas().iterrows()}
+    merges = bpe_learn(counts, num_merges, min_pair_count=min_pair_count)
+    schema = "rank int, left string, right string, pair_count long"
+    return df.sparkSession.createDataFrame(merges, schema=schema)
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned BPE merges to one word (greedy lowest-rank-first —
+    the standard inference rule): start from chars + BPE_EOW, repeatedly
+    merge every occurrence of the present pair with the smallest merge
+    rank. Pure python, shared verbatim by the Spark operator and the
+    DuckDB oracle's word-level VALUES map."""
+    syms = list(word) + [BPE_EOW]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        merged = best_pair[0] + best_pair[1]
+        new, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best_pair:
+                new.append(merged)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize every document under a learned BPE vocabulary: per doc,
+    n_words ([a-z0-9]+ runs) and n_subwords (total BPE symbols after
+    applying ``merges`` — the output of :func:`bpe_train` /
+    :func:`bpe_learn`).
+
+    Scale shape — the honest distributed tokenizer-apply: the merge
+    table (|vocab| rows, driver-bounded by construction) ships to every
+    task inside the mapInPandas closure; no corpus-vocabulary collect,
+    no shuffle at all (the pass is scan → narrow map). A per-batch word
+    cache collapses the Zipfian token stream to one segmentation per
+    DISTINCT word per batch, so the python cost is O(unique words), not
+    O(tokens). Output integers only (byte-strict gateable).
+    """
+    import re
+
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+    token_re = re.compile(r"[a-z0-9]+")
+    fields = [f.name for f in df.schema.fields if f.name in (id_col, text_col)]
+    base = df.select(*fields)
+
+    def _encode(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            out_words, out_subs = [], []
+            for txt in pdf[text_col]:
+                words = token_re.findall((txt or "").lower())
+                total = 0
+                for w in words:
+                    n = cache.get(w)
+                    if n is None:
+                        n = len(bpe_segment_word(w, ranks))
+                        cache[w] = n
+                    total += n
+                out_words.append(len(words))
+                out_subs.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(out_words, dtype="int64"),
+                    "n_subwords": pd.array(out_subs, dtype="int64"),
+                }
+            )
+
+    return base.mapInPandas(_encode, schema=f"{id_col} long, n_words long, n_subwords long")
