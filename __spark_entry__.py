@@ -382,6 +382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_custkey",
         n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
     )
+    # corpus-overlap estimation from mergeable sketches: 3-gram shingle
+    # set overlap between the even/odd doc splits — corpus similarity
+    # without a corpus-scale join (the token vocab is too small a subject
+    # here, ~31 types; shingles give ~10k/27k per split at sf0.01/sf0.1)
+    q["hll_overlap"] = lambda s, d: sketches.hll_overlap(
+        dedup._shingles(
+            _docs(s, d).filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3
+        ).select("shingle"),
+        dedup._shingles(
+            _docs(s, d).filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 3
+        ).select("shingle"),
+        "shingle",
+        p=_HLL_OVERLAP_P,
+    )
     # BPE tokenizer training: distributed count pass + bounded driver
     # merge learning (text.bpe_learn — shared verbatim with the oracle)
     q["bpe_train"] = lambda s, d: text.bpe_train(
@@ -1500,6 +1514,8 @@ _CM_DEPTH, _CM_WIDTH = 4, 1024
 _CM_ITEMS = ["the", "a", "of", "and", "data", "model", "x", "q", "zzznope", "test"]
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 17, 5
 _BPE_MERGES = 200  # bpe_train gate: merge steps to learn
+_HLL_OVERLAP_P = 11  # hll_overlap gate precision (m=2048; raw-regime
+# safe: ~10k/27k distinct shingles per split at sf0.01/sf0.1 >= 2.5m)
 GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
 EVENT_THRESHOLD = 500.0  # ~p99 of panel values -> sparse event set
 
@@ -2184,6 +2200,63 @@ pr AS (
 )
 SELECT item, min(coalesce(c, 0))::BIGINT AS est_count
 FROM pr LEFT JOIN sk USING (d, bucket) GROUP BY 1
+"""
+
+
+def _hll_overlap_oracle(p: int = _HLL_OVERLAP_P) -> str:
+    """Mirror of sketches.hll_overlap over the even/odd doc-split 3-gram
+    shingle sets (same \\S+ tokenization as dedup.tokens_expr): per-side
+    register CTEs, union = per-index max, integer scaled sums, and the
+    same literal/BIGINT division chain (a + b - u left-associated,
+    greatest(..., 0.0)) for the four estimates."""
+    m, bw = 1 << p, 60 - p
+    k = bw + 1
+    numer = repr(sketches.hll_alpha(m) * m * m * float(1 << k))
+
+    def regs(side: str, parity: int) -> str:
+        return rf"""
+d{side} AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents WHERE doc_id % 2 = {parity}
+),
+p{side} AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM d{side} WHERE len(toks) >= 3
+),
+t{side} AS (
+  SELECT CAST('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15) AS BIGINT) AS h
+  FROM p{side}
+),
+r{side} AS (
+  SELECT h % {m} AS idx,
+         max(CASE WHEN h // {m} = 0 THEN {k}
+                  ELSE {bw} - length(bin(h // {m})) + 1 END) AS m
+  FROM t{side} GROUP BY 1
+),
+s{side} AS (
+  SELECT (sum((CAST(1 AS BIGINT) << ({k} - m)))::BIGINT
+          + ({m} - count(*)) * {1 << k})::BIGINT AS s FROM r{side}
+)"""
+
+    return f"""
+WITH {regs('a', 0).lstrip()},
+{regs('b', 1).lstrip()},
+ru AS (
+  SELECT idx, max(m) AS m FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+),
+su AS (
+  SELECT (sum((CAST(1 AS BIGINT) << ({k} - m)))::BIGINT
+          + ({m} - count(*)) * {1 << k})::BIGINT AS s FROM ru
+)
+SELECT sa.s AS s_a, sb.s AS s_b, su.s AS s_union,
+       round(CAST({numer} AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) + 0.0 AS est_a,
+       round(CAST({numer} AS DOUBLE) / CAST(sb.s AS DOUBLE), 6) + 0.0 AS est_b,
+       round(CAST({numer} AS DOUBLE) / CAST(su.s AS DOUBLE), 6) + 0.0 AS est_union,
+       round(greatest(CAST({numer} AS DOUBLE) / CAST(sa.s AS DOUBLE)
+                      + CAST({numer} AS DOUBLE) / CAST(sb.s AS DOUBLE)
+                      - CAST({numer} AS DOUBLE) / CAST(su.s AS DOUBLE), 0.0), 6) + 0.0
+         AS est_intersection
+FROM sa, sb, su
 """
 
 
@@ -3093,6 +3166,7 @@ ORDER BY weight_q DESC, doc LIMIT 50
     o["kmv_distinct"] = _kmv_oracle()
     o["cm_estimate"] = _cm_oracle()
     o["bloom_prefilter"] = _bloom_oracle()
+    o["hll_overlap"] = _hll_overlap_oracle()
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # leakage = the same verified pair set, labels re-derived from the
     # parity split, same-split pairs dropped (subquery-with-CTE wrap)

@@ -279,3 +279,33 @@ def test_bpe_encode_matches_per_word_segmentation(spark):
         words = re.findall(r"[a-z0-9]+", txt.lower())
         exp = sum(len(text.bpe_segment_word(w, ranks)) for w in words)
         assert got[i] == (len(words), exp)
+
+
+def test_hll_overlap_estimates(spark):
+    # the RAW estimator needs n >= 2.5m (no linear-counting branch — libm
+    # ln is banned from the gate surface): p=8 -> m=256, 2.5m=640, so use
+    # thousands. A=0..2999, B=2000..5999: |A∪B|=6000, |A∩B|=1000.
+    a = spark.createDataFrame([(i,) for i in range(3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "v long")
+    row = sketches.hll_overlap(a, b, "v", p=8).collect()[0]
+    se = 4 * 1.04 / math.sqrt(1 << 8)  # ~26% at 4 sigma
+    assert abs(row["est_a"] / 3000 - 1) < se
+    assert abs(row["est_b"] / 4000 - 1) < se
+    assert abs(row["est_union"] / 6000 - 1) < se
+    # intersection inherits all three sketches' ABSOLUTE errors
+    assert abs(row["est_intersection"] - 1000) < (3000 + 4000 + 6000) * se
+    # disjoint sets: intersection floors at >= 0
+    c = spark.createDataFrame([(i,) for i in range(10000, 13000)], "v long")
+    row2 = sketches.hll_overlap(a, c, "v", p=8).collect()[0]
+    assert row2["est_intersection"] >= 0.0
+    assert row2["est_intersection"] < (3000 + 3000 + 6000) * se
+
+
+def test_hll_overlap_union_is_register_max(spark):
+    # union sketch of (A, B) must equal the sketch of A ∪ B exactly
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(250, 800)], "v long")
+    row = sketches.hll_overlap(a, b, "v", p=8).collect()[0]
+    u = sketches.hll_distinct(a.union(b), "v", p=8).collect()[0]
+    assert row["s_union"] == u["s_scaled"]
+    assert row["est_union"] == u["estimate"]

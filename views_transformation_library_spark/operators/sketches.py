@@ -92,13 +92,13 @@ def hll_distinct(
     The harmonic sum is kept integer: S = sum over all m registers of
     2^(K - M[j]) with K = 61-p (empty registers contribute 2^K), a long
     <= m * 2^K < 2^63. The raw estimate alpha_m * m^2 * 2^K / S is ONE
-    literal/BIGINT division (IEEE-identical cross-engine). The
-    small-range linear-counting correction (m * ln(m / V), used when the
-    raw estimate < 2.5m and zero registers exist) is exposed via
-    ``small_range_correction=True`` in :func:`hll_estimate_expr` for
-    callers that want textbook accuracy at tiny cardinalities — the
-    default output keeps the raw estimator so the gate surface has no
-    libm ln (engine last-ulp divergence, CLAUDE.md grid_lag lesson).
+    literal/BIGINT division (IEEE-identical cross-engine; shared helper
+    :func:`hll_estimate_from_scaled`). The textbook small-range
+    linear-counting correction (m * ln(m / V)) is deliberately NOT in
+    the output: ln is libm and diverges cross-engine in the last ulp
+    (CLAUDE.md grid_lag lesson) — callers that want it can derive it
+    from the emitted n_zero; the raw estimator keeps the gate surface
+    float-division-only.
 
     Output: group_cols + (n_zero int, s_scaled long, estimate double).
     At 100 TB: one shuffle of <= m rows per group; everything else is
@@ -299,3 +299,85 @@ def bloom_prefilter(
         )
     )
     return hits
+
+
+def _hll_registers(df: DataFrame, value_col: str, p: int) -> DataFrame:
+    """(idx int, m int) register table for one un-grouped column — the
+    mergeable core shared by hll_overlap's three sketch combinations."""
+    m = 1 << p
+    bits_w = 60 - p
+    kscale = bits_w + 1
+    h = _h60(value_col)
+    w = F.expr(f"CAST(__hll_h DIV {m} AS BIGINT)")
+    rho = F.when(w == 0, F.lit(kscale)).otherwise(
+        F.lit(bits_w) - F.length(F.bin(w)) + F.lit(1)
+    )
+    return (
+        df.select(h.alias("__hll_h"))
+        .select(
+            (F.col("__hll_h") % m).cast("int").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Set-overlap estimation between two corpora from their HLL
+    sketches — |A|, |B|, |A ∪ B| (union registers = per-index max, the
+    mergeability property), and |A ∩ B| by inclusion-exclusion. The
+    100 TB use case: estimate token/url/doc-fingerprint overlap between
+    two sources without ever joining them — three O(m)-row sketches
+    instead of a corpus-scale shuffle.
+
+    Output: ONE row (s_a, s_b, s_union long; est_a, est_b, est_union,
+    est_intersection double). All register state integer; the four
+    floats are literal/BIGINT divisions (+/- of those for the
+    intersection) computed identically cross-engine, rounded 6dp.
+    Intersection estimates inherit BOTH sketches' error — small overlaps
+    can round to negative values; they are floored at 0.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_overlap: p must be in [4, 16], got {p}")
+    m = 1 << p
+    kscale = 61 - p
+    numer = hll_alpha(m) * m * m * float(1 << kscale)
+
+    ra = _hll_registers(df_a, value_col, p)
+    rb = _hll_registers(df_b, value_col, p)
+    ru = ra.unionAll(rb).groupBy("idx").agg(F.max("m").alias("m"))
+
+    def s_scaled(regs: DataFrame, out: str) -> DataFrame:
+        return regs.agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {kscale} - m)"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << kscale)
+            ).alias(out)
+        )
+
+    est = lambda col: F.lit(numer) / F.col(col).cast("double")  # noqa: E731
+    one = (
+        s_scaled(ra, "s_a")
+        .crossJoin(F.broadcast(s_scaled(rb, "s_b")))
+        .crossJoin(F.broadcast(s_scaled(ru, "s_union")))
+    )
+    return one.select(
+        "s_a",
+        "s_b",
+        "s_union",
+        (F.round(est("s_a"), 6) + F.lit(0.0)).alias("est_a"),
+        (F.round(est("s_b"), 6) + F.lit(0.0)).alias("est_b"),
+        (F.round(est("s_union"), 6) + F.lit(0.0)).alias("est_union"),
+        (
+            F.round(
+                F.greatest(est("s_a") + est("s_b") - est("s_union"), F.lit(0.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("est_intersection"),
+    )
