@@ -12,7 +12,9 @@ which is the plan a consumer of the query actually pays for downstream
 of the pinned intermediates (the pins themselves are the documented
 multi-branch reuse mechanism, tests/test_plans.py).
 
-Usage: python tools/audit_plans.py [sf_dir] > PLANS_r05.md
+Usage: python tools/audit_plans.py [sf_dir] [--extra name1,name2] > PLANS_r05.md
+--extra appends non-HEADLINE queries() entries (new-family flagships) to
+the audited set.
 """
 
 from __future__ import annotations
@@ -30,7 +32,13 @@ from views_transformation_library_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    extra: list[str] = []
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--extra":
+            extra = argv[i + 1].split(",")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("audit_plans")
     qs = entry.queries()
     print("# Physical-plan audit (bench headline queries)")
@@ -47,7 +55,7 @@ def main() -> None:
     print()
     print("| query | shuffles | broadcasts | single-part ex | pushed filters | arrow ops |")
     print("|---|---|---|---|---|---|")
-    for name in HEADLINE:
+    for name in list(HEADLINE) + [e for e in extra if e not in HEADLINE]:
         if name not in qs:
             continue
         try:
