@@ -136,6 +136,8 @@ def _registry_specs(spark):
     bin_docs = multimodal.attach_binary(docs).withColumn(
         "duration_ms", F.lit(2500)
     )
+    docs_target = docs.withColumn("is_target", F.col("doc_id") % 2 == 0)
+    from views_transformation_library_spark.operators import text as text_ops
     events = spark.createDataFrame(
         [
             (u, int(ts * 60 * 1_000_000_000), et, i, 1.5, ts // 1440, int(ts * 60_000_000))
@@ -318,6 +320,19 @@ def _registry_specs(spark):
         "extract_features": (bin_docs, [], {}),
         "frame_sample": (bin_docs, [], {}),
         "resize": (bin_docs, [8, 8], {}),
+        # r10 curation + sketch + tokenizer families
+        "decontaminate": (docs, [docs.filter(F.col("doc_id") % 3 == 0)], {"n": 3}),
+        "duplicate_spans": (docs, [], {"k": 3, "min_tokens": 4}),
+        "dsir_weights": (docs_target, [], {"n": 2, "n_buckets": 32}),
+        "dsir_select": (docs_target, [3], {"n": 2, "n_buckets": 32}),
+        "hll_distinct": (docs, ["text"], {"p": 4}),
+        "kmv_distinct": (docs, ["text"], {"k": 4}),
+        "cm_sketch": (docs, ["text"], {"depth": 2, "width": 16}),
+        "cm_estimate": (docs, ["text", ["the", "fox"]], {"depth": 2, "width": 16}),
+        "bloom_prefilter": (docs, ["doc_id", docs, "doc_id"], {"n_bits": 256, "n_hashes": 3}),
+        "hll_overlap": (docs, [docs, "text"], {"p": 4}),
+        "bpe_train": (docs, [], {"num_merges": 5, "min_count": 1}),
+        "bpe_encode": (docs, [text_ops.bpe_learn({"the": 3, "quick": 2}, 3)], {}),
     }
 
 

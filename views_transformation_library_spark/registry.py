@@ -26,6 +26,7 @@ from .operators import (
     sampling,
     scalar,
     similarity,
+    sketches,
     spacetime,
     spatial_graph,
     spatial_grid,
@@ -171,6 +172,20 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     # impute_mice yields N frames; the spec surface (DataFrame -> DataFrame)
     # exposes one draw per step
     "impute_mice_draw": lambda df, *a, **k: missing.impute_mice(df, *a, **k)[0],
+    # r10 curation + sketch + tokenizer families (multi-frame ops take
+    # their second frame as an arg, the containment_pairs precedent)
+    "decontaminate": dedup.decontaminate,
+    "duplicate_spans": dedup.duplicate_spans,
+    "dsir_weights": sampling.dsir_weights,
+    "dsir_select": sampling.dsir_select,
+    "hll_distinct": sketches.hll_distinct,
+    "kmv_distinct": sketches.kmv_distinct,
+    "cm_sketch": sketches.cm_sketch,
+    "cm_estimate": sketches.cm_estimate,
+    "bloom_prefilter": sketches.bloom_prefilter,
+    "hll_overlap": sketches.hll_overlap,
+    "bpe_train": text.bpe_train,
+    "bpe_encode": text.bpe_encode,
 }
 
 
