@@ -396,6 +396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle",
         p=_HLL_OVERLAP_P,
     )
+    # exact distributed quantiles (strict tier of the profile family):
+    # integer rank selection over a value-count aggregate
+    q["exact_quantiles"] = lambda s, d: profiling.exact_quantiles(
+        s.read.parquet(f"{d}/lineitem.parquet"),
+        "l_extendedprice",
+        percents=(25, 50, 75, 90),
+        group_cols=["l_returnflag"],
+    )
     # BPE tokenizer training: distributed count pass + bounded driver
     # merge learning (text.bpe_learn — shared verbatim with the oracle)
     q["bpe_train"] = lambda s, d: text.bpe_train(
@@ -3160,6 +3168,26 @@ ORDER BY weight_q DESC, doc LIMIT 50
 """
     # mergeable sketches (r10): integer state, one literal/BIGINT
     # division per estimator — byte-strict
+    # exact quantiles: type-1 selection, all-integer ranks — the value is
+    # an input value, byte-exact by construction
+    o["exact_quantiles"] = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+),
+p(percent) AS (VALUES (25), (50), (75), (90))
+SELECT l_returnflag, percent, v AS value,
+       CAST((percent * n + 99) // 100 AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n
+FROM cum, p
+WHERE cum >= (percent * n + 99) // 100 AND cum - c < (percent * n + 99) // 100
+"""
     o["bpe_train"] = _bpe_oracle()
     o["bpe_encode"] = _bpe_encode_oracle()
     o["hll_distinct"] = _hll_oracle()

@@ -63,3 +63,57 @@ def test_profile_single_aggregate_plan(frame):
     """The sketch tier must stay ONE ordinary hash aggregate — no Expand."""
     plan = profiling.profile_approx(frame, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles (strict tier; type-1 / lower-quantile selection)
+
+
+def _type1(sorted_vals, p):
+    import math
+
+    n = len(sorted_vals)
+    rank = (p * n + 99) // 100  # ceil(p*n/100), all-integer
+    return sorted_vals[rank - 1]
+
+
+def test_exact_quantiles_matches_type1_selection(spark):
+    import random
+
+    from views_transformation_library_spark.operators import profiling
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(501)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["percent"]: (r["value"], r["rank"], r["n"])
+        for r in profiling.exact_quantiles(df, "x", (1, 25, 50, 75, 99, 100)).collect()
+    }
+    s = sorted(vals)
+    for p in (1, 25, 50, 75, 99, 100):
+        v, rank, n = got[p]
+        assert n == 501
+        assert rank == (p * 501 + 99) // 100
+        assert v == _type1(s, p), p
+
+
+def test_exact_quantiles_grouped_with_ties_and_nulls(spark):
+    from views_transformation_library_spark.operators import profiling
+
+    rows = (
+        [("a", 1.0)] * 10 + [("a", 2.0)] * 10 + [("a", None)] * 5
+        + [("b", 7.0)] * 3 + [("b", 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        (r["g"], r["percent"]): (r["value"], r["n"])
+        for r in profiling.exact_quantiles(df, "x", (50, 100), ["g"]).collect()
+    }
+    # group a: N=20 (nulls excluded); p50 rank 10 -> 1.0, p100 rank 20 -> 2.0
+    assert got[("a", 50)] == (1.0, 20)
+    assert got[("a", 100)] == (2.0, 20)
+    # group b: N=4; p50 rank 2 -> 7.0, p100 rank 4 -> 9.0
+    assert got[("b", 50)] == (7.0, 4)
+    assert got[("b", 100)] == (9.0, 4)
+    # exactly one row per (group, percent) — the crossing filter is unique
+    assert len(got) == 4

@@ -333,6 +333,7 @@ def _registry_specs(spark):
         "hll_overlap": (docs, [docs, "text"], {"p": 4}),
         "bpe_train": (docs, [], {"num_merges": 5, "min_count": 1}),
         "bpe_encode": (docs, [text_ops.bpe_learn({"the": 3, "quick": 2}, 3)], {}),
+        "exact_quantiles": (docs, ["w"], {"percents": (50, 90)}),
     }
 
 

@@ -142,3 +142,65 @@ def profile_approx(
         cols,
         ["n", "n_null", "approx_distinct", "min_val", "max_val", *qfields],
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    percents: list[int] | tuple[int, ...] = (25, 50, 75),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT distributed quantiles by integer rank selection — the strict
+    counterpart to profile_approx's percentile_approx (whose KLL sketch
+    is engine-private and can only gate rows-only).
+
+    Semantics: type-1 / lower quantile (DuckDB's quantile_disc): the
+    smallest value v whose cumulative count reaches rank_p =
+    ceil(p*N/100), computed ALL-INTEGER as (p*N + 99) DIV 100 — no float
+    ever enters (the returned value is an input value, byte-exact by
+    construction; NULLs are excluded from N like every SQL quantile).
+
+    Scale shape: ONE map-side-combined value-count aggregate (shuffle
+    payload = distinct values per task, not rows), a cumulative window
+    over that aggregate, and a literal percent table joined in. Exactness
+    at 100 TB therefore costs O(distinct values) shuffle — the right tool
+    for fixed-decimal / discrete columns (prices, counts, scores). For
+    genuinely continuous high-cardinality columns the aggregate
+    degenerates toward O(rows) and profile_approx's sketch is the
+    intended tier — the same exact/approx split as the dedup and ANN
+    families.
+
+    Output: group_cols + (percent int, value <input type>, rank long,
+    n long), one row per (group, percent).
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(col)
+    wg = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = counts.select(
+        *group_cols,
+        col,
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wg).alias("__n"),
+    )
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(int(p),) for p in percents], "percent int")
+    joined = cum.crossJoin(F.broadcast(pcts))
+    rank = F.expr("CAST((percent * __n + 99) DIV 100 AS BIGINT)")
+    picked = joined.filter(
+        (F.col("__cum") >= rank) & (F.col("__cum") - F.col("__c") < rank)
+    )
+    return picked.select(
+        *group_cols,
+        "percent",
+        F.col(col).alias("value"),
+        rank.alias("rank"),
+        F.col("__n").alias("n"),
+    )

@@ -186,6 +186,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "hll_overlap": sketches.hll_overlap,
     "bpe_train": text.bpe_train,
     "bpe_encode": text.bpe_encode,
+    "exact_quantiles": profiling.exact_quantiles,
 }
 
 
