@@ -304,6 +304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_dedup_keep"] = lambda s, d: dedup.fuzzy_dedup_keep(
         _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("doc_id", "source", "n_chars")
+    # quality-aware representative: keep the LONGEST member per near-dup
+    # cluster (production curation default) instead of the min id
+    q["fuzzy_dedup_quality"] = lambda s, d: dedup.fuzzy_dedup_keep(
+        _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8,
+        quality_col="n_chars",
+    ).select("doc_id", "source", "n_chars")
     q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
         "doc_id", "n_tokens", "sum_logprob"
     )
@@ -2527,17 +2533,34 @@ WHERE j.jac >= {threshold!r}
 """
 
 
-def _fuzzy_keep_oracle(n: int, n_hashes: int, bands: int, threshold: float) -> str:
+def _fuzzy_keep_oracle(
+    n: int, n_hashes: int, bands: int, threshold: float,
+    quality_col: str | None = None,
+) -> str:
     """MinHash pairs -> recursive-CTE connected components -> anti-join
     keep list: the SQL mirror of dedup.fuzzy_dedup_keep (same composition
-    the dedup_clusters oracle uses, applied back to the corpus)."""
+    the dedup_clusters oracle uses, applied back to the corpus).
+    quality_col mirrors the quality-aware representative: per component
+    keep the max-quality member (DESC NULLS LAST, id tie-break)."""
     pairs_sql = _minhash_oracle(n, n_hashes, bands, threshold)
     head, final = pairs_sql.rsplit("SELECT j.a, j.b", 1)
+    if quality_col is None:
+        dropped = "dropped AS (SELECT node FROM comp WHERE node <> component)"
+    else:
+        dropped = f"""ranked AS (
+  SELECT comp.node,
+         row_number() OVER (
+           PARTITION BY comp.component
+           ORDER BY dq.{quality_col} DESC NULLS LAST, comp.node ASC
+         ) AS rn
+  FROM comp JOIN documents dq ON dq.doc_id = comp.node
+),
+dropped AS (SELECT node FROM ranked WHERE rn > 1)"""
     return (
         head.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
         + ",\ndpairs AS (\n  SELECT j.a, j.b"
         + final
-        + """),
+        + f"""),
 edges AS (SELECT a AS src, b AS dst FROM dpairs UNION SELECT b AS src, a AS dst FROM dpairs),
 cc AS (
   SELECT DISTINCT src AS node, src AS comp FROM edges
@@ -2545,7 +2568,7 @@ cc AS (
   SELECT e.src AS node, cc.comp FROM edges e JOIN cc ON cc.node = e.dst
 ),
 comp AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
-dropped AS (SELECT node FROM comp WHERE node <> component)
+{dropped}
 SELECT d0.doc_id, d0.source, d0.n_chars
 FROM documents d0 ANTI JOIN dropped ON d0.doc_id = dropped.node
 """
@@ -3207,6 +3230,9 @@ FROM ({_minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)}) mh
 WHERE (a % 2 = 0) <> (b % 2 = 0)
 """
     o["fuzzy_dedup_keep"] = _fuzzy_keep_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
+    o["fuzzy_dedup_quality"] = _fuzzy_keep_oracle(
+        n=3, n_hashes=24, bands=6, threshold=0.8, quality_col="n_chars"
+    )
     # per-token logprob is rounded to 6dp BEFORE the fold on both engines;
     # the per-doc sum is a token-sorted sequential fold over tf·lp
     # contributions (Spark aggregate == DuckDB ordered list_sum) — the

@@ -184,6 +184,31 @@ def test_fuzzy_dedup_keep_end_to_end(spark):
     assert kept == [1, 7]
 
 
+def test_fuzzy_dedup_keep_quality_representative(spark):
+    # same cluster, but the QUALITY policy keeps the highest-quality
+    # member (ties -> smallest id), not the min id; NULL quality loses
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, 5.0), (2, base, 9.0), (100, base, 9.0),
+        (7, "totally different words here", 1.0),
+        (3, base, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep(
+            df, n=2, threshold=0.8, quality_col="q"
+        ).collect()
+    )
+    assert kept == [2, 7]  # max q=9.0, tie broken by id 2 < 100; NULL last
+    # quality_col=None still keeps the min id (unchanged contract)
+    kept_min = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep(df, n=2, threshold=0.8).collect()
+    )
+    assert kept_min == [1, 7]
+
+
 def test_dedup_clusters_end_to_end(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
     comps = dedup.connected_components(pairs)

@@ -775,14 +775,24 @@ def fuzzy_dedup_keep(
     max_iters: int = 20,
     driver_cap: int = 2_000_000,
     max_bucket: int | None = 100_000,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy corpus deduplication: MinHash-LSH near-duplicate
     pairs -> connected components over the pair graph -> keep exactly ONE
-    representative (the minimum id) per duplicate cluster, dropping the
-    rest. Rows in no cluster pass through untouched — the output is the
-    INPUT frame filtered, ready for the next pipeline stage (the standard
+    representative per duplicate cluster, dropping the rest. Rows in no
+    cluster pass through untouched — the output is the INPUT frame
+    filtered, ready for the next pipeline stage (the standard
     corpus-curation composition; cf. the GPT-3/Gopher dedup recipes built
     from the same three stages).
+
+    ``quality_col=None`` keeps the minimum id (the CC component label —
+    zero extra work). With ``quality_col`` set, the representative is the
+    cluster member with the HIGHEST quality (ties -> smallest id; NULL
+    quality sorts last) — the production-standard choice (keep the
+    longest/cleanest copy, not the accidentally-lowest id). The ranking
+    window runs over the near-dup subgraph only (|components| rows), so
+    the quality variant costs one small join + window, never a
+    corpus-scale shuffle.
 
     Scale shape: pair generation and clustering run on the (small)
     near-duplicate subgraph only; the final filter is a left_anti join of
@@ -807,9 +817,23 @@ def fuzzy_dedup_keep(
             "bands). Read counters via dedup.lsh_guard_stats(result).",
             stats["skipped_buckets"], stats["skipped_rows"], stats["skipped_pairs"],
         )
-    drop = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if quality_col is None:
+        drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        qual = df.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__q").desc_nulls_last(), F.col("node").asc()
+        )
+        drop = (
+            comp.join(qual, "node")
+            .select("node", F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
     out = df.join(drop, id_col, "left_anti")
     if getattr(pairs, _GUARD_ATTR, None) is not None:
         setattr(out, _GUARD_ATTR, getattr(pairs, _GUARD_ATTR))
