@@ -366,3 +366,69 @@ def test_duplicate_spans_window_and_agg_share_one_exchange(spark):
     plan = plans.physical_plan(out)
     assert plan.count("Exchange hashpartitioning(a#") == 1, plan
     assert plan.count("Window") == 2, plan  # lag + running sum, one sort
+
+
+# ---------------------------------------------------------------------------
+# sketch / BPE / quantile plan pins (r10): the scale properties these
+# families are designed around, asserted against Catalyst
+
+
+def test_hll_distinct_two_exchanges_partial_agg(spark):
+    from views_transformation_library_spark.operators import sketches
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = sketches.hll_distinct(li, "l_partkey", ["l_returnflag"], p=8)
+    p = plans.physical_plan(out)
+    # register aggregate + per-group final: exactly two wide exchanges,
+    # both hash-aggregated (map-side partial combine collapses each task
+    # to <= m rows/group BEFORE the shuffle — the O(sketch) property)
+    assert plans.count_exchanges(out) == 2
+    assert "HashAggregate" in p
+
+
+def test_bloom_prefilter_broadcasts_position_set(spark):
+    from views_transformation_library_spark.operators import sketches
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    out = sketches.bloom_prefilter(orders, "o_custkey", cust, "c_custkey",
+                                   n_bits=1 << 14, n_hashes=3)
+    # the <= n_bits distinct-position set is the build side
+    assert plans.count_broadcasts(out) >= 1
+    p = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in p
+
+
+def test_cm_estimate_broadcasts_sketch_not_corpus(spark):
+    from views_transformation_library_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    out = sketches.cm_estimate(docs, "t", ["the", "a"], depth=2, width=64)
+    p = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in p
+    # the probe side never shuffles the corpus: the only wide exchanges
+    # belong to the bounded sketch aggregate (+ the tiny final groupBy)
+    assert plans.count_exchanges(out) <= 3
+
+
+def test_bpe_encode_zero_shuffle_single_arrow_pass(spark):
+    from views_transformation_library_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = text_ops.bpe_learn({"the": 3, "quick": 2}, 3)
+    out = text_ops.bpe_encode(docs, merges)
+    p = plans.physical_plan(out)
+    assert plans.count_exchanges(out) == 0  # scan -> narrow map, no shuffle
+    assert p.count("MapInPandas") == 1
+
+
+def test_exact_quantiles_null_filter_pushed(spark):
+    from views_transformation_library_spark.operators import profiling
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = profiling.exact_quantiles(li, "l_extendedprice", (50,), ["l_returnflag"])
+    # the NOT NULL filter reaches the parquet scan; percents broadcast
+    assert "l_extendedprice" in plans.pushed_filters(out)
+    assert plans.count_broadcasts(out) >= 1
