@@ -402,6 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle",
         p=_HLL_OVERLAP_P,
     )
+    # PMI collocation mining: all-integer top-k cut, PMI payload via the
+    # unigram_logprob single-log recipe
+    q["collocations"] = lambda s, d: text.collocations(
+        _docs(s, d), min_count=5, k=100
+    )
     # exact distributed quantiles (strict tier of the profile family):
     # integer rank selection over a value-count aggregate
     q["exact_quantiles"] = lambda s, d: profiling.exact_quantiles(
@@ -3191,6 +3196,32 @@ ORDER BY weight_q DESC, doc LIMIT 50
 """
     # mergeable sketches (r10): integer state, one literal/BIGINT
     # division per estimator — byte-strict
+    # PMI collocations: integer ranking cut; PMI = single ln of a pure
+    # double ratio chain (explicit CASTs — bare 1.0 is DECIMAL in DuckDB)
+    o["collocations"] = r"""
+WITH tk AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+pos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM tk WHERE len(toks) >= 2
+),
+bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+bc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+),
+uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1
+),
+nu AS (SELECT sum(c)::BIGINT AS n_u FROM uc),
+nb AS (SELECT sum(greatest(len(toks) - 1, 0))::BIGINT AS n_b FROM tk)
+SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b,
+       round(ln((CAST(c_ab AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / ((CAST(ca.c AS DOUBLE) / CAST(n_u AS DOUBLE))
+                   * (CAST(cb.c AS DOUBLE) / CAST(n_u AS DOUBLE)))), 6) + 0.0 AS pmi
+FROM bc JOIN uc ca ON ca.w = bc.w1 JOIN uc cb ON cb.w = bc.w2, nu, nb
+ORDER BY c_ab DESC, w1, w2 LIMIT 100
+"""
     # exact quantiles: type-1 selection, all-integer ranks — the value is
     # an input value, byte-exact by construction
     o["exact_quantiles"] = """

@@ -334,6 +334,7 @@ def _registry_specs(spark):
         "bpe_train": (docs, [], {"num_merges": 5, "min_count": 1}),
         "bpe_encode": (docs, [text_ops.bpe_learn({"the": 3, "quick": 2}, 3)], {}),
         "exact_quantiles": (docs, ["w"], {"percents": (50, 90)}),
+        "collocations": (docs, [], {"min_count": 1, "k": 10}),
     }
 
 

@@ -309,3 +309,41 @@ def test_hll_overlap_union_is_register_max(spark):
     u = sketches.hll_distinct(a.union(b), "v", p=8).collect()[0]
     assert row["s_union"] == u["s_scaled"]
     assert row["est_union"] == u["estimate"]
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+
+
+def test_collocations_pmi_and_ranking(spark):
+    # "san francisco" always co-occurs (high PMI); "the cat"/"the dog"
+    # share the very common "the" (low PMI); ranking is by raw count
+    rows = [
+        (1, "san francisco is foggy and the cat sat"),
+        (2, "san francisco is sunny and the dog sat"),
+        (3, "san francisco hosts the cat and the dog"),
+        (4, "the cat and the dog met in san francisco"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in text.collocations(df, min_count=2, k=50).collect()
+    }
+    sf = out[("san", "francisco")]
+    assert sf["c_ab"] == 4 and sf["c_a"] == 4 and sf["c_b"] == 4
+    # perfect collocation: PMI = ln(N_u^2 / (N_b * 4)) > PMI of the-cat
+    assert sf["pmi"] > out[("the", "cat")]["pmi"]
+    # min_count filters singletons
+    assert ("is", "foggy") not in out
+
+
+def test_collocations_topk_cut_is_total_order(spark):
+    rows = [(i, "a b a b c d") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["w1"], r["w2"], r["c_ab"])
+           for r in text.collocations(df, min_count=1, k=3).collect()]
+    # counts: (a,b)=10? no: per doc "a b a b c d" -> ab, ba, ab? pairs:
+    # (a,b),(b,a),(a,b),(b,c),(c,d) => ab=2/doc, ba=1, bc=1, cd=1
+    assert got[0] == ("a", "b", 10)
+    # ties at count 5 cut lexicographically: (b,a) then (b,c)
+    assert got[1] == ("b", "a", 5) and got[2] == ("b", "c", 5)

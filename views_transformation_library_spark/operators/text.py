@@ -1184,3 +1184,82 @@ def bpe_encode(
             )
 
     return base.mapInPandas(_encode, schema=f"{id_col} long, n_words long, n_subwords long")
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """PMI collocation mining: the top-k adjacent word bigrams by corpus
+    frequency, scored with pointwise mutual information — the classic
+    phrase-discovery pass (Mikolov et al. 2013 phrase2vec used the same
+    count-ratio statistic to merge "new_york"-style units before
+    training).
+
+    Ranking is ALL-INTEGER (count desc, then lexicographic bigram) so the
+    top-k cut is a total order with no float surface; PMI rides along as
+    a payload column: ln((c_ab/N_b) / ((c_a/N_u)·(c_b/N_u))) rounded to
+    6dp — the unigram_logprob single-libm-call recipe, computed from
+    identical integers through an identical expression shape on both
+    engines.
+
+    Scale shape: two partially-aggregated counting passes over one token
+    scan each (bigrams, unigrams), the corpus totals as lazy broadcast
+    one-row frames (crossJoin — no driver action, CLAUDE.md pagerank
+    lesson), unigram counts broadcast-joined onto the surviving >=
+    min_count bigrams, and a distributed TakeOrdered for the k cut —
+    nothing driver-side, shuffles O(vocab) and O(bigram types).
+    """
+    toks = df.select(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0).alias(
+            "__toks"
+        )
+    )
+    bigrams = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+                )
+            ).alias("__b")
+        )
+        .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_u = uni.agg(F.sum("c").alias("n_u"))
+    # total bigram occurrences: derived from the token scan (size-1 per doc)
+    n_b = toks.agg(
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).cast("long").alias("n_b")
+    )
+    scored = (
+        bigrams.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b")), "w2")
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_b))
+    )
+    # explicit double casts on every operand: DuckDB types a bare 1.0 as
+    # DECIMAL and its DECIMAL->DOUBLE cast is lossy (CLAUDE.md) — CAST
+    # keeps both engines in pure IEEE double arithmetic, same shape
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.round(
+        F.log(
+            (d("c_ab") / d("n_b")) / ((d("c_a") / d("n_u")) * (d("c_b") / d("n_u")))
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        scored.select("w1", "w2", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(int(k))
+    )

@@ -187,6 +187,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "bpe_train": text.bpe_train,
     "bpe_encode": text.bpe_encode,
     "exact_quantiles": profiling.exact_quantiles,
+    "collocations": text.collocations,
 }
 
 
