@@ -704,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["interval_join_events"] = lambda s, d: _interval_join_query(s, d)
     q["time_bucket_rollup"] = lambda s, d: _time_rollup_query(s, d)
+    # distinct-users continuous aggregate: daily level = MERGE of the
+    # hourly REGISTER table (sketch rollup — raw events scanned once)
+    q["hll_time_rollup"] = lambda s, d: _hll_rollup_query(s, d)
     q["funnel"] = lambda s, d: _funnel_query(s, d)
     q["cohort_retention"] = lambda s, d: _cohort_query(s, d)
     q["transition_counts"] = lambda s, d: relational.transition_counts(
@@ -1093,6 +1096,15 @@ def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = relational.sessionize(ev_us, gap_minutes=30, ts_unit="us")
     return out.select(
         "unit_id", "session_id", "n_events", F.col("duration_ticks").alias("duration_us")
+    )
+
+
+def _hll_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = P.read_events(spark, sf_dir)
+    ev2 = ev.select(P.epoch_micros(ev).alias("__us"), "event_type", "user_id")
+    return sketches.hll_time_rollup(
+        ev2, "__us", "user_id", key_cols=("event_type",),
+        granularities=("hour", "day"), p=_HLL_ROLLUP_P,
     )
 
 
@@ -1533,6 +1545,7 @@ _CM_DEPTH, _CM_WIDTH = 4, 1024
 _CM_ITEMS = ["the", "a", "of", "and", "data", "model", "x", "q", "zzznope", "test"]
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 17, 5
 _BPE_MERGES = 200  # bpe_train gate: merge steps to learn
+_HLL_ROLLUP_P = 6  # hll_time_rollup gate: m=64 registers per bucket
 _HLL_OVERLAP_P = 11  # hll_overlap gate precision (m=2048; raw-regime
 # safe: ~10k/27k distinct shingles per split at sf0.01/sf0.1 >= 2.5m)
 GRID_STRIDE = 16  # driver units (user ids) mapped onto a 16-wide grid
@@ -2276,6 +2289,48 @@ SELECT sa.s AS s_a, sb.s AS s_b, su.s AS s_union,
                       - CAST({numer} AS DOUBLE) / CAST(su.s AS DOUBLE), 0.0), 6) + 0.0
          AS est_intersection
 FROM sa, sb, su
+"""
+
+
+def _hll_rollup_oracle(p: int = _HLL_ROLLUP_P) -> str:
+    """Mirror of sketches.hll_time_rollup over events (hour -> day):
+    hourly registers from the raw hashes, DAILY registers as a
+    max-merge of the hourly REGISTER table (never the raw rows) — the
+    same rollup tree the Spark operator builds."""
+    m, bw = 1 << p, 60 - p
+    k = bw + 1
+    numer = repr(sketches.hll_alpha(m) * m * m * float(1 << k))
+
+    def summ(src: str, gran: str) -> str:
+        return f"""
+SELECT '{gran}' AS granularity, bucket, event_type,
+       CAST({m} - count(*) AS INT) AS n_zero,
+       (sum((CAST(1 AS BIGINT) << ({k} - m)))::BIGINT
+        + ({m} - count(*)) * {1 << k})::BIGINT AS s_scaled,
+       round(CAST({numer} AS DOUBLE)
+             / CAST(sum((CAST(1 AS BIGINT) << ({k} - m)))::BIGINT
+                    + ({m} - count(*)) * {1 << k} AS DOUBLE), 6) + 0.0 AS estimate
+FROM {src} GROUP BY bucket, event_type"""
+
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+         CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT bucket, event_type, h % {m} AS idx,
+         max(CASE WHEN h // {m} = 0 THEN {k}
+                  ELSE {bw} - length(bin(h // {m})) + 1 END) AS m
+  FROM e GROUP BY 1, 2, 3
+),
+rd AS (
+  SELECT bucket // 24 AS bucket, event_type, idx, max(m) AS m
+  FROM r GROUP BY 1, 2, 3
+)
+{summ('r', 'hour')}
+UNION ALL
+{summ('rd', 'day')}
 """
 
 
@@ -3249,6 +3304,7 @@ WHERE cum >= (percent * n + 99) // 100 AND cum - c < (percent * n + 99) // 100
     o["cm_estimate"] = _cm_oracle()
     o["bloom_prefilter"] = _bloom_oracle()
     o["hll_overlap"] = _hll_overlap_oracle()
+    o["hll_time_rollup"] = _hll_rollup_oracle()
     o["minhash_lsh"] = _minhash_oracle(n=3, n_hashes=24, bands=6, threshold=0.8)
     # leakage = the same verified pair set, labels re-derived from the
     # parity split, same-split pairs dropped (subquery-with-CTE wrap)

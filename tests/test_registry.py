@@ -335,6 +335,11 @@ def _registry_specs(spark):
         "bpe_encode": (docs, [text_ops.bpe_learn({"the": 3, "quick": 2}, 3)], {}),
         "exact_quantiles": (docs, ["w"], {"percents": (50, 90)}),
         "collocations": (docs, [], {"min_count": 1, "k": 10}),
+        "hll_time_rollup": (
+            events.select(F.col("__us").alias("us"), "event_type", "user_id"),
+            ["us", "user_id"],
+            {"key_cols": ("event_type",), "p": 4},
+        ),
     }
 
 

@@ -347,3 +347,40 @@ def test_collocations_topk_cut_is_total_order(spark):
     assert got[0] == ("a", "b", 10)
     # ties at count 5 cut lexicographically: (b,a) then (b,c)
     assert got[1] == ("b", "a", 5) and got[2] == ("b", "c", 5)
+
+
+def test_hll_time_rollup_day_equals_direct_sketch(spark):
+    # the rollup property: merging the hourly REGISTER tables of a day
+    # must equal sketching that day's values directly (max is associative)
+    import random
+
+    rng = random.Random(5)
+    hour_us = 3_600_000_000
+    rows = [
+        (rng.randrange(72) * hour_us + rng.randrange(hour_us), "c",
+         rng.randrange(800))
+        for _ in range(4000)
+    ]
+    ev = spark.createDataFrame(rows, "us long, event_type string, user_id long")
+    out = sketches.hll_time_rollup(
+        ev, "us", "user_id", key_cols=("event_type",),
+        granularities=("hour", "day"), p=6,
+    )
+    days = {
+        r["bucket"]: (r["n_zero"], r["s_scaled"], r["estimate"])
+        for r in out.filter("granularity = 'day'").collect()
+    }
+    for day in sorted({us // (24 * hour_us) for us, _, _ in rows}):
+        direct = sketches.hll_distinct(
+            ev.filter(f"us DIV {24 * hour_us} = {day}"), "user_id", p=6
+        ).collect()[0]
+        assert days[day] == (
+            direct["n_zero"], direct["s_scaled"], direct["estimate"]
+        ), day
+
+
+def test_hll_time_rollup_validates_granularities(spark):
+    ev = spark.createDataFrame([(0, "a", 1)], "us long, event_type string, user_id long")
+    with pytest.raises(ValueError):
+        sketches.hll_time_rollup(ev, "us", "user_id",
+                                 granularities=("day", "hour"))  # coarse->fine

@@ -381,3 +381,103 @@ def hll_overlap(
             + F.lit(0.0)
         ).alias("est_intersection"),
     )
+
+
+def hll_time_rollup(
+    events: DataFrame,
+    epoch_us_col: str,
+    value_col: str,
+    key_cols: tuple[str, ...] = ("event_type",),
+    granularities: tuple[str, ...] = ("hour", "day"),
+    p: int = 8,
+) -> DataFrame:
+    """Multi-granularity DISTINCT-count rollup — the continuous-aggregate
+    shape (relational.time_bucket_rollup) for the one aggregate plain
+    sums cannot roll up. COUNT(DISTINCT) over coarser windows is not a
+    sum of finer windows; HLL registers ARE max-mergeable, so every
+    coarser level merges the previous level's REGISTER TABLE
+    (O(buckets x m) rows) — the raw events are scanned exactly once no
+    matter how many levels, which is the whole point at 100 TB
+    (TimescaleDB/Druid keep distinct-count continuous aggregates with
+    exactly this sketch-merge design).
+
+    Bucket indices are integer epoch_us DIV width (the
+    time_bucket_rollup convention — widths fine->coarse, exact
+    multiples, so level k's bucket = level k-1's bucket DIV ratio).
+    Output: (granularity, bucket, *key_cols, n_zero, s_scaled,
+    estimate) for every level, unioned; each register level is
+    materialized (it feeds both its coarser level and the union — the
+    quadtree-levels lesson).
+    """
+    from ..panel import materialize
+    from .relational import TIME_BUCKET_WIDTHS
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_time_rollup: p must be in [4, 16], got {p}")
+    widths = []
+    for g in granularities:
+        w = TIME_BUCKET_WIDTHS.get(g) if isinstance(g, str) else int(g)
+        if w is None:
+            raise ValueError(f"unknown granularity {g!r}; use one of "
+                             f"{sorted(TIME_BUCKET_WIDTHS)} or an int width in µs")
+        widths.append((str(g), w))
+    for (_, a), (_, b) in zip(widths, widths[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"granularities must be fine->coarse with exact multiples; "
+                f"{b} µs is not a multiple of {a} µs"
+            )
+    keys = list(key_cols)
+    m = 1 << p
+    bits_w = 60 - p
+    kscale = bits_w + 1
+    h = _h60(value_col)
+    w_expr = F.expr(f"CAST(__hll_h DIV {m} AS BIGINT)")
+    rho = F.when(w_expr == 0, F.lit(kscale)).otherwise(
+        F.lit(bits_w) - F.length(F.bin(w_expr)) + F.lit(1)
+    )
+    g0, w0 = widths[0]
+    regs = (
+        events.select(
+            F.expr(f"{epoch_us_col} DIV {w0}").alias("bucket"), *keys,
+            h.alias("__hll_h"),
+        )
+        .select(
+            "bucket", *keys,
+            (F.col("__hll_h") % m).cast("int").alias("__idx"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy("bucket", *keys, "__idx")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+    def summarize(r: DataFrame, gran: str) -> DataFrame:
+        agg = r.groupBy("bucket", *keys).agg(
+            F.count(F.lit(1)).alias("__nreg"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {kscale} - __m)")).alias("__sp"),
+        )
+        return agg.select(
+            F.lit(gran).alias("granularity"),
+            "bucket",
+            *keys,
+            (F.lit(m) - F.col("__nreg")).cast("int").alias("n_zero"),
+            (F.col("__sp") + (F.lit(m) - F.col("__nreg")) * F.lit(1 << kscale)).alias(
+                "s_scaled"
+            ),
+        ).withColumn("estimate", hll_estimate_from_scaled("s_scaled", p))
+
+    out_levels = []
+    for i, (g, w) in enumerate(widths):
+        if i > 0:
+            ratio = w // widths[i - 1][1]
+            regs = (
+                regs.groupBy(
+                    F.expr(f"bucket DIV {ratio}").alias("bucket"), *keys, "__idx"
+                ).agg(F.max("__m").alias("__m"))
+            )
+        regs = materialize(regs)
+        out_levels.append(summarize(regs, g))
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -188,6 +188,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "bpe_encode": text.bpe_encode,
     "exact_quantiles": profiling.exact_quantiles,
     "collocations": text.collocations,
+    "hll_time_rollup": sketches.hll_time_rollup,
 }
 
 
