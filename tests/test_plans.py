@@ -432,3 +432,18 @@ def test_exact_quantiles_null_filter_pushed(spark):
     # the NOT NULL filter reaches the parquet scan; percents broadcast
     assert "l_extendedprice" in plans.pushed_filters(out)
     assert plans.count_broadcasts(out) >= 1
+
+
+def test_hll_overlap_scans_each_corpus_once(spark):
+    """hll_overlap's register tables each feed two branches (own s_scaled
+    + the union); they must be materialized so the corpus parquet scans
+    run once per side — at 100 TB that is 2 scans vs 4."""
+    from views_transformation_library_spark.operators import sketches
+
+    a = spark.read.parquet(f"{SF}/orders.parquet")
+    b = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = sketches.hll_overlap(a, b.withColumnRenamed("l_orderkey", "o_custkey"),
+                               "o_custkey", p=8)
+    p = plans.physical_plan(out)
+    assert "orders.parquet" not in p and "lineitem.parquet" not in p
+    out.collect()

@@ -117,3 +117,13 @@ def test_exact_quantiles_grouped_with_ties_and_nulls(spark):
     assert got[("b", 100)] == (9.0, 4)
     # exactly one row per (group, percent) — the crossing filter is unique
     assert len(got) == 4
+
+def test_exact_quantiles_rejects_out_of_range_percents(spark):
+    import pytest
+
+    from views_transformation_library_spark.operators import profiling
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    for bad in (0, -5, 101):
+        with pytest.raises(ValueError, match="percents"):
+            profiling.exact_quantiles(df, "x", (50, bad))

@@ -384,3 +384,16 @@ def test_hll_time_rollup_validates_granularities(spark):
     with pytest.raises(ValueError):
         sketches.hll_time_rollup(ev, "us", "user_id",
                                  granularities=("day", "hour"))  # coarse->fine
+
+
+def test_bpe_encode_preserves_non_long_id_type(spark):
+    # the registry exposes bpe_encode generically — a string id column
+    # must survive the Arrow pass with its own type, not a long cast
+    docs = spark.createDataFrame(
+        [("d-1", "low low"), ("d-2", "newest")], "doc_id string, text string"
+    )
+    merges = text.bpe_learn({"low": 5, "newest": 6}, 8)
+    out = text.bpe_encode(docs, merges)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["n_words"] for r in out.collect()}
+    assert got == {"d-1": 2, "d-2": 1}

@@ -175,6 +175,11 @@ def exact_quantiles(
     """
     from pyspark.sql import Window
 
+    for p in percents:
+        if not 0 < int(p) <= 100:
+            raise ValueError(
+                f"exact_quantiles: percents must be in (0, 100], got {p}"
+            )
     group_cols = list(group_cols or [])
     counts = (
         df.filter(F.col(col).isNotNull())

@@ -349,8 +349,14 @@ def hll_overlap(
     kscale = 61 - p
     numer = hll_alpha(m) * m * m * float(1 << kscale)
 
-    ra = _hll_registers(df_a, value_col, p)
-    rb = _hll_registers(df_b, value_col, p)
+    from ..panel import materialize
+
+    # Each register table feeds TWO plan branches (its own s_scaled
+    # aggregate and the union) — without materialize Catalyst re-executes
+    # the full upstream corpus scan per branch (multi-branch invariant).
+    # O(m) rows, so the checkpoint is ~free.
+    ra = materialize(_hll_registers(df_a, value_col, p))
+    rb = materialize(_hll_registers(df_b, value_col, p))
     ru = ra.unionAll(rb).groupBy("idx").agg(F.max("m").alias("m"))
 
     def s_scaled(regs: DataFrame, out: str) -> DataFrame:

@@ -1183,7 +1183,12 @@ def bpe_encode(
                 }
             )
 
-    return base.mapInPandas(_encode, schema=f"{id_col} long, n_words long, n_subwords long")
+    # Derive the id field's type from the input schema — the operator is
+    # exposed generically via the registry, so id_col may be string/int.
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(
+        _encode, schema=f"{id_col} {id_type}, n_words long, n_subwords long"
+    )
 
 
 def collocations(
