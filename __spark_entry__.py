@@ -712,10 +712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_counts"] = lambda s, d: relational.transition_counts(
         P.read_events(s, d)
     )
-    # link graph: supplier -> customer through (lineitem, orders); rows-only
-    # (no oracle_sql: float power iteration — hash-agg sum order makes a
-    # byte-hash oracle a documented flake class; determinism of the driver
-    # fast path is pytest-attested instead)
+    # link graph: supplier -> customer through (lineitem, orders). Strict
+    # since r11: the quantized integer fixpoint (dedup.PR_SCALE longs) makes
+    # both paths bit-deterministic, so the oracle is a VALUES golden from
+    # the shared pure function (tools/golden_oracles.pagerank_golden_sql)
     q["pagerank"] = lambda s, d: dedup.pagerank(
         s.read.parquet(f"{d}/lineitem.parquet")
         .select("l_orderkey", F.col("l_suppkey").alias("src"))
@@ -4317,4 +4317,5 @@ SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
     o["multimodal_resize"] = G.multimodal_resize_golden_sql(_ORACLE_SF_DIR, 8, 8)
     o["multimodal_frames"] = G.multimodal_frames_golden_sql(_ORACLE_SF_DIR, 80)
     o["pack_bins"] = G.pack_bins_golden_sql(_ORACLE_SF_DIR, 512, 100)
+    o["pagerank"] = G.pagerank_golden_sql(_ORACLE_SF_DIR, max_iters=20)
     return o

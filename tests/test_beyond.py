@@ -1605,8 +1605,10 @@ def test_pagerank_paths_agree(spark):
     dist = {r["node"]: r["pagerank"]
             for r in dedup.pagerank(edges, max_iters=40, driver_cap=0).collect()}
     assert set(fast) == set(dist)
+    # quantized integer fixpoint: both paths are BIT-identical, not merely
+    # close — the property the strict VALUES-golden oracle rests on
     for n in fast:
-        assert abs(fast[n] - dist[n]) < 1e-9
+        assert fast[n] == dist[n]
 
 
 def test_pagerank_deterministic(spark):

@@ -495,3 +495,62 @@ SELECT media_id::BIGINT AS media_id, frame_idx::INT AS frame_idx,
        n_bytes::INT AS n_bytes, frame_md5 AS frame_md5
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# pagerank golden: the quantized integer fixpoint replicated on the same
+# distinct edge set (pagerank_longs is shared verbatim with BOTH the driver
+# fast path and, by bit-identical integer construction, the distributed
+# Spark loop — dedup.pagerank's docstring has the exactness argument)
+
+
+def pagerank_golden_rows(
+    sf_dir: str, damping: float = 0.85, max_iters: int = 20, tol: float = 1e-9
+) -> list[tuple[int, int]]:
+    """(node, q) LONG pairs — integer rank mass at PR_SCALE, computed by
+    the same pure numpy fixpoint the operator runs, over the same edge
+    set (DuckDB pulls the identical distinct supplier->customer+1e6 link
+    graph the entry query builds)."""
+    import duckdb
+
+    from views_transformation_library_spark.operators.dedup import pagerank_longs
+
+    edges = duckdb.sql(
+        f"""
+        SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_suppkey IS NOT NULL AND o.o_custkey IS NOT NULL
+        """
+    ).fetchnumpy()
+    nodes, q = pagerank_longs(
+        edges["src"].astype(np.int64),
+        edges["dst"].astype(np.int64),
+        damping,
+        max_iters,
+        tol,
+    )
+    return list(zip(nodes.tolist(), q.tolist()))
+
+
+def pagerank_golden_sql(
+    sf_dir: str, damping: float = 0.85, max_iters: int = 20, tol: float = 1e-9
+) -> str:
+    """Inline-VALUES oracle over ALL-INTEGER state: the only float step is
+    one BIGINT/literal division (IEEE-identical cross-engine) and the 6dp
+    round goes through the divide_column shortest-repr DECIMAL recipe so
+    DuckDB mirrors Spark's BigDecimal HALF_UP semantics."""
+    from views_transformation_library_spark.operators.dedup import PR_SCALE
+
+    rows = pagerank_golden_rows(sf_dir, damping, max_iters, tol)
+    vals = ",\n".join(f"({n}, {q})" for n, q in rows)
+    return f"""
+WITH golden(node, q) AS (VALUES
+{vals}
+)
+SELECT CAST(node AS BIGINT) AS node,
+       round(CAST(CAST(CAST(CAST(q AS BIGINT) AS DOUBLE) / {float(PR_SCALE)!r}
+                       AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS pagerank
+FROM golden
+"""

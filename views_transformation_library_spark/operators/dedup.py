@@ -840,6 +840,58 @@ def fuzzy_dedup_keep(
     return out
 
 
+# Fixed-point scale for pagerank's quantized power iteration. 10^15 keeps
+# every intermediate double (contrib sums, damping products) below 2^53, so
+# FLOOR is exact IEEE and all integer adds commute under any reduction tree
+# (the grid_lag quantize lesson applied to an iterative fixpoint).
+PR_SCALE = 10**15
+
+
+def pagerank_longs(src_v, dst_v, damping, max_iters, tol, scale=PR_SCALE):
+    """The quantized power iteration as a pure numpy function:
+    (sorted unique node array, int64 rank-mass vector q where
+    pagerank = q / scale). Shared verbatim by the driver fast path AND
+    the DuckDB golden oracle (tools/golden_oracles.pagerank_golden_sql)
+    — the bpe_train/dsir shared-pure-function gate pattern.
+
+    Every state transition is exact: ranks live as longs, the per-edge
+    weight is FLOOR(q/deg) (one IEEE division of two exact-in-double
+    integers, then exact floor), contributions/dangling mass are integer
+    sums (order-free), and the update FLOOR(base + d*(contrib +
+    dangling/n)) is the same left-associated double expression the
+    distributed Spark path evaluates — so repeated runs, both paths, and
+    the oracle replication are all bit-identical.
+    """
+    import numpy as np
+
+    nodes_arr = np.unique(np.concatenate([src_v, dst_v]))
+    n = int(nodes_arr.size)
+    if n == 0:
+        return nodes_arr, np.zeros(0, dtype=np.int64)
+    src_i = np.searchsorted(nodes_arr, src_v)
+    dst_i = np.searchsorted(nodes_arr, dst_v)
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, src_i, 1)
+    base = (1.0 - damping) / n * scale  # one driver-side float, shared as-is
+    tol_q = max(1, int(tol * scale))
+    q = np.full(n, scale // n, dtype=np.int64)
+    deg_f = out_deg[src_i].astype(np.float64)
+    for _ in range(max_iters):
+        w = np.floor(q[src_i].astype(np.float64) / deg_f).astype(np.int64)
+        contrib = np.zeros(n, dtype=np.int64)
+        np.add.at(contrib, dst_i, w)
+        dangling = int(q[out_deg == 0].sum())
+        new_q = np.floor(
+            base
+            + damping * (contrib.astype(np.float64) + float(dangling) / float(n))
+        ).astype(np.int64)
+        done = int(np.abs(new_q - q).max()) < tol_q
+        q = new_q
+        if done:
+            break
+    return nodes_arr, q
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -855,16 +907,19 @@ def pagerank(
 
     Returns (node, pagerank) for every node appearing in edges. Dangling
     nodes (no out-edges) redistribute their mass uniformly each step —
-    the standard correction, so ranks sum to 1.
+    the standard correction, so ranks sum to ~1 (quantization to
+    1/PR_SCALE truncates ~n/1e15 of mass per step — invisible at the 6dp
+    gate round).
 
-    Two exact paths behind the connected_components-style runtime gate:
-    <= ``driver_cap`` distinct edges collect once and run a DETERMINISTIC
-    numpy power iteration (nodes sorted, fixed reduction order — repeated
-    runs are bit-identical); past the cap, the distributed loop is
-    join-aggregate per iteration with localCheckpoint lineage truncation
-    (results then deterministic up to float hash-agg reduction order —
-    the documented double-sum caveat, which is why the driver gate for
-    this operator is rows-only rather than byte-hash).
+    Both paths run the SAME quantized integer fixpoint (pagerank_longs'
+    docstring has the exactness argument): <= ``driver_cap`` distinct
+    edges collect once into numpy; past the cap, a distributed
+    join-aggregate loop with LONG sums, a lazy broadcast dangling-mass
+    frame (no per-iteration collect beyond the delta check), and
+    localCheckpoint lineage truncation. Integer state makes the two
+    paths — and any shuffle/reduction order — bit-identical, which is
+    what upgrades this operator's oracle from rows-only to a strict
+    VALUES golden at every SF.
     """
     e = materialize(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -873,53 +928,33 @@ def pagerank(
     )
     spark = edges.sparkSession
     id_type = dict(edges.dtypes)[src_col]
+    scale_f = float(PR_SCALE)
     if e.count() <= driver_cap:
-        import numpy as np
-
         # Arrow transfer + vectorized node indexing: .collect()'s Row
         # objects cost ~5 s for 600k edges where toPandas is ~0.5 s off
         # the checkpoint
         pdf = e.toPandas()
-        src_v = pdf["src"].to_numpy()
-        dst_v = pdf["dst"].to_numpy()
-        nodes_arr = np.unique(np.concatenate([src_v, dst_v]))
+        nodes_arr, q = pagerank_longs(
+            pdf["src"].to_numpy(), pdf["dst"].to_numpy(), damping, max_iters, tol
+        )
         if nodes_arr.size == 0:
             return spark.createDataFrame(
                 [], schema=f"node {id_type}, pagerank double"
             )
-        nodes = [v.item() for v in nodes_arr]
-        n = len(nodes)
-        out_deg = np.zeros(n)
-        src_i = np.searchsorted(nodes_arr, src_v)
-        dst_i = np.searchsorted(nodes_arr, dst_v)
-        np.add.at(out_deg, src_i, 1.0)
-        r_vec = np.full(n, 1.0 / n)
-        for _ in range(max_iters):
-            contrib = np.zeros(n)
-            # fixed reduction order: edges sorted by (dst, src) — np.add.at
-            # applies in index order, deterministic
-            w = r_vec[src_i] / out_deg[src_i]
-            order = np.lexsort((src_i, dst_i))
-            np.add.at(contrib, dst_i[order], w[order])
-            dangling = r_vec[out_deg == 0].sum()
-            new_r = (1.0 - damping) / n + damping * (contrib + dangling / n)
-            if np.abs(new_r - r_vec).max() < tol:
-                r_vec = new_r
-                break
-            r_vec = new_r
         return spark.createDataFrame(
-            [(nodes[i], float(r_vec[i])) for i in range(n)],
+            [
+                (nd.item(), float(qv) / scale_f)
+                for nd, qv in zip(nodes_arr, q.tolist())
+            ],
             schema=f"node {id_type}, pagerank double",
         )
     # distributed path. Per-iteration job budget matters as much as data
     # volume (measured at sf0.1: the original loop spent 2 driver actions
     # per iteration — a dangling-mass collect plus the checkpoint — and
-    # always ran max_iters). Three changes, r5: the out-degree aggregate is
-    # materialized ONCE (it is loop-invariant), the dangling mass stays a
-    # LAZY one-row aggregate broadcast into the rank update (no collect),
-    # and a max|delta| check on the checkpointed frames gives the same
-    # early exit as the driver path (tol), which at cluster scale saves
-    # whole iterations, not just driver latency.
+    # always ran max_iters). The out-degree aggregate is materialized ONCE
+    # (loop-invariant), the dangling mass stays a LAZY one-row aggregate
+    # broadcast into the rank update, and a max|delta| check on the
+    # checkpointed LONG frames gives the same early exit as the numpy path.
     nodes_df = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -927,45 +962,56 @@ def pagerank(
     )
     n_nodes = nodes_df.count()
     deg = materialize(e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")))
-    ranks = nodes_df.withColumn("pagerank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes * PR_SCALE  # same float as pagerank_longs
+    tol_q = max(1, int(tol * PR_SCALE))
+    ranks = nodes_df.withColumn("__q", F.lit(int(PR_SCALE // n_nodes)))
     for _ in range(max_iters):
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
-            "node", "pagerank", "__deg"
+            "node", "__q", "__deg"
         )
         dangling = with_deg.filter(F.col("__deg").isNull()).agg(
-            F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("__dangling")
+            F.coalesce(F.sum("__q"), F.lit(0)).cast("long").alias("__dangling")
         )
+        # per-edge weight FLOOR(q/deg): exact floor of one IEEE division of
+        # two exact-in-double integers; LONG sums per dst commute
         contrib = (
             e.join(with_deg.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pagerank") / F.col("__deg")).alias("__c"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("__q").cast("double") / F.col("__deg").cast("double"))
+                ).alias("__c")
+            )
         )
         new_ranks = (
             nodes_df.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
+                F.floor(
+                    F.lit(base)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.col("__dangling") / F.lit(float(n_nodes))
+                        F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+                        + F.col("__dangling").cast("double")
+                        / F.lit(float(n_nodes))
                     )
-                ).alias("pagerank"),
+                ).alias("__q"),
             )
             .localCheckpoint()  # truncate iterative lineage
         )
         delta = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), "node")
-            .agg(F.max(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))).alias("d"))
+            .agg(F.max(F.abs(F.col("n.__q") - F.col("o.__q"))).alias("d"))
             .collect()[0]["d"]
         )
         ranks = new_ranks
-        if delta is not None and delta < tol:
+        if delta is not None and delta < tol_q:
             break
-    return ranks
+    return ranks.select(
+        "node", (F.col("__q").cast("double") / F.lit(scale_f)).alias("pagerank")
+    )
 
 
 def split_leakage(
