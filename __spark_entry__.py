@@ -564,11 +564,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _embs(s, d), _queries(s, d), k=10, n_planes=None
     )
+    # strict since r11: the knn_graph replicated-centroid oracle mirror
+    # (auto_ann_params on the same count, shared lloyd_kmeans on the
+    # id-ordered full sample)
     q["ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _embs(s, d), _queries(s, d), k=10, n_centroids=None, nprobe=None
     )
     # same index, centroids trained fully distributed (no driver sample) —
-    # approx like ivf_topk, rows-only gated. Smaller k-means than ivf_topk:
+    # approx like ivf_topk. Smaller k-means than ivf_topk:
     # each Lloyd's iteration bakes n_centroids x dim literals into the
     # assignment expression, and at toy scale plan compilation (not data)
     # dominates — 8x3 exercises the identical path at half the compile cost
@@ -835,17 +838,20 @@ KNN_GRAPH_K = 5
 KNN_GRAPH_BUCKET_TARGET = similarity.GRAPH_BUCKET_TARGET
 
 
+def _oracle_embeddings_count() -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+
+
 def _knn_graph_params(
     bucket_target: int = KNN_GRAPH_BUCKET_TARGET,
 ) -> tuple[int, int]:
     """(n_centroids, nprobe) the entry's knn_graph/ann_join queries will
     realize at the oracle SF: auto_graph_params on the embeddings count."""
-    import duckdb
-
-    n = duckdb.sql(
-        f"SELECT count(*) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
-    ).fetchone()[0]
-    p = similarity.auto_graph_params(n, bucket_target)
+    p = similarity.auto_graph_params(_oracle_embeddings_count(), bucket_target)
     return p["n_centroids"], p["nprobe"]
 
 
@@ -854,6 +860,9 @@ def _knn_graph_oracle(
     exclude_self: bool = True,
     bucket_target: int = KNN_GRAPH_BUCKET_TARGET,
     nprobe: int | None = None,
+    nc: int | None = None,
+    k: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> str:
     """DuckDB mirror of the IVF-bucketed kNN graph / two-table ANN join:
     same inlined centroids (bit-identical trainer replication), same
@@ -869,10 +878,14 @@ def _knn_graph_oracle(
     children only within each vector's nsp nearest supers — the same
     (d2s asc, sid asc) super order and (d2 asc, cid asc) child order,
     each d2 the same left-fold list_sum comprehension."""
-    nc, np_ = _knn_graph_params(bucket_target)
+    if nc is None:
+        nc, np_ = _knn_graph_params(bucket_target)
+    else:
+        np_ = nprobe if nprobe is not None else max(4, nc // 2)
+        nprobe = None  # explicit nc carries its own nprobe; skip the clamp
     if nprobe is not None:
         np_ = min(int(nprobe), nc)
-    cents = _semantic_centroids(nc)
+    cents = centroids if centroids is not None else _semantic_centroids(nc)
     vals = ",\n    ".join(
         f"({i}, {[float(x) for x in c]!r}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -954,7 +967,7 @@ ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored WHERE cosine IS NOT NULL
 )
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_GRAPH_K}
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k or KNN_GRAPH_K}
 """
 
 
@@ -3846,6 +3859,18 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     o["embedding_pca"] = _pca_oracle(4)
     o["ann_join"] = _knn_graph_oracle(
         query_filter="AND vec_id % 5 = 0", exclude_self=False
+    )
+    # ivf_topk (strict since r11): the same replicated-centroid mirror as
+    # knn_graph — (nc, nprobe) derive from auto_ann_params on the same
+    # corpus count the Spark query reads at plan time, and the centroids
+    # replicate bit-identically through the shared lloyd_kmeans on the
+    # id-ordered full sample (derived sample_mod is 1 at every gated SF)
+    _ivf_auto = similarity.auto_ann_params(_oracle_embeddings_count())
+    o["ivf_topk"] = _knn_graph_oracle(
+        query_filter="AND vec_id % 50 = 0",
+        nc=_ivf_auto["n_centroids"],
+        nprobe=_ivf_auto["nprobe"],
+        k=10,
     )
     o["profile_lineitem"] = " UNION ALL ".join(
         f"""
