@@ -571,7 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), _queries(s, d), k=10, n_centroids=None, nprobe=None
     )
     # same index, centroids trained fully distributed (no driver sample) —
-    # approx like ivf_topk. Smaller k-means than ivf_topk:
+    # strict since r11 (quantized trainer + bit-exact oracle replay).
+    # Smaller k-means than ivf_topk:
     # each Lloyd's iteration bakes n_centroids x dim literals into the
     # assignment expression, and at toy scale plan compilation (not data)
     # dominates — 8x3 exercises the identical path at half the compile cost
@@ -987,6 +988,21 @@ def _semantic_centroids(n_clusters: int | None = None) -> list[list[float]]:
     ).fetchall()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     return similarity.lloyd_kmeans(X, n_clusters or _semantic_dedup_clusters())
+
+
+def _ivf_dist_centroids(n_centroids: int = 8) -> list[list[float]]:
+    """Replicate the Spark query's DISTRIBUTED k-means for the oracle:
+    the quantized trainer is bit-deterministic (integer sums), so the
+    pure-python replay on the same (id, vector) rows yields byte-equal
+    centroids — differentially pinned in tests/test_beyond.py."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    return similarity.replay_distributed_training(
+        [r[0] for r in rows], [r[1] for r in rows], n_centroids
+    )
 
 
 def _pca_oracle(k: int = 4) -> str:
@@ -3871,6 +3887,17 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
         nc=_ivf_auto["n_centroids"],
         nprobe=_ivf_auto["nprobe"],
         k=10,
+    )
+    # ivf_topk_dist (strict since r11): centroids come from the JVM-free
+    # bit-exact replay of the quantized distributed trainer (integer
+    # floor(x·2^40) sums + shared _quantized_mean + replicated
+    # xxhash64 init — similarity.replay_distributed_training)
+    o["ivf_topk_dist"] = _knn_graph_oracle(
+        query_filter="AND vec_id % 50 = 0",
+        nc=8,
+        nprobe=3,
+        k=10,
+        centroids=_ivf_dist_centroids(8),
     )
     o["profile_lineitem"] = " UNION ALL ".join(
         f"""

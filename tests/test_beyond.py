@@ -2318,3 +2318,39 @@ def test_dsir_select_topk_raw_only(spark):
     sel = sampling.dsir_select(df, 2, n=2, n_buckets=256).collect()
     assert [r["doc_id"] for r in sel] == [10, 11]  # raw docs only, best first
     assert [r["dsir_rank"] for r in sel] == [1, 2]
+
+
+def test_xxhash64_long_matches_spark(spark):
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789012345, -987654321]
+    rows = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", F.xxhash64("v").alias("h")
+    ).collect()
+    for r in rows:
+        assert similarity.xxhash64_long(r["v"]) == r["h"]
+
+
+def test_distributed_trainer_replay_bit_identical(vectors):
+    # the strict-oracle hook for ivf_topk_dist: the JVM-free replay must
+    # reproduce the quantized distributed trainer EXACTLY (integer sums +
+    # shared _quantized_mean — no float reduction surface)
+    cents = similarity.train_ivf_centroids_distributed(
+        vectors, n_centroids=4, n_iters=3
+    )
+    pdf = vectors.select("vec_id", "embedding").toPandas()
+    replay = similarity.replay_distributed_training(
+        pdf["vec_id"].tolist(),
+        [list(v) for v in pdf["embedding"]],
+        4,
+        n_iters=3,
+    )
+    assert cents == replay
+
+
+def test_distributed_trainer_run_to_run_deterministic(vectors):
+    a = similarity.train_ivf_centroids_distributed(
+        vectors.repartition(7), n_centroids=4, n_iters=2
+    )
+    b = similarity.train_ivf_centroids_distributed(
+        vectors.repartition(3), n_centroids=4, n_iters=2
+    )
+    assert a == b  # integer sums commute under any partitioning

@@ -651,6 +651,53 @@ def train_ivf_centroids(
     return lloyd_kmeans(X, n_centroids, n_iters=n_iters, seed=seed)
 
 
+# Per-element quantization for the distributed trainer's centroid sums:
+# floor(x·2^40) is an exact IEEE op for |x| < 2^13, the exact integers sum
+# through DECIMAL(38,0) (overflow-proof, order-free under any shuffle or
+# reduction tree), and the driver turns each (sum, count) into a component
+# via _quantized_mean — so the trainer is bit-deterministic end to end
+# (the grid_lag/pagerank quantize lesson applied to k-means updates). The
+# 2^-40 element quantization is far below the 9dp component round.
+TRAIN_QUANT_SCALE = float(1 << 40)
+
+# XXH64 primes (public algorithm, Collet) — Spark's xxhash64(long) is the
+# 8-byte single-stripe path replicated here so the oracle can re-derive
+# the distributed trainer's deterministic init sample without a JVM.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark ``F.xxhash64(<long col>)`` replicated in pure python (signed
+    64-bit result; pinned bit-for-bit against Spark in tests)."""
+    v = value & _M64
+    h = (seed + _XXH_P5 + 8) & _M64
+    k1 = ((v * _XXH_P2) & _M64)
+    k1 = (((k1 << 31) | (k1 >> 33)) & _M64) * _XXH_P1 & _M64
+    h ^= k1
+    h = ((((h << 27) | (h >> 37)) & _M64) * _XXH_P1 + _XXH_P4) & _M64
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _quantized_mean(s: int, n: int, scale: float = TRAIN_QUANT_SCALE) -> float:
+    """Centroid component from the exact integer sum of floor(x·scale):
+    int/int division is the correctly-rounded double of the true rational
+    (deterministic), and the 9dp round is python's — fine, because BOTH
+    consumers (the Spark trainer's driver-side update and the oracle
+    replay) call THIS function on THE SAME integers; no cross-engine
+    float surface exists."""
+    return round(s / n / scale, 9)
+
+
 def train_ivf_centroids_distributed(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -679,19 +726,26 @@ def train_ivf_centroids_distributed(
     a localCheckpoint would copy the table; callers with cluster memory to
     spare can `.cache()` the projected vector column themselves).
 
-    Per-dimension sums are double hash-aggregates (partition-order
-    dependent in the last ulp), so centroid components are rounded to 9dp
-    each iteration — run-to-run stable except exactly at a rounding
-    boundary; downstream `ivf_topk` queries are rows-only gated, which
-    absorbs that. Empty clusters keep their previous centroid (same policy
-    as the driver-sample trainer). Initial centroids default to the
-    n_centroids vectors with the smallest xxhash64(id, seed) — a
-    deterministic, order-independent sample.
+    Per-dimension sums are EXACT integers (floor(x·TRAIN_QUANT_SCALE)
+    summed through DECIMAL(38,0) — commutes under any reduction tree),
+    and each component becomes `_quantized_mean(sum, count)` driver-side,
+    so the trainer is bit-deterministic run-to-run AND replayable without
+    a JVM (`replay_distributed_training` — the strict-oracle hook for
+    ivf_topk_dist). Empty clusters keep their previous centroid (same
+    policy as the driver-sample trainer). Initial centroids default to
+    the n_centroids vectors with the smallest (xxhash64(id, seed), id) —
+    a deterministic, order-independent sample.
     """
     base = vectors.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__id"))
     if init_centroids is None:
         rows = (
-            base.select("__v", F.xxhash64(F.col("__id"), F.lit(seed)).alias("__h"))
+            # lit(seed) cast LONG so the hash is two hashLong folds —
+            # replayable as xxhash64_long(seed, xxhash64_long(id, 42))
+            # (an int32 literal would take Spark's 4-byte hash path)
+            base.select(
+                "__v",
+                F.xxhash64(F.col("__id"), F.lit(int(seed)).cast("long")).alias("__h"),
+            )
             .orderBy("__h", "__id")
             .limit(n_centroids)
             .collect()
@@ -721,19 +775,81 @@ def train_ivf_centroids_distributed(
             # sum, so dividing by a row count would dilute that dimension's
             # mean (and per-bucket counts can differ across dims)
             .agg(
-                F.sum(F.col("__x").cast("double")).alias("__s"),
+                F.sum(
+                    F.floor(
+                        F.col("__x").cast("double") * F.lit(TRAIN_QUANT_SCALE)
+                    ).cast("decimal(38,0)")
+                ).alias("__s"),
                 F.count("__x").alias("__n"),
             )
             .collect()
         )
         sums: dict[int, dict[int, tuple]] = {}
         for r in stats:
-            sums.setdefault(r["__b"], {})[r["__dim"]] = (r["__s"], r["__n"])
+            s = int(r["__s"]) if r["__s"] is not None else None
+            sums.setdefault(r["__b"], {})[r["__dim"]] = (s, r["__n"])
         for c, dims in sums.items():
             centroids[c] = [
-                round(s / n, 9) if n else centroids[c][i]  # all-null dim: keep
+                # all-null dim: keep the previous component
+                _quantized_mean(s, n) if n else centroids[c][i]
                 for i, (s, n) in sorted(dims.items())
             ]
+    return centroids
+
+
+def replay_distributed_training(
+    ids,
+    vectors,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Bit-exact JVM-free replay of `train_ivf_centroids_distributed` for
+    the DuckDB oracle (the pagerank_longs pattern): same deterministic
+    init (smallest (xxhash64(id, seed), id)), same per-iteration nearest-
+    centroid assignment (the left-associated (x−c)·(x−c) column fold with
+    stable-argsort (d2, cid) ties — byte-identical to both the expression
+    and Arrow paths, which the strict gates prove end-to-end), same exact
+    integer sums of floor(x·TRAIN_QUANT_SCALE), and the SAME
+    `_quantized_mean` on the same integers.
+
+    Assumes valid fixed-dimension vectors (the gated corpora contain no
+    null/ragged embeddings; the Spark trainer's behavior for those is
+    engine-side and not replayed here)."""
+    import numpy as np
+
+    if len(ids) == 0:
+        return []
+    order = sorted(
+        range(len(ids)),
+        # the trainer's F.xxhash64(id, lit(seed)::long): two hashLong
+        # folds, Spark's default seed 42 starting the chain
+        key=lambda i: (
+            xxhash64_long(int(seed), xxhash64_long(int(ids[i]), 42)),
+            int(ids[i]),
+        ),
+    )
+    centroids = [
+        [float(x) for x in vectors[i]] for i in order[: int(n_centroids)]
+    ]
+    X = _stack_vectors(vectors)
+    q_int = np.floor(X * TRAIN_QUANT_SCALE).astype(np.int64)
+    n_rows, dim = X.shape
+    for _ in range(n_iters):
+        C = np.asarray(centroids, dtype=np.float64)
+        nc = len(C)
+        acc = np.zeros((n_rows, nc))
+        for i in range(dim):
+            d = X[:, i, None] - C[None, :, i]
+            acc = acc + d * d
+        assign = np.argsort(acc, axis=1, kind="stable")[:, 0]
+        for c in range(nc):
+            mask = assign == c
+            n = int(mask.sum())
+            if n == 0:
+                continue  # empty cluster keeps its previous centroid
+            s = q_int[mask].sum(axis=0)  # exact: |terms| ≤ 2^43, n ≤ ~1e5
+            centroids[c] = [_quantized_mean(int(s[i]), n) for i in range(dim)]
     return centroids
 
 
