@@ -95,6 +95,22 @@ HEADLINE = [
     "temperature_mix",
     "split_leakage",
     "bigram_logprob",
+    # r9/r10 families folded into the committed headline in r11 (VERDICT
+    # r10 #5): mergeable sketches, BPE, exact quantiles, curation tier —
+    # regression tracking previously rode ad-hoc SKETCH_WALLS artifacts
+    "hll_distinct",
+    "hll_time_rollup",
+    "kmv_distinct",
+    "cm_estimate",
+    "bloom_prefilter",
+    "hll_overlap",
+    "bpe_train",
+    "bpe_encode",
+    "collocations",
+    "exact_quantiles",
+    "decontaminate",
+    "duplicate_spans",
+    "dsir_weights",
 ]
 
 
