@@ -990,6 +990,69 @@ def _semantic_centroids(n_clusters: int | None = None) -> list[list[float]]:
     return similarity.lloyd_kmeans(X, n_clusters or _semantic_dedup_clusters())
 
 
+def _lsh_topk_oracle(k: int = 10, seed: int = 42) -> str:
+    """DuckDB mirror of sign-LSH multi-probe top-k. Fully deterministic:
+    the hyperplanes are a pure seeded driver function (inlined as
+    literals), the signature bit for plane p is `dot > 0` on the SAME
+    left-fold dot both engines compute bit-identically (the cosine
+    lesson) — a sign has NO rounding boundary at all, so the bucket ids
+    match exactly; multi-probe buckets are integer XORs; and the scoring
+    tail is the established exact-cosine mirror."""
+    import duckdb
+
+    n = _oracle_embeddings_count()
+    n_planes = similarity.auto_ann_params(n)["n_planes"]
+    dim = duckdb.sql(
+        f"SELECT len(embedding) FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def _sig_term(p: int, plane: list[float]) -> str:
+        lits = f"{[float(x) for x in plane]!r}::DOUBLE[]"
+        dot = (
+            f"list_sum([e.embedding[i]::DOUBLE * ({lits})[i] "
+            "for i in generate_series(1, len(e.embedding))])"
+        )
+        return f"CASE WHEN {dot} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+
+    sig = " + ".join(_sig_term(p, pl) for p, pl in enumerate(planes))
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, xor(b, {1 << i}::BIGINT) AS pb FROM qsig"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT e.vec_id, ({sig}) AS b FROM embeddings e
+),
+qsig AS (SELECT vec_id, b FROM sig WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT vec_id, b AS pb FROM qsig
+  UNION ALL
+{probe_rows}
+),
+nrm AS (
+  SELECT vec_id, sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+         round({_DOT.format(a='qq', b='mm')}
+               / nullif(nq.nv * nm.nv, 0.0), 6) + 0.0 AS cosine
+  FROM probes p
+  JOIN sig m ON m.b = p.pb AND m.vec_id <> p.vec_id
+  JOIN embeddings qq ON qq.vec_id = p.vec_id
+  JOIN embeddings mm ON mm.vec_id = m.vec_id
+  JOIN nrm nq ON nq.vec_id = p.vec_id
+  JOIN nrm nm ON nm.vec_id = m.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored WHERE cosine IS NOT NULL
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ivf_dist_centroids(n_centroids: int = 8) -> list[list[float]]:
     """Replicate the Spark query's DISTRIBUTED k-means for the oracle:
     the quantized trainer is bit-deterministic (integer sums), so the
@@ -3881,6 +3944,9 @@ FROM r JOIN rep ON rep.doc_id = r.doc_id
     # corpus count the Spark query reads at plan time, and the centroids
     # replicate bit-identically through the shared lloyd_kmeans on the
     # id-ordered full sample (derived sample_mod is 1 at every gated SF)
+    # lsh_topk (strict since r11): sign buckets have no float boundary —
+    # the signature dot is the bit-identical cross-engine left fold
+    o["lsh_topk"] = _lsh_topk_oracle(k=10)
     _ivf_auto = similarity.auto_ann_params(_oracle_embeddings_count())
     o["ivf_topk"] = _knn_graph_oracle(
         query_filter="AND vec_id % 50 = 0",
@@ -4370,4 +4436,10 @@ SELECT time_id, unit_id, round(pow(2.0, -value / 12.0), 6) AS value FROM ts
     o["multimodal_frames"] = G.multimodal_frames_golden_sql(_ORACLE_SF_DIR, 80)
     o["pack_bins"] = G.pack_bins_golden_sql(_ORACLE_SF_DIR, 512, 100)
     o["pagerank"] = G.pagerank_golden_sql(_ORACLE_SF_DIR, max_iters=20)
+    # pq_topk (strict since r11): ADC partials are exact longs
+    # (similarity.PQ_ADC_SCALE) so the candidate sums commute; the golden
+    # replicates train/encode/ADC/rerank op-for-op in numpy and inlines
+    # the final rows (selection uses the exact BigDecimal-round replica,
+    # value rounding happens in DuckDB)
+    o["pq_topk"] = G.pq_golden_sql(_ORACLE_SF_DIR, k=10, m=8, k_codes=16)
     return o

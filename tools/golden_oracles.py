@@ -554,3 +554,126 @@ SELECT CAST(node AS BIGINT) AS node,
                        AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS pagerank
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# pq_topk golden: full driver-side replication of the (now quantized) ADC
+# pipeline — codebooks, encode, integer ADC sums, rerank — with Spark's
+# BigDecimal round replicated exactly for the selection steps
+
+
+def spark_round6(x: float) -> float:
+    """Spark round(x, 6) == BigDecimal.valueOf(x).setScale(6, HALF_UP):
+    quantize the SHORTEST DECIMAL REPR (python repr == Java Double.toString
+    digits) half-up. Used where a golden's SELECTION depends on rounded
+    values (the final VALUE columns still round in DuckDB)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)) + 0.0
+
+
+def pq_golden_rows(
+    sf_dir: str, k: int = 10, m: int = 8, k_codes: int = 16, seed: int = 42
+) -> list[tuple[int, int, float, int]]:
+    """(query_id, neighbor_id, raw_cosine, rank) for pq_topk(rerank="auto")
+    — every numpy op copied op-for-op from the operator (train /
+    encode / driver ADC loop / fold-exact rescore), all cross-engine
+    surfaces integer or selection-only."""
+    import duckdb
+
+    from views_transformation_library_spark.operators import similarity as S
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    n = len(ids)
+    assert max(1, -(-n // 100_000)) == 1, "pq golden assumes sample_mod == 1"
+    X = S._stack_vectors([r[1] for r in rows])
+    dim = X.shape[1]
+    sub = dim // m
+    rerank = S.auto_ann_params(n)["rerank"]
+    # --- codebooks: train_pq_codebooks(normalize=True) on the full
+    # id-ordered sample
+    nrm_all = np.linalg.norm(X, axis=1)
+    Xn = X[nrm_all > 0] / nrm_all[nrm_all > 0, None]
+    books = [
+        S.lloyd_kmeans(Xn[:, s * sub : (s + 1) * sub], k_codes, n_iters=5, seed=seed + s)
+        for s in range(m)
+    ]
+    B = np.asarray(books, dtype=np.float64)
+    # --- encode (pq_encode, normalize=True; row-independent, so one batch
+    # is the same as Arrow's many)
+    good = nrm_all > 0
+    Xg = X[good] / nrm_all[good, None]
+    Xs = Xg.reshape(len(Xg), m, sub)
+    codes = np.empty((len(Xg), m), dtype=np.int64)
+    for s in range(m):
+        d2 = ((Xs[:, s, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    gx = np.flatnonzero(good)  # good row -> X row
+    nbr = np.asarray(ids, dtype=np.int64)[gx]
+    # --- fold-exact norms over RAW vectors (the _norm left fold as a
+    # column loop — elementwise bit-identical)
+    nacc = np.zeros(len(X))
+    for i in range(dim):
+        nacc = nacc + X[:, i] * X[:, i]
+    fold_norm = np.sqrt(nacc)
+    # --- per-query ADC LUT (driver loop replication) + scoring
+    scale = S.PQ_ADC_SCALE
+    arangem = np.arange(m)
+    n_keep = int(k) * int(rerank)
+    out: list[tuple[int, int, float, int]] = []
+    id_to_x = {v: i for i, v in enumerate(ids)}
+    for qid in ids:
+        if qid % 50 != 0:
+            continue
+        qv = X[id_to_x[qid]]
+        nrm = float(np.linalg.norm(qv))
+        if nrm == 0.0:
+            continue
+        qvn = qv / nrm
+        lut = np.empty((m, k_codes), dtype=np.int64)
+        for s in range(m):
+            qs = qvn[s * sub : (s + 1) * sub]
+            for ci in range(k_codes):
+                d2 = float(((qs - np.asarray(books[s][ci])) ** 2).sum())
+                lut[s, ci] = math.floor(d2 * scale)
+        dist = lut[arangem[None, :], codes].sum(axis=1)
+        approx = 1.0 - (dist.astype(np.float64) / scale) / 2.0
+        r6a = np.array([spark_round6(v) for v in approx])
+        idx = np.flatnonzero(nbr != qid)
+        keep = idx[np.lexsort((nbr[idx], -r6a[idx]))][:n_keep]
+        # --- exact rescore of the kept candidates (the _dot left fold)
+        cand_x = gx[keep]
+        acc = np.zeros(len(keep))
+        for i in range(dim):
+            acc = acc + qv[i] * X[cand_x, i]
+        den = fold_norm[id_to_x[qid]] * fold_norm[cand_x]
+        ok = den > 0
+        cos = acc[ok] / den[ok]
+        cnbr = nbr[keep][ok]
+        r6c = np.array([spark_round6(v) for v in cos])
+        order2 = np.lexsort((cnbr, -r6c))[: int(k)]
+        for rank, j in enumerate(order2, start=1):
+            out.append((int(qid), int(cnbr[j]), float(cos[j]), rank))
+    return out
+
+
+def pq_golden_sql(
+    sf_dir: str, k: int = 10, m: int = 8, k_codes: int = 16, seed: int = 42
+) -> str:
+    rows = pq_golden_rows(sf_dir, k, m, k_codes, seed)
+    vals = ",\n".join(
+        f"({q}, {nb}, '{c!r}', {rk})" for q, nb, c, rk in rows
+    )
+    return f"""
+WITH golden(query_id, neighbor_id, c, rank) AS (VALUES
+{vals}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(CAST(c AS DECIMAL(38,17)), 6)::DOUBLE + 0.0 AS cosine,
+       CAST(rank AS INT) AS rank
+FROM golden
+"""

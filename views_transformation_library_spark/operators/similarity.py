@@ -2068,6 +2068,16 @@ def nearest_cluster_expr_on(arr, centroids: list[list[float]]):
     return F.array_sort(F.array(*entries))[0]["c"]
 
 
+# Quantization scale for PQ's ADC partial distances: unit-normalized
+# subspace d² ≤ 4, so floor(d²·2^48) ≤ 2^50 is an exact IEEE floor and the
+# per-candidate sum of m ≤ 64 longs stays far under 2^63 — making the ADC
+# aggregation order-free (the pagerank/grid_lag quantize lesson), which is
+# what upgrades pq_topk's oracle from rows-only to a strict golden. The
+# 2^-48 partial quantization is ~1e-14 per term, invisible at the 6dp
+# approx_cosine round.
+PQ_ADC_SCALE = float(1 << 48)
+
+
 def _adc_table_distributed(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
@@ -2078,9 +2088,13 @@ def _adc_table_distributed(
     the driver. Normalized queries posexplode into m subspace slices, the
     (m · k_codes)-row codebook frame broadcasts, and d² is the same
     left-fold zip_with sum per (query, subspace, code) row the driver
-    loop computes. Output schema matches the driver build exactly:
-    (query_id, __sub, __code, __d2); zero-norm queries are dropped, as
-    the driver loop drops them."""
+    loop computes (then quantized to a long exactly as the driver loop
+    quantizes — note the driver's numpy `((qs-c)**2).sum()` is a pairwise
+    sum, so the two BUILD paths can differ by 1 ulp pre-quantization;
+    the strict gate runs the driver path, and the candidate-set contract
+    is unchanged either way). Output schema matches the driver build
+    exactly: (query_id, __sub, __code, __d2q long); zero-norm queries are
+    dropped, as the driver loop drops them."""
     m = len(codebooks)
     spark = queries.sparkSession
     cb = spark.createDataFrame(
@@ -2110,13 +2124,16 @@ def _adc_table_distributed(
         "query_id",
         "__sub",
         "__code",
-        F.aggregate(
-            F.zip_with(
-                F.col("__qslice"), F.col("__cent"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("__d2"),
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qslice"), F.col("__cent"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(PQ_ADC_SCALE)
+        ).alias("__d2q"),
     )
 
 
@@ -2150,8 +2167,11 @@ def pq_topk(
     vector) → rank. Shuffle volume is |vectors|·m skinny rows with
     map-side combine; the ADC table broadcast replaces any per-pair
     vector math. Output: (query_id, neighbor_id, approx_cosine, rank) —
-    approximate by construction (rows-only gate; recall is pytest-checked
-    against `cosine_topk`).
+    approximate vs exact cosine (recall is pytest-checked against
+    `cosine_topk`), but DETERMINISTIC since r11: ADC partials are exact
+    longs (PQ_ADC_SCALE), so the per-candidate sum commutes and the
+    whole pipeline is strict-gateable via a full numpy golden
+    (tools/golden_oracles.pq_golden_sql).
 
     ``rerank=r`` adds the standard refinement stage (IVFADC+R, Jégou et
     al. 2011 §V): ADC keeps k·r candidates, then ONLY those re-score with
@@ -2202,20 +2222,29 @@ def pq_topk(
                 qs = qv[s * sub : (s + 1) * sub]
                 for ci, c in enumerate(book):
                     d2 = float(((qs - np.asarray(c)) ** 2).sum())
-                    table.append((r[id_col], s, ci, d2))
+                    # exact long partial: the per-candidate ADC sum is then
+                    # order-free under any hash-agg order (PQ_ADC_SCALE)
+                    table.append((r[id_col], s, ci, int(math.floor(d2 * PQ_ADC_SCALE))))
         adc = spark.createDataFrame(
-            table, schema=f"query_id {qid_type}, __sub int, __code int, __d2 double"
+            table, schema=f"query_id {qid_type}, __sub int, __code int, __d2q long"
         )
     else:
         adc = _adc_table_distributed(queries, codebooks, id_col, vec_col)
     scored = (
         cand.join(F.broadcast(adc), ["__sub", "__code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__d2").alias("__dist"))
+        .agg(F.sum("__d2q").alias("__dist"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            (F.round(F.lit(1.0) - F.col("__dist") / F.lit(2.0), 6) + F.lit(0.0)).alias("approx_cosine"),
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.col("__dist").cast("double") / F.lit(PQ_ADC_SCALE) / F.lit(2.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("approx_cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
