@@ -64,10 +64,16 @@ def auto_ann_params(n: int) -> dict:
     0.28→0.235, pq 0.80→0.535 from sf0.01→sf0.1). Rules, each a
     documented cost/recall policy rather than magic numbers:
 
-    - ``n_planes``: smallest p >= 4 with n·(1+p)/2^p <= 4096 — Hamming-1
-      multi-probe LSH scores a bounded ~4k candidates per query, so per-
-      query work is constant and p grows with log2(n). Measured sf0.1:
-      p=4 → recall 0.51 (vs 0.235 at the old fixed p=6).
+    - ``n_planes``: smallest p >= 4 with n·(1+p)/2^p <= the candidate
+      budget 4096·max(1, √(n/20000)) — Hamming-1 multi-probe LSH recall
+      tracks the scored FRACTION (1+p)/2^p, so a constant budget decays
+      it ∝ 1/n (r11: the RECALL_SF5 floors run caught 0.18 < floor 0.20
+      at n=1e5 under the flat 4096); a √n budget decays the fraction only
+      ∝ 1/√n (per-query work sublinear, total ∝ n^1.5 — still never the
+      corpus-scale tier, which is the bucket-join families). The √n term
+      only engages past n=20k, so every gate SF ≤ sf1 keeps its r10
+      plane count (no oracle churn). Measured sf0.1: p=4 → recall 0.51
+      (vs 0.235 at the old fixed p=6); sf5 numbers in RECALL_SF5_r11.
     - ``n_centroids`` = n^(1/3) (clamped [8, 64]), ``nprobe`` = nc/2 —
       this operator bakes the centroids into the assignment expression as
       literals, so PLAN COMPILE is the cost that scales with nc (√n
@@ -87,8 +93,9 @@ def auto_ann_params(n: int) -> dict:
     one extra count() action is the price of plan-time derivation.
     """
     n = max(1, int(n))
+    budget = 4096.0 * max(1.0, math.sqrt(n / 20000.0))
     p = 4
-    while p < 20 and n * (1 + p) / (1 << p) > 4096:
+    while p < 20 and n * (1 + p) / (1 << p) > budget:
         p += 1
     nc = max(8, min(64, round(n ** (1.0 / 3.0))))
     return {
