@@ -587,11 +587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_pca"] = lambda s, d: similarity.embedding_pca(
         _embs(s, d), k=4
     ).select("vec_id", "pc0", "pc1", "pc2", "pc3")
-    # product-quantization ADC top-k with exact rerank of the k*8 ADC
-    # candidates (approx candidate set -> rows-only gate; recall is
-    # pytest-checked against cosine_topk and recorded per round in
+    # product-quantization ADC top-k with exact rerank of the k*r ADC
+    # candidates. Strict since r11 (integer ADC partials + full numpy
+    # golden); recall vs cosine_topk still recorded per round in
     # RECALL_r{N}.json — rerank=8 lifts recall@10 from 0.58 to 0.80 at
-    # sf0.01 for 40 extra exact-scored candidates per query)
+    # sf0.01 for 40 extra exact-scored candidates per query
     q["pq_topk"] = lambda s, d: similarity.pq_topk(
         _embs(s, d), _queries(s, d), k=10, m=8, k_codes=16, rerank="auto"
     )

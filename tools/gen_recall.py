@@ -1,6 +1,10 @@
-"""Per-round recall/accuracy evidence for the rows-only (approximate)
-oracle families (VERDICT r4 #4): the driver gate records them as
-rows-only, so their quality claim needs a committed artifact.
+"""Per-round recall/accuracy evidence for the APPROXIMATE families
+(VERDICT r4 #4). Since r11 most of these are byte-strict against their
+oracles (deterministic ≠ exact: a strict gate proves the pipeline
+reproduces its own deterministic approximation, not that the
+approximation is any good) — so the recall-vs-exact floors remain the
+quality evidence regardless of oracle tier. Only profile_approx is still
+rows-only (engine-private KLL sketch).
 
 For each family the approximate result is compared against the EXACT
 competitor at the same parameterization as `__spark_entry__.queries()`:
