@@ -73,7 +73,8 @@ def auto_ann_params(n: int) -> dict:
       corpus-scale tier, which is the bucket-join families). The √n term
       only engages past n=20k, so every gate SF ≤ sf1 keeps its r10
       plane count (no oracle churn). Measured sf0.1: p=4 → recall 0.51
-      (vs 0.235 at the old fixed p=6); sf5 numbers in RECALL_SF5_r11.
+      (vs 0.235 at the old fixed p=6); sf5 gaussian: p=7 → 0.2427 vs
+      p=8 → 0.18 (RECALL_SF5_r11.json; clustered corpus 0.2806).
     - ``n_centroids`` = n^(1/3) (clamped [8, 64]), ``nprobe`` = nc/2 —
       this operator bakes the centroids into the assignment expression as
       literals, so PLAN COMPILE is the cost that scales with nc (√n
