@@ -36,11 +36,12 @@ from views_transformation_library_spark.operators import dedup
 from views_transformation_library_spark.session import get_spark
 
 
-def checksum(df) -> int:
+def checksum_and_count(df) -> tuple[int, int]:
     row = df.agg(
-        *[F.bit_xor(F.xxhash64(c)).alias(c) for c in df.columns]
+        F.count(F.lit(1)).alias("__n"),
+        *[F.bit_xor(F.xxhash64(c)).alias(c) for c in df.columns],
     ).collect()[0]
-    return sum(x or 0 for x in row)
+    return sum(x or 0 for x in row[1:]), int(row["__n"])
 
 
 def run_arm(spark, sf_dir: str, cap: int | None, runs: int = 2) -> dict:
@@ -53,8 +54,7 @@ def run_arm(spark, sf_dir: str, cap: int | None, runs: int = 2) -> dict:
         out = dedup.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_doc_freq=cap
         )
-        npairs = out.count()
-        checksum(out)
+        _, npairs = checksum_and_count(out)
         walls.append(round(time.time() - t0, 2))
         if stats is None:
             stats = dedup.lsh_guard_stats(out)
