@@ -187,6 +187,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= τ) via
     an inverted index. `max_doc_freq` optionally drops shingles occurring
     in more than that many docs (skew guard at scale; None = exact).
+    Measured r11 (NGRAM_CAP_r11.json): the cap engages naturally at sf10
+    (271 hot shingles, 166M candidate pairs dropped) but bounds MEMORY
+    and per-shingle skew, not the wall (0.85× uncapped; e≈2.26 stays) —
+    this exact tier is intrinsically quadratic in doc frequency; the
+    corpus-scale near-dup tier is `minhash_lsh_pairs` (measured e=0.54).
 
     Pair generation is postings-list expansion, not a self-join: ONE
     groupBy(shingle) builds each shingle's sorted doc list, then array
