@@ -59,6 +59,49 @@ def test_profile_approx_close_to_exact(spark):
     assert abs(s["q_50"] - 498.0) < 30
 
 
+def test_profile_sketch_matches_hll_distinct(spark):
+    """profile_sketch's register pipeline must agree with
+    sketches.hll_distinct (same hash, rank, harmonic sum) on the same
+    column, and its exact stats with the exact tier."""
+    from views_transformation_library_spark.operators import sketches
+
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 731).alias("v")
+    )
+    ps = {r["column"]: r for r in profiling.profile_sketch(df, ["v"], p=6).collect()}
+    hd = sketches.hll_distinct(df, "v", p=6).collect()[0]
+    ex = {r["column"]: r for r in profiling.profile(df, ["v"]).collect()}
+    s, e = ps["v"], ex["v"]
+    assert s["n_zero"] == hd["n_zero"] and s["s_scaled"] == hd["s_scaled"]
+    assert s["approx_distinct"] == hd["estimate"]
+    assert s["n"] == e["n"] and s["n_null"] == e["n_null"]
+    assert s["min_val"] == e["min_val"] and s["max_val"] == e["max_val"]
+    # raw-regime estimate quality (731 distinct >= 2.5 * 64)
+    assert abs(s["approx_distinct"] - 731) <= 0.3 * 731
+
+
+def test_profile_sketch_all_null_and_multi(spark):
+    df = spark.createDataFrame(
+        [(1, None, 7), (2, None, 7), (3, None, 9)], "id long, x long, y long"
+    )
+    out = {r["column"]: r for r in profiling.profile_sketch(df, ["x", "y"], p=4).collect()}
+    x, y = out["x"], out["y"]
+    # empty sketch: every register zero, s_scaled = m * 2^K
+    assert x["n"] == 3 and x["n_null"] == 3
+    assert x["n_zero"] == 16 and x["s_scaled"] == 16 * (1 << 57)
+    assert y["n_null"] == 0 and y["min_val"] == 7.0 and y["max_val"] == 9.0
+    assert y["n_zero"] == 14  # 2 distinct values -> 2 registers hit
+
+
+def test_exact_quantiles_rejects_fractional_percent(frame):
+    with pytest.raises(ValueError, match="integers"):
+        profiling.exact_quantiles(frame, "a", percents=[50.5])
+    with pytest.raises(ValueError, match="integers"):
+        profiling.exact_quantiles(frame, "a", percents=[0])
+    # integral floats are fine (50.0 == 50)
+    profiling.exact_quantiles(frame, "a", percents=[50.0])
+
+
 def test_profile_single_aggregate_plan(frame):
     """The sketch tier must stay ONE ordinary hash aggregate — no Expand."""
     plan = profiling.profile_approx(frame, ["a", "b"])._jdf.queryExecution().executedPlan().toString()

@@ -313,6 +313,7 @@ def _registry_specs(spark):
         # profiling
         "profile": (docs, [["w"]], {}),
         "profile_approx": (docs, [["w"]], {}),
+        "profile_sketch": (docs, [["w"]], {"p": 4}),
         # multimodal
         "attach_binary": (docs, [], {}),
         "attach_image": (docs, [], {}),

@@ -636,9 +636,17 @@ def pq_golden_rows(
         lut = np.empty((m, k_codes), dtype=np.int64)
         for s in range(m):
             qs = qvn[s * sub : (s + 1) * sub]
+            # the operator's driver ADC loop (and the distributed
+            # zip_with/aggregate build) both evaluate this left-associated
+            # column-loop fold — replicate it exactly (ADVICE r11)
+            Bs = np.asarray(books[s], dtype=np.float64)
+            diff = qs[None, :] - Bs
+            sq = diff * diff
+            acc = np.zeros(k_codes)
+            for i in range(sub):
+                acc = acc + sq[:, i]
             for ci in range(k_codes):
-                d2 = float(((qs - np.asarray(books[s][ci])) ** 2).sum())
-                lut[s, ci] = math.floor(d2 * scale)
+                lut[s, ci] = math.floor(float(acc[ci]) * scale)
         dist = lut[arangem[None, :], codes].sum(axis=1)
         approx = 1.0 - (dist.astype(np.float64) / scale) / 2.0
         r6a = np.array([spark_round6(v) for v in approx])

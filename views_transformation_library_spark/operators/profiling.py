@@ -9,7 +9,12 @@ Two tiers, same output shape (one row per profiled column):
                      and KLL-style quantiles (percentile_approx) instead of
                      the exact distinct; the 100 TB default. One ordinary
                      hash aggregate, no Expand, bounded sketch memory per
-                     column.
+                     column. Both sketches are engine-private, so its gate
+                     surface is rows-only (KLL quantiles only since r12 —
+                     everything else rides a strict tier).
+- ``profile_sketch`` strict sketch — the same n/n_null/min/max plus an HLL
+                     distinct estimate from md5-derived integer registers
+                     (sketches.py), byte-reproducible in DuckDB.
 
 Scale note: k exact count(DISTINCT) aggregates in one pass compile to an
 Expand (k× the scan rows feed the shuffle) — fine for a handful of
@@ -144,6 +149,118 @@ def profile_approx(
     )
 
 
+def profile_sketch(
+    df: DataFrame,
+    cols: list[str],
+    p: int = 12,
+) -> DataFrame:
+    """Strict-gateable sketch profile (VERDICT r11 #4): exact n / n_null /
+    min / max per column plus an HLL distinct estimate built from the
+    repo's OWN md5-derived integer registers (the sketches.py discipline)
+    instead of Spark's engine-private approx_count_distinct — so the whole
+    row is byte-reproducible in DuckDB and the only remaining rows-only
+    profile surface is profile_approx's KLL quantiles.
+
+    Plan shape: TWO scans of the (column-pruned) input — one ordinary
+    exact-stats hash aggregate, and one register pass that explodes each
+    row into |cols| (column, hash) entries, map-side-combines to
+    |cols|·m register rows, then aggregates the harmonic sum per column.
+    Both shuffles are O(|cols|·m), not O(rows). The estimate is the raw
+    HyperLogLog estimator (one literal/BIGINT division — see
+    sketches.hll_distinct for why the linear-counting correction is
+    deliberately absent; pick p so 2.5·2^p ≲ expected distinct).
+
+    Output: (column, n, n_null, approx_distinct, n_zero, s_scaled,
+    min_val, max_val) — one row per profiled column; columns hash via
+    their string cast (use integer/string columns; double string reprs
+    are not engine-portable).
+    """
+    from . import sketches
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    if not 4 <= p <= 16:
+        raise ValueError(f"profile_sketch: p must be in [4, 16], got {p}")
+    m = 1 << p
+    bits_w = 60 - p
+    kscale = bits_w + 1
+
+    # exact stats: one aggregate row, stacked to one row per column
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"nn_{i}"),
+            F.min(col).cast("double").alias(f"mn_{i}"),
+            F.max(col).cast("double").alias(f"mx_{i}"),
+        ]
+    one = df.agg(*aggs)
+    proj = []
+    for i, _ in enumerate(cols):
+        proj += [
+            F.col("__n_rows").alias(f"n_{i}"),
+            (F.col("__n_rows") - F.col(f"nn_{i}")).alias(f"n_null_{i}"),
+            (F.round(F.col(f"mn_{i}"), 6) + F.lit(0.0)).alias(f"min_val_{i}"),
+            (F.round(F.col(f"mx_{i}"), 6) + F.lit(0.0)).alias(f"max_val_{i}"),
+        ]
+    exact = _stack(one.select(*proj), cols, ["n", "n_null", "min_val", "max_val"])
+
+    # HLL registers for every column in ONE scan: explode to (column,
+    # hash) entries (NULL hashes — md5(NULL) — drop via the filter)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), sketches._h60(c).alias("h")
+            )
+            for c in cols
+        ]
+    )
+    hashed = (
+        df.select(F.explode(entries).alias("__e"))
+        .select(F.col("__e.column").alias("column"), F.col("__e.h").alias("__h"))
+        .filter(F.col("__h").isNotNull())
+    )
+    w = F.expr(f"CAST(__h DIV {m} AS BIGINT)")
+    rho = F.when(w == 0, F.lit(kscale)).otherwise(
+        F.lit(bits_w) - F.length(F.bin(w)) + F.lit(1)
+    )
+    regs = (
+        hashed.select(
+            "column",
+            (F.col("__h") % m).alias("__idx"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy("column", "__idx")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    hagg = regs.groupBy("column").agg(
+        F.count(F.lit(1)).alias("__nreg"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {kscale} - __m)")).alias("__sp"),
+    )
+    # left join so an all-NULL column still profiles (empty sketch:
+    # n_zero = m, s_scaled = m·2^K — the raw estimator's alpha·m)
+    joined = exact.join(F.broadcast(hagg), "column", "left")
+    s_scaled = F.coalesce(
+        F.col("__sp") + (F.lit(m) - F.col("__nreg")) * F.lit(1 << kscale),
+        F.lit(m * (1 << kscale)),
+    )
+    return joined.select(
+        "column",
+        "n",
+        "n_null",
+        (
+            sketches.hll_estimate_from_scaled(s_scaled, p)
+        ).alias("approx_distinct"),
+        F.coalesce(F.lit(m) - F.col("__nreg"), F.lit(m)).cast("int").alias("n_zero"),
+        s_scaled.cast("long").alias("s_scaled"),
+        "min_val",
+        "max_val",
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -176,9 +293,11 @@ def exact_quantiles(
     from pyspark.sql import Window
 
     for p in percents:
-        if not 0 < int(p) <= 100:
+        # int(p) would silently truncate 50.5 -> 50 and return a different
+        # quantile than requested — reject non-integers loudly (ADVICE r11)
+        if int(p) != p or not 0 < int(p) <= 100:
             raise ValueError(
-                f"exact_quantiles: percents must be in (0, 100], got {p}"
+                f"exact_quantiles: percents must be integers in (0, 100], got {p}"
             )
     group_cols = list(group_cols or [])
     counts = (

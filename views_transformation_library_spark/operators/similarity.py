@@ -843,6 +843,17 @@ def replay_distributed_training(
     X = _stack_vectors(vectors)
     q_int = np.floor(X * TRAIN_QUANT_SCALE).astype(np.int64)
     n_rows, dim = X.shape
+    # overflow envelope (ADVICE r11): the Spark trainer sums through
+    # DECIMAL(38,0); this replay sums int64 — fail LOUDLY if a cluster
+    # sum could approach 2^63 instead of silently wrapping into a wrong
+    # accepted golden
+    max_abs = int(np.abs(q_int).max()) if q_int.size else 0
+    if max_abs * n_rows >= (1 << 62):
+        raise ValueError(
+            "replay_distributed_training: quantized-sum envelope exceeded "
+            f"(max|q|={max_abs}, n_rows={n_rows}); the int64 replay cannot "
+            "mirror the trainer's DECIMAL(38,0) sums for this corpus"
+        )
     for _ in range(n_iters):
         C = np.asarray(centroids, dtype=np.float64)
         nc = len(C)
@@ -2097,10 +2108,11 @@ def _adc_table_distributed(
     (m · k_codes)-row codebook frame broadcasts, and d² is the same
     left-fold zip_with sum per (query, subspace, code) row the driver
     loop computes (then quantized to a long exactly as the driver loop
-    quantizes — note the driver's numpy `((qs-c)**2).sum()` is a pairwise
-    sum, so the two BUILD paths can differ by 1 ulp pre-quantization;
-    the strict gate runs the driver path, and the candidate-set contract
-    is unchanged either way). Output schema matches the driver build
+    quantizes — since r12 the driver loop evaluates the identical
+    left-associated column-loop fold, so the two BUILD paths produce
+    bit-identical __d2q longs and the strict golden covers both; pinned
+    by a forced-both-paths differential in tests). Output schema matches
+    the driver build
     exactly: (query_id, __sub, __code, __d2q long); zero-norm queries are
     dropped, as the driver loop drops them."""
     m = len(codebooks)
@@ -2228,11 +2240,23 @@ def pq_topk(
             sub = len(qv) // m
             for s, book in enumerate(codebooks):
                 qs = qv[s * sub : (s + 1) * sub]
-                for ci, c in enumerate(book):
-                    d2 = float(((qs - np.asarray(c)) ** 2).sum())
+                # d² as the SAME left-associated fold the distributed
+                # build's zip_with/aggregate computes (column-loop
+                # accumulation; ADVICE r11: numpy's pairwise .sum() can
+                # differ by 1 ulp pre-floor, so the two BUILD paths could
+                # quantize differently at a floor boundary)
+                Bs = np.asarray(book, dtype=np.float64)  # (k_codes, sub)
+                diff = qs[None, :] - Bs
+                sq = diff * diff
+                acc = np.zeros(len(Bs))
+                for i in range(sub):
+                    acc = acc + sq[:, i]
+                for ci in range(len(Bs)):
                     # exact long partial: the per-candidate ADC sum is then
                     # order-free under any hash-agg order (PQ_ADC_SCALE)
-                    table.append((r[id_col], s, ci, int(math.floor(d2 * PQ_ADC_SCALE))))
+                    table.append(
+                        (r[id_col], s, ci, int(math.floor(acc[ci] * PQ_ADC_SCALE)))
+                    )
         adc = spark.createDataFrame(
             table, schema=f"query_id {qid_type}, __sub int, __code int, __d2q long"
         )

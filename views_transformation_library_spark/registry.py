@@ -150,6 +150,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "term_frequencies": retrieval.term_frequencies,
     "profile": profiling.profile,
     "profile_approx": profiling.profile_approx,
+    "profile_sketch": profiling.profile_sketch,
     "corpus_mix": text.corpus_mix,
     "vocab_top_terms": text.vocab_top_terms,
     "parse_json_fields": relational.parse_json_fields,
