@@ -108,7 +108,11 @@ def main():
     # and the quadratic oracle joins (embedding_neardup all-pairs,
     # spacetime_weights theta-join) OOM at sf1 — give it one, and drop
     # insertion-order preservation (compare_rows sorts rows itself)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # PER-PROCESS spill dir: concurrent shard runs sharing one
+    # temp_directory corrupt each other's duckdb_temp_storage-*.tmp
+    # (r12: shard 0's spacetime_weights died with an IO error reading a
+    # spill block shard 1 had truncated)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     con.execute("SET max_temp_directory_size='60GiB'")
     # hard memory ceiling so the quadratic oracle joins SPILL instead of
     # growing to the OS OOM killer (r10: the sf1 spacetime θ-join reached
