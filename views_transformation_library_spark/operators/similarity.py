@@ -2333,7 +2333,18 @@ def lsh_topk(
 
     ``n_planes=None`` derives the plane count from the corpus size at
     plan time (`auto_ann_params`: bounded candidates per query, p grows
-    with log2 n) — the recall-stable default as corpora scale."""
+    with log2 n) — the recall-stable default as corpora scale.
+
+    TIER BOUNDARY (r12, `LSH_BOUNDARY_r12.json`): measured recall@10
+    vs exact holds above the 0.20 floor through n = 2×10⁵ (0.243 at
+    n=1e5, 0.2535 at n=2e5 — the √n candidate budget keeps p=7's
+    scored fraction at 6.25% across that range). The policy's next
+    plane bump (n > 214,748 → p=8) nearly halves the scored fraction,
+    and the forced-p=8 measurement reads 0.18 < floor
+    (RECALL_SF5 campaign, r11) — so sign-LSH is officially the
+    ≲ 2×10⁵-vector tier; larger corpora belong to ivf_topk /
+    knn_graph / ann_join (bucket-join families whose index scales
+    with n), the same adjudication pattern as ngram→minhash."""
     first = vectors.select(vec_col).first()
     if first is None or first[0] is None:
         return _empty_topk(vectors, id_col)
