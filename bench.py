@@ -67,6 +67,9 @@ HEADLINE = [
     # no Expand): baselined alongside the exact tier so the scale path
     # has a number
     "profile_approx_lineitem",
+    # r12: the strict sketch tier (md5-register HLL distinct + exact
+    # stats; the rows-only surface above is KLL quantiles alone now)
+    "profile_sketch_lineitem",
     "knn_graph",
     # r4 end-to-end corpus pipeline flagship (one scan + two shuffles)
     "llm_pipeline",
