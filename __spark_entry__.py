@@ -415,6 +415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         percents=(25, 50, 75, 90),
         group_cols=["l_returnflag"],
     )
+    # strict mergeable quantile sketch (r12): equi-width histogram +
+    # integer rank selection — the bounded-error O(buckets)-shuffle tier
+    # between exact_quantiles and the rows-only KLL; every float op is
+    # literal IEEE arithmetic, so the gate compares raw doubles
+    q["approx_quantiles_hist"] = lambda s, d: profiling.approx_quantiles_hist(
+        s.read.parquet(f"{d}/lineitem.parquet"),
+        "l_extendedprice",
+        lo=_HIST_Q_LO, hi=_HIST_Q_HI, n_buckets=_HIST_Q_BUCKETS,
+        percents=(25, 50, 75, 90),
+        group_cols=["l_returnflag"],
+    )
     # BPE tokenizer training: distributed count pass + bounded driver
     # merge learning (text.bpe_learn — shared verbatim with the oracle)
     q["bpe_train"] = lambda s, d: text.bpe_train(
@@ -1647,6 +1658,10 @@ _HLL_P = 8
 # raw-HLL regime (2.5·2^p = 640 ≤ 2000/15000 partkey/orderkey at sf0.01)
 _PROFILE_SKETCH_COLS = ("l_orderkey", "l_partkey")
 _PROFILE_SKETCH_P = 8
+# approx_quantiles_hist gate: range covers l_extendedprice ([900,
+# 105000] at every SF) so the w-bound holds; 110000/2048 = 53.7109375
+# is exactly representable, though strictness never depends on that
+_HIST_Q_LO, _HIST_Q_HI, _HIST_Q_BUCKETS = 0.0, 110000.0, 2048
 _KMV_K = 128
 _CM_DEPTH, _CM_WIDTH = 4, 1024
 _CM_ITEMS = ["the", "a", "of", "and", "data", "model", "x", "q", "zzznope", "test"]
@@ -3443,6 +3458,36 @@ cum AS (
 ),
 p(percent) AS (VALUES (25), (50), (75), (90))
 SELECT l_returnflag, percent, v AS value,
+       CAST((percent * n + 99) // 100 AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n
+FROM cum, p
+WHERE cum >= (percent * n + 99) // 100 AND cum - c < (percent * n + 99) // 100
+"""
+    # mirror of profiling.approx_quantiles_hist: lo/w inlined as
+    # shortest-repr literals (both engines parse the identical double),
+    # floor((x-lo)/w) and lo + bucket*w are order-matched IEEE literal
+    # arithmetic — raw doubles compare byte-equal, no rounding step
+    _hq_w = (_HIST_Q_HI - _HIST_Q_LO) / float(_HIST_Q_BUCKETS)
+    o["approx_quantiles_hist"] = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         least({_HIST_Q_BUCKETS - 1},
+               greatest(CAST(0 AS BIGINT),
+                        CAST(floor((l_extendedprice - {_HIST_Q_LO!r}) / {_hq_w!r})
+                             AS BIGINT))) AS bucket
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+c AS (SELECT l_returnflag, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bucket, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+),
+p(percent) AS (VALUES (25), (50), (75), (90))
+SELECT l_returnflag, percent, CAST(bucket AS INT) AS bucket,
+       {_HIST_Q_LO!r} + CAST(bucket AS DOUBLE) * {_hq_w!r} AS lo_edge,
+       {_HIST_Q_LO!r} + CAST(bucket + 1 AS DOUBLE) * {_hq_w!r} AS hi_edge,
        CAST((percent * n + 99) // 100 AS BIGINT) AS rank,
        CAST(n AS BIGINT) AS n
 FROM cum, p

@@ -111,6 +111,8 @@ HEADLINE = [
     "bpe_encode",
     "collocations",
     "exact_quantiles",
+    # r12: strict bounded-error histogram quantiles (mergeable tier)
+    "approx_quantiles_hist",
     "decontaminate",
     "duplicate_spans",
     "dsir_weights",

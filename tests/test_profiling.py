@@ -102,6 +102,55 @@ def test_exact_quantiles_rejects_fractional_percent(frame):
     profiling.exact_quantiles(frame, "a", percents=[50.0])
 
 
+def test_approx_quantiles_hist_error_bound(spark):
+    """The returned bucket must contain the true (type-1) quantile:
+    lo_edge <= exact value < hi_edge, i.e. error bounded by the bucket
+    width w = (hi - lo) / n_buckets."""
+    df = spark.range(10_000).select(
+        F.col("id"), ((F.col("id") * 7919) % 9973).cast("double").alias("v")
+    )
+    out = {
+        r["percent"]: r
+        for r in profiling.approx_quantiles_hist(
+            df, "v", lo=0.0, hi=10_000.0, n_buckets=512, percents=(25, 50, 75)
+        ).collect()
+    }
+    exact = {
+        r["percent"]: r["value"]
+        for r in profiling.exact_quantiles(df, "v", percents=(25, 50, 75)).collect()
+    }
+    for p in (25, 50, 75):
+        assert out[p]["lo_edge"] <= exact[p] < out[p]["hi_edge"]
+        assert out[p]["hi_edge"] - out[p]["lo_edge"] == 10_000.0 / 512
+        assert out[p]["n"] == 10_000
+
+
+def test_approx_quantiles_hist_clamps_and_groups(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 1.0), ("a", 2.0), ("a", 99.0), ("b", 500.0)],
+        "g string, v double",
+    )
+    out = profiling.approx_quantiles_hist(
+        df, "v", lo=0.0, hi=10.0, n_buckets=10, percents=(50,), group_cols=["g"]
+    ).collect()
+    by_g = {r["g"]: r for r in out}
+    # group a: n=4, rank=2 -> second value (1.0, after the clamped -5.0
+    # in bucket 0) -> bucket 1
+    assert by_g["a"]["bucket"] == 1 and by_g["a"]["n"] == 4
+    # out-of-range high clamps to the last bucket
+    assert by_g["b"]["bucket"] == 9
+
+
+def test_approx_quantiles_hist_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="integers"):
+        profiling.approx_quantiles_hist(df, "v", 0.0, 1.0, percents=[50.5])
+    with pytest.raises(ValueError, match="lo < hi"):
+        profiling.approx_quantiles_hist(df, "v", 1.0, 1.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        profiling.approx_quantiles_hist(df, "v", 0.0, 1.0, n_buckets=0)
+
+
 def test_profile_single_aggregate_plan(frame):
     """The sketch tier must stay ONE ordinary hash aggregate — no Expand."""
     plan = profiling.profile_approx(frame, ["a", "b"])._jdf.queryExecution().executedPlan().toString()

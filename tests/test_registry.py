@@ -314,6 +314,7 @@ def _registry_specs(spark):
         "profile": (docs, [["w"]], {}),
         "profile_approx": (docs, [["w"]], {}),
         "profile_sketch": (docs, [["w"]], {"p": 4}),
+        "approx_quantiles_hist": (docs, ["w", 0.0, 100.0], {"n_buckets": 16}),
         # multimodal
         "attach_binary": (docs, [], {}),
         "attach_image": (docs, [], {}),

@@ -261,6 +261,100 @@ def profile_sketch(
     )
 
 
+def approx_quantiles_hist(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 1024,
+    percents: list[int] | tuple[int, ...] = (25, 50, 75),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """STRICT approximate quantiles by equi-width histogram — the
+    mergeable, bounded-error middle tier between :func:`exact_quantiles`
+    (exact, O(distinct-values) shuffle) and profile_approx's
+    percentile_approx (KLL — engine-private, rows-only gate). The error
+    bound is the bucket width w = (hi − lo) / n_buckets: the true
+    quantile lies inside the returned bucket's [lo_edge, hi_edge).
+
+    Why this is byte-strict cross-engine with FLOATS in the pipeline
+    (normally forbidden by the float-parity rules): every float op is
+    either (a) floor((x − lo)/w) — IEEE subtraction/division/floor of
+    bit-identical inputs (x from parquet, lo and w inlined as
+    shortest-repr literals both engines parse to the same double), or
+    (b) edge reconstruction lo + bucket·w — literal arithmetic in the
+    same order. No reductions, no transcendentals, no rounding step —
+    both engines produce identical bits, so the gate compares raw
+    doubles. Selection is the exact_quantiles all-integer ceil rank
+    ((p·N + 99) DIV 100) over the cumulative bucket counts.
+
+    Scale shape (the 100 TB default for continuous columns): bucket
+    assignment is a pure column expression in the scan; the ONE shuffle
+    carries ≤ n_buckets rows per group (map-side combine); bucket counts
+    are plain sums, so partial histograms merge associatively across
+    any partitioning — the Druid/ClickHouse histogram-quantile design.
+    Out-of-range values clamp to the edge buckets (callers own the
+    domain; a lo/hi that truly covers the column keeps the error bound).
+
+    Output: group_cols + (percent int, bucket int, lo_edge double,
+    hi_edge double, rank long, n long).
+    """
+    from pyspark.sql import Window
+
+    for p in percents:
+        if int(p) != p or not 0 < int(p) <= 100:
+            raise ValueError(
+                f"approx_quantiles_hist: percents must be integers in (0, 100], got {p}"
+            )
+    lo, hi = float(lo), float(hi)
+    if not lo < hi:
+        raise ValueError(f"approx_quantiles_hist: need lo < hi, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError("approx_quantiles_hist: n_buckets must be >= 1")
+    w = (hi - lo) / float(n_buckets)
+    group_cols = list(group_cols or [])
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)),
+        ),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("__b"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wo = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__b")
+    wg = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = counts.select(
+        *group_cols,
+        "__b",
+        "__c",
+        F.sum("__c").over(wo).alias("__cum"),
+        F.sum("__c").over(wg).alias("__n"),
+    )
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(int(p),) for p in percents], "percent int")
+    joined = cum.crossJoin(F.broadcast(pcts))
+    rank = F.expr("CAST((percent * __n + 99) DIV 100 AS BIGINT)")
+    picked = joined.filter(
+        (F.col("__cum") >= rank) & (F.col("__cum") - F.col("__c") < rank)
+    )
+    return picked.select(
+        *group_cols,
+        "percent",
+        F.col("__b").cast("int").alias("bucket"),
+        (F.lit(lo) + F.col("__b").cast("double") * F.lit(w)).alias("lo_edge"),
+        (F.lit(lo) + (F.col("__b") + F.lit(1)).cast("double") * F.lit(w)).alias(
+            "hi_edge"
+        ),
+        rank.alias("rank"),
+        F.col("__n").alias("n"),
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,

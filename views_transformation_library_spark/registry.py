@@ -151,6 +151,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "profile": profiling.profile,
     "profile_approx": profiling.profile_approx,
     "profile_sketch": profiling.profile_sketch,
+    "approx_quantiles_hist": profiling.approx_quantiles_hist,
     "corpus_mix": text.corpus_mix,
     "vocab_top_terms": text.vocab_top_terms,
     "parse_json_fields": relational.parse_json_fields,
