@@ -447,3 +447,42 @@ def test_hll_overlap_scans_each_corpus_once(spark):
     p = plans.physical_plan(out)
     assert "orders.parquet" not in p and "lineitem.parquet" not in p
     out.collect()
+
+
+def test_approx_quantiles_hist_plan_shape(spark):
+    """r12: the histogram tier's whole scale story is in the plan — the
+    NOT NULL filter reaches the scan, bucket assignment is a pure column
+    expression (no UDF nodes), the percent table broadcasts, and the only
+    wide exchanges are the bounded bucket aggregate + the per-group
+    window (<= n_buckets rows/group after map-side combine)."""
+    from views_transformation_library_spark.operators import profiling
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = profiling.approx_quantiles_hist(
+        li, "l_extendedprice", lo=0.0, hi=110_000.0, n_buckets=256,
+        percents=(50,), group_cols=["l_returnflag"],
+    )
+    p = plans.physical_plan(out)
+    assert "l_extendedprice" in plans.pushed_filters(out)
+    assert plans.count_broadcasts(out) >= 1
+    assert plans.count_exchanges(out) <= 2
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_profile_sketch_register_pass_plan(spark):
+    """r12: one corpus scan feeds ALL columns' registers (the explode),
+    and both aggregates hash-combine map-side — the shuffles are
+    O(cols x m), never O(rows)."""
+    from views_transformation_library_spark.operators import profiling
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = profiling.profile_sketch(li, ["l_orderkey", "l_partkey"], p=6)
+    p = plans.physical_plan(out)
+    # exact-stats scalar agg (single-partition final over 1-row partials,
+    # the pinned-allowlist class) + register groupBy(column, idx) +
+    # per-column final + the broadcast join of the two tiny sides
+    assert plans.count_broadcasts(out) >= 1
+    # ONE explode pass for all columns (the other Generate is the
+    # exact-stats stack() melt over the 1-row aggregate)
+    assert p.count("Generate explode") == 1
+    assert "HashAggregate" in p
