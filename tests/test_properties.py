@@ -251,3 +251,38 @@ def test_chunk_text_covers_every_word(spark, words):
         assert ws == words[idx * stride : idx * stride + 8]
         covered.extend(range(idx * stride, idx * stride + len(ws)))
     assert set(covered) == set(range(len(words)))  # full coverage, no gaps
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=150, allow_nan=False).map(
+            lambda x: round(x, 3)
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=32),
+    p=st.integers(min_value=1, max_value=100),
+)
+def test_hist_quantile_bucket_contains_exact(spark, vals, n_buckets, p):
+    """approx_quantiles_hist's containment law: the returned bucket's
+    [lo_edge, hi_edge) interval holds the exact type-1 quantile whenever
+    the value lies inside [lo, hi); clamped values land in edge buckets
+    whose edges still bound the clamped position."""
+    from views_transformation_library_spark.operators import profiling
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    lo, hi = 0.0, 100.0
+    row = profiling.approx_quantiles_hist(
+        df, "v", lo=lo, hi=hi, n_buckets=n_buckets, percents=(p,)
+    ).collect()[0]
+    exact = profiling.exact_quantiles(df, "v", percents=(p,)).collect()[0]["value"]
+    clamped = min(max(exact, lo), hi)
+    if lo <= exact < hi:
+        assert row["lo_edge"] <= exact < row["hi_edge"]
+    else:
+        # clamped to an edge bucket: 0 or n_buckets - 1
+        assert row["bucket"] in (0, n_buckets - 1)
+        assert row["lo_edge"] <= clamped <= row["hi_edge"]
+    assert row["rank"] == (p * len(vals) + 99) // 100
