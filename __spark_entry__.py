@@ -2323,10 +2323,10 @@ def _profile_sketch_oracle(
         parts.append(f"""
 SELECT '{c}' AS "column", ex.n, ex.n_null,
        round(CAST({numer} AS DOUBLE)
-             / CAST(sp + ({m} - nreg) * {1 << k} AS DOUBLE), 6) + 0.0
+             / CAST(coalesce(sp, 0) + ({m} - nreg) * {1 << k} AS DOUBLE), 6) + 0.0
          AS approx_distinct,
        CAST({m} - nreg AS INT) AS n_zero,
-       (sp + ({m} - nreg) * {1 << k})::BIGINT AS s_scaled,
+       (coalesce(sp, 0) + ({m} - nreg) * {1 << k})::BIGINT AS s_scaled,
        ex.min_val, ex.max_val
 FROM (
   SELECT count(*) AS nreg,
@@ -3463,19 +3463,28 @@ SELECT l_returnflag, percent, v AS value,
 FROM cum, p
 WHERE cum >= (percent * n + 99) // 100 AND cum - c < (percent * n + 99) // 100
 """
-    # mirror of profiling.approx_quantiles_hist: lo/w inlined as
-    # shortest-repr literals (both engines parse the identical double),
+    # mirror of profiling.approx_quantiles_hist: lo/w shipped as
+    # CAST('<repr>' AS DOUBLE) — string->double parse is correctly
+    # rounded in both engines for ANY constant, where a bare decimal
+    # literal would take DuckDB's one-ulp-lossy DECIMAL->DOUBLE path
+    # (ADVICE r12; the previous literals happened to be exact).
     # floor((x-lo)/w) and lo + bucket*w are order-matched IEEE literal
-    # arithmetic — raw doubles compare byte-equal, no rounding step
+    # arithmetic — raw doubles compare byte-equal, no rounding step.
+    # NOT isnan mirrors the operator's non-finite drop (no-op on this
+    # data; keeps the mirror faithful on any input).
     _hq_w = (_HIST_Q_HI - _HIST_Q_LO) / float(_HIST_Q_BUCKETS)
+    _hq_lo_sql = f"CAST('{_HIST_Q_LO!r}' AS DOUBLE)"
+    _hq_w_sql = f"CAST('{_hq_w!r}' AS DOUBLE)"
     o["approx_quantiles_hist"] = f"""
 WITH b AS (
   SELECT l_returnflag,
          least({_HIST_Q_BUCKETS - 1},
                greatest(CAST(0 AS BIGINT),
-                        CAST(floor((l_extendedprice - {_HIST_Q_LO!r}) / {_hq_w!r})
+                        CAST(floor((l_extendedprice - {_hq_lo_sql}) / {_hq_w_sql})
                              AS BIGINT))) AS bucket
-  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
 ),
 c AS (SELECT l_returnflag, bucket, count(*) AS c FROM b GROUP BY 1, 2),
 cum AS (
@@ -3486,8 +3495,8 @@ cum AS (
 ),
 p(percent) AS (VALUES (25), (50), (75), (90))
 SELECT l_returnflag, percent, CAST(bucket AS INT) AS bucket,
-       {_HIST_Q_LO!r} + CAST(bucket AS DOUBLE) * {_hq_w!r} AS lo_edge,
-       {_HIST_Q_LO!r} + CAST(bucket + 1 AS DOUBLE) * {_hq_w!r} AS hi_edge,
+       {_hq_lo_sql} + CAST(bucket AS DOUBLE) * {_hq_w_sql} AS lo_edge,
+       {_hq_lo_sql} + CAST(bucket + 1 AS DOUBLE) * {_hq_w_sql} AS hi_edge,
        CAST((percent * n + 99) // 100 AS BIGINT) AS rank,
        CAST(n AS BIGINT) AS n
 FROM cum, p

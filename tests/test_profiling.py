@@ -219,3 +219,38 @@ def test_exact_quantiles_rejects_out_of_range_percents(spark):
     for bad in (0, -5, 101):
         with pytest.raises(ValueError, match="percents"):
             profiling.exact_quantiles(df, "x", (50, bad))
+
+
+def test_percent_validation_coercion_and_errors(spark):
+    """ADVICE r12: numeric strings coerce ('50' == 50 after float()),
+    non-numerics raise the intended ValueError (not a bare TypeError),
+    fractional strings are rejected like fractional floats."""
+    import pytest
+
+    from views_transformation_library_spark.operators import profiling
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    got = {r["percent"] for r in profiling.exact_quantiles(df, "x", ("50",)).collect()}
+    assert got == {50}
+    for fn in (
+        lambda p: profiling.exact_quantiles(df, "x", (p,)),
+        lambda p: profiling.approx_quantiles_hist(df, "x", 0.0, 4.0, 4, (p,)),
+    ):
+        for bad in ("abc", None, "50.5", 50.5, 0, 101):
+            with pytest.raises(ValueError, match="percents"):
+                fn(bad)
+
+
+def test_approx_quantiles_hist_drops_nan(spark):
+    """ADVICE r12: NaN is treated like NULL (dropped), not floored into
+    bucket 0 — keeps Spark and the DuckDB mirror agreeing on non-finite
+    inputs."""
+    from views_transformation_library_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (None,)], "x double"
+    )
+    rows = profiling.approx_quantiles_hist(df, "x", 0.0, 4.0, 4, (100,)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2  # NaN and NULL both excluded from N
+    assert rows[0]["bucket"] == 2  # value 2.0 -> bucket 2, not skewed by NaN

@@ -32,6 +32,27 @@ from pyspark.sql import DataFrame, functions as F
 _SUM_DECIMAL = "decimal(38,6)"
 
 
+def _check_percents(percents, fn_name: str) -> list[int]:
+    """Validate a percents list to integers in (0, 100]. Accepts any
+    numeric (or numeric-string) representation of an integer — int(p)
+    alone would truncate 50.5 silently and raise a bare TypeError on
+    non-numerics (ADVICE r12)."""
+    out = []
+    for p in percents:
+        try:
+            fp = float(p)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{fn_name}: percents must be integers in (0, 100], got {p!r}"
+            ) from None
+        if fp != int(fp) or not 0 < int(fp) <= 100:
+            raise ValueError(
+                f"{fn_name}: percents must be integers in (0, 100], got {p!r}"
+            )
+        out.append(int(fp))
+    return out
+
+
 def _stack(df_1row: DataFrame, cols: list[str], fields: list[str]) -> DataFrame:
     """Melt a 1-row aggregate with per-column field aliases `<field>_<i>`
     into one row per profiled column."""
@@ -301,11 +322,7 @@ def approx_quantiles_hist(
     """
     from pyspark.sql import Window
 
-    for p in percents:
-        if int(p) != p or not 0 < int(p) <= 100:
-            raise ValueError(
-                f"approx_quantiles_hist: percents must be integers in (0, 100], got {p}"
-            )
+    percents = _check_percents(percents, "approx_quantiles_hist")
     lo, hi = float(lo), float(hi)
     if not lo < hi:
         raise ValueError(f"approx_quantiles_hist: need lo < hi, got [{lo}, {hi})")
@@ -320,8 +337,14 @@ def approx_quantiles_hist(
             F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)),
         ),
     )
+    # NaN floors to bucket 0 in Spark but errors DuckDB's BIGINT cast —
+    # treat non-finite like NULL (dropped) so both engines agree on any
+    # input (ADVICE r12). isnan(NULL) is false in Spark, so the NULL
+    # filter still does that job.
     counts = (
-        df.filter(F.col(col).isNotNull())
+        df.filter(
+            F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+        )
         .select(*group_cols, bucket.alias("__b"))
         .groupBy(*group_cols, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -386,13 +409,7 @@ def exact_quantiles(
     """
     from pyspark.sql import Window
 
-    for p in percents:
-        # int(p) would silently truncate 50.5 -> 50 and return a different
-        # quantile than requested — reject non-integers loudly (ADVICE r11)
-        if int(p) != p or not 0 < int(p) <= 100:
-            raise ValueError(
-                f"exact_quantiles: percents must be integers in (0, 100], got {p}"
-            )
+    percents = _check_percents(percents, "exact_quantiles")
     group_cols = list(group_cols or [])
     counts = (
         df.filter(F.col(col).isNotNull())
