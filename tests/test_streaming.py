@@ -972,3 +972,115 @@ def test_hll_stream_state_is_replay_safe(spark, tmp_path):
         second["n_zero"],
         second["s_scaled"],
     )
+
+
+def test_hist_quantiles_stream_batch_equivalence(spark, tmp_path):
+    """Streamed histogram-quantile state must equal the batch operator's
+    integer selection on the union of all micro-batches — exact: the
+    bucket assignment is the same JVM expression, the merge is integer
+    addition, the selection the same all-integer ceil rank."""
+    import random
+
+    from views_transformation_library_spark.operators import profiling
+    from views_transformation_library_spark.streaming.sketches import (
+        hist_quantiles_stream,
+    )
+
+    rng = random.Random(13)
+    src = str(tmp_path / "hq_src")
+    os.makedirs(src)
+    frames = []
+    for b in range(3):
+        pdf = pd.DataFrame(
+            {
+                "g": [rng.choice(["x", "y"]) for _ in range(400)],
+                "v": [
+                    # includes out-of-range values (clamped to edge buckets)
+                    # and a sprinkling of None (dropped on both sides)
+                    rng.choice([None, -5.0] + [rng.uniform(0, 120)] * 8)
+                    for _ in range(400)
+                ],
+            }
+        )
+        pdf.to_parquet(f"{src}/b{b}.parquet", index=False)
+        frames.append(pdf)
+
+    LO, HI, NB, PCTS = 0.0, 100.0, 64, (25, 50, 75, 100)
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = hist_quantiles_stream(stream, "v", "g", LO, HI, NB, PCTS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hq_out")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hist = spark.sql("SELECT * FROM hq_out").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in hist:  # memory sink appends in batch order; last write wins
+        final[(r["g"], r["percent"])] = (r["bucket"], r["rank"], r["n"])
+
+    batch_df = spark.createDataFrame(pd.concat(frames), "g string, v double")
+    expected = {
+        (r["g"], r["percent"]): (r["bucket"], r["rank"], r["n"])
+        for r in profiling.approx_quantiles_hist(
+            batch_df, "v", LO, HI, NB, PCTS, group_cols=["g"]
+        ).collect()
+    }
+    assert final == expected
+    assert len(final) == 8  # 2 groups x 4 percents
+
+
+def test_hist_quantiles_stream_accumulates_across_batches(spark, tmp_path):
+    """The second micro-batch must shift the quantile selection (state is
+    additive across batches, not per-batch)."""
+    from views_transformation_library_spark.streaming.sketches import (
+        hist_quantiles_stream,
+    )
+
+    src = str(tmp_path / "hq_acc")
+    os.makedirs(src)
+    # batch 0: 10 small values -> p100 bucket 1; batch 1: 10 large -> bucket 8
+    pd.DataFrame({"g": ["x"] * 10, "v": [1.5] * 10}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = hist_quantiles_stream(stream, "v", "g", 0.0, 10.0, 10, (50, 100))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hq_acc_out")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["g"], r["percent"]): (r["bucket"], r["n"])
+            for r in spark.sql("SELECT * FROM hq_acc_out").collect()
+        }
+        pd.DataFrame({"g": ["x"] * 10, "v": [8.5] * 10}).to_parquet(
+            f"{src}/b1.parquet", index=False
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hq_acc_out").collect()
+    finally:
+        q.stop()
+    second = {}
+    for r in rows:
+        second[(r["g"], r["percent"])] = (r["bucket"], r["n"])
+    assert first[("x", 50)] == (1, 10) and first[("x", 100)] == (1, 10)
+    # after batch 1: N=20, p50 rank 10 -> still bucket 1, p100 rank 20 -> bucket 8
+    assert second[("x", 50)] == (1, 20) and second[("x", 100)] == (8, 20)

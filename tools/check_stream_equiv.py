@@ -386,6 +386,42 @@ def check_hll(spark, ev_dir: str) -> dict:
     return _verdict(streamed, batch)
 
 
+def check_hist_quantiles(spark, ev_dir: str) -> dict:
+    """Streaming histogram quantiles of value per event_type: the final
+    update per (group, percent) must equal approx_quantiles_hist's
+    integer selection on the union of all micro-batches — same JVM
+    bucket expression, additive integer state, same ceil-rank pick."""
+    from views_transformation_library_spark.operators import profiling
+    from views_transformation_library_spark.streaming.sketches import (
+        hist_quantiles_stream,
+    )
+
+    LO, HI, NB, PCTS = 0.0, 1000.0, 256, (25, 50, 75, 90)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    out = hist_quantiles_stream(
+        stream.filter(F.col("user_id") != FLUSH_USER),
+        "value", "event_type", LO, HI, NB, PCTS,
+    )
+    final: dict = {}
+    for r in _run_stream(spark, out, "update"):  # memory sink, batch order
+        final[(r["event_type"], r["percent"])] = (r["bucket"], r["rank"], r["n"])
+    streamed = {(g, p, b, rk, n) for (g, p), (b, rk, n) in final.items()}
+    batch = {
+        (r["event_type"], r["percent"], r["bucket"], r["rank"], r["n"])
+        for r in profiling.approx_quantiles_hist(
+            _read_batch(spark, ev_dir, EV_SCHEMA).filter(
+                F.col("user_id") != FLUSH_USER
+            ),
+            "value", LO, HI, NB, PCTS, group_cols=["event_type"],
+        ).collect()
+    }
+    return _verdict(streamed, batch)
+
+
 EV_SCHEMA = "ts timestamp, user_id long, event_type string, value double"
 DOC_SCHEMA = "ts timestamp, doc_id long, text string"
 
@@ -451,6 +487,7 @@ def main() -> None:
             "funnel_stream": lambda: check_funnel(spark, ev_dir),
             "panel_from_events_stream": lambda: check_panel(spark, ev_dir),
             "hll_distinct_stream": lambda: check_hll(spark, ev_dir),
+            "hist_quantiles_stream": lambda: check_hist_quantiles(spark, ev_dir),
         }
         results = {}
         for name, fn in checks.items():
