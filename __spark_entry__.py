@@ -313,6 +313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_logprob"] = lambda s, d: text.unigram_logprob(_docs(s, d)).select(
         "doc_id", "n_tokens", "sum_logprob"
     )
+    # learned linear quality classifier (inference; fasttext-style mean of
+    # token weights + bias) — fixed literal lexicon shared with the oracle
+    q["quality_classifier"] = lambda s, d: text.quality_classifier_score(
+        _docs(s, d), dict(_QCLS_WEIGHTS), bias=_QCLS_BIAS,
+        threshold=_QCLS_THRESHOLD,
+    ).select(
+        "doc_id", "n_tokens", "n_matched",
+        "quality_score", F.col("keep").cast("int").alias("keep"),
+    )
     q["bigram_logprob"] = lambda s, d: text.bigram_logprob(_docs(s, d)).select(
         "doc_id", "n_bigrams", "sum_logprob"
     )
@@ -1663,6 +1672,20 @@ _PROFILE_SKETCH_P = 8
 # is exactly representable, though strictness never depends on that
 _HIST_Q_LO, _HIST_Q_HI, _HIST_Q_BUCKETS = 0.0, 110000.0, 2048
 _KMV_K = 128
+# quality_classifier gate: a fixed literal lexicon over the synthetic
+# corpus vocabulary (31 types) with mixed-sign weights — both engines
+# consume the SAME (token, weight) literals (doubles shipped as
+# CAST('<repr>' AS DOUBLE) in the oracle), so the only float surfaces
+# are the token-sorted fold, one division, and the final round (the
+# divide_column shortest-repr mirror)
+_QCLS_WEIGHTS = (
+    ("a", 0.1), ("big", 0.75), ("data", 0.8), ("dup", -3.0),
+    ("fast", 1.25), ("filter", 0.35), ("hash", -0.25), ("join", 0.4),
+    ("query", 0.6), ("scan", -0.4), ("slow", -1.5), ("small", 0.5),
+    ("sort", -0.3), ("spark", 1.0), ("stream", 0.7), ("the", 0.2),
+)
+_QCLS_BIAS = -0.35
+_QCLS_THRESHOLD = 0.05
 _CM_DEPTH, _CM_WIDTH = 4, 1024
 _CM_ITEMS = ["the", "a", "of", "and", "data", "model", "x", "q", "zzznope", "test"]
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 17, 5
@@ -3546,6 +3569,47 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.s AS sum_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+    # linear quality classifier: same tf + ordered-fold recipe; weights
+    # are the _QCLS_WEIGHTS literals (CAST('<repr>' AS DOUBLE) — string
+    # parse is correctly rounded); the score round mirrors Spark's
+    # shortest-repr HALF_UP via the divide_column DECIMAL hop (a
+    # quotient can land on a ...5 repr boundary)
+    _qcls_vals = ", ".join(
+        f"('{t}', CAST('{w!r}' AS DOUBLE))" for t, w in _QCLS_WEIGHTS
+    )
+    _qcls_bias_sql = f"CAST('{_QCLS_BIAS!r}' AS DOUBLE)"
+    _qcls_thr_sql = f"CAST('{_QCLS_THRESHOLD!r}' AS DOUBLE)"
+    o["quality_classifier"] = f"""
+WITH w(tok, wt) AS (VALUES {_qcls_vals}),
+tf AS (
+  SELECT doc_id, t.w AS tok, count(*)::BIGINT AS tf
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, w.wt,
+         CAST(tf.tf AS DOUBLE) * coalesce(w.wt, CAST('0.0' AS DOUBLE)) AS contrib
+  FROM tf LEFT JOIN w ON w.tok = tf.tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN wt IS NOT NULL THEN tf ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         list_sum(list(contrib ORDER BY tok)) AS s
+  FROM sc GROUP BY doc_id
+),
+qs AS (
+  SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         coalesce(a.n_matched, 0) AS n_matched,
+         round(CAST(CAST({_qcls_bias_sql} + a.s / CAST(a.n_tokens AS DOUBLE)
+                         AS VARCHAR) AS DECIMAL(38,17)), 6)::DOUBLE + 0.0
+           AS quality_score
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_matched, quality_score,
+       CAST(quality_score >= {_qcls_thr_sql} AS INT) AS keep
+FROM qs
 """
     # bigram LM: same recipe with a (prev, tok) key; context totals join
     # on prev; V = tokens participating in >= 1 bigram (both sides union)

@@ -116,6 +116,8 @@ HEADLINE = [
     "decontaminate",
     "duplicate_spans",
     "dsir_weights",
+    # r13: learned linear quality classifier (inference)
+    "quality_classifier",
 ]
 
 

@@ -2358,3 +2358,62 @@ def test_distributed_trainer_run_to_run_deterministic(vectors):
         vectors.repartition(3), n_centroids=4, n_iters=2
     )
     assert a == b  # integer sums commute under any partitioning
+
+
+def test_quality_classifier_score_semantics(spark):
+    """Hand-computed linear scores: mean of token weights (OOV weight 0)
+    plus bias, rounded 6dp; keep thresholds the rounded score; empty
+    docs score NULL."""
+    from views_transformation_library_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast fast slow x"),     # (2*1.25 - 1.5 + 0)/4 = 0.25
+            (2, "fast fast fast the"),   # (3*1.25 + 0.2)/4 = 0.9875
+            (3, ""),                     # no tokens
+            (4, "zzz yyy"),              # all OOV -> mean 0 -> bias only
+        ],
+        "doc_id long, text string",
+    )
+    w = {"fast": 1.25, "slow": -1.5, "the": 0.2}
+    out = {
+        r["doc_id"]: r
+        for r in text.quality_classifier_score(
+            df, w, bias=-0.35, threshold=0.05
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 4 and out[1]["n_matched"] == 3
+    assert out[1]["quality_score"] == -0.1 and out[1]["keep"] is False
+    assert out[2]["quality_score"] == 0.6375 and out[2]["keep"] is True
+    assert out[3]["n_tokens"] == 0 and out[3]["quality_score"] is None
+    assert out[3]["keep"] is None
+    assert out[4]["n_matched"] == 0 and out[4]["quality_score"] == -0.35
+
+
+def test_quality_classifier_score_validation(spark):
+    import pytest
+
+    from views_transformation_library_spark.operators import text
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        text.quality_classifier_score(df, {})
+    for bad in ("Fast", "has space", "punct!", ""):
+        with pytest.raises(ValueError, match="lowercase"):
+            text.quality_classifier_score(df, {bad: 1.0})
+
+
+def test_quality_classifier_plan_is_broadcast_and_jvm_side(spark):
+    """The weights join must broadcast (never shuffle the tf aggregate
+    against a tiny lexicon) and the pipeline must stay JVM-side."""
+    from views_transformation_library_spark import plans
+    from views_transformation_library_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "fast slow data query") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = text.quality_classifier_score(df, {"fast": 1.0, "slow": -1.0})
+    p = plans.physical_plan(out)
+    assert plans.count_broadcasts(out) >= 1
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p

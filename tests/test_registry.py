@@ -268,6 +268,7 @@ def _registry_specs(spark):
         "c4_filter": (docs, [], {"min_words_per_line": 1}),
         "unigram_logprob": (docs, [], {}),
         "bigram_logprob": (docs, [], {}),
+        "quality_classifier_score": (docs, [{"a": 1.0, "b": -1.0}], {}),
         "vocab_top_terms": (docs, [10], {}),
         "corpus_mix": (docs, [], {"strata_cols": ("source",)}),
         "pack_windows": (docs, [16], {}),

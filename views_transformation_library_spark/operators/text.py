@@ -9,6 +9,8 @@ counting, and md5 document fingerprinting for exact dedup.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..panel import materialize
@@ -979,6 +981,116 @@ def unigram_logprob(
             F.round(F.col("__sum") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6)
             + F.lit(0.0),
         )
+        .drop("__sum")
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "quality_score",
+) -> DataFrame:
+    """Linear (fasttext-style) quality-classifier INFERENCE: score each
+    document with a pre-trained bag-of-words linear model — the learned
+    third leg of the text-quality battery next to the rule-based
+    gopher/C4 filters and the corpus-LM logprob scores (real LLM
+    curation stacks run exactly this trio; cf. Joulin et al. 2016
+    "Bag of Tricks for Efficient Text Classification" and the
+    CCNet/LLaMA quality pipelines). Training stays out of scope by
+    design (no sklearn in the image); ``weights`` is the trained
+    model: token -> weight, plus a scalar ``bias``.
+
+    score = round(bias + (Σ_tokens tf·w(token)) / n_tokens, 6) — the
+    fasttext mean-of-token-weights with w = 0 for out-of-vocabulary
+    tokens; ``keep`` = score >= threshold evaluated on the ROUNDED
+    score (a comparison of engine-identical doubles, no boundary
+    surface). Documents with no tokens score NULL (keep NULL).
+
+    Float-parity recipe (CLAUDE.md): contributions tf·w fold in a
+    token-sorted sequential list fold (the unigram_logprob shape —
+    mirrors DuckDB's ordered list_sum), the one division and the
+    bias-add happen in a fixed order, and the oracle mirrors the final
+    round through the shortest-repr DECIMAL hop (the divide_column
+    recipe) because a quotient can land on a ...5 repr boundary.
+
+    Scale shape: ONE corpus scan into the (doc, token, tf) aggregate;
+    the weights table is a literal small frame (broadcast join — a
+    real vocabulary is ~10^5-10^6 rows, still broadcastable); the
+    per-doc fold reuses the tf aggregate's partitioning; an id-only
+    column-pruned second scan joins scores back onto the input rows.
+    Everything except the fold is whole-stage-codegen'd; the fold is
+    an interpreted HOF over ≤ |distinct tokens per doc| elements —
+    the measured-cheap regime (CLAUDE.md: Arrow only wins past ~10²
+    evals/row).
+
+    Output: the input plus (n_tokens long, n_matched long, ``out``
+    double, keep boolean).
+    """
+    if not weights:
+        raise ValueError("quality_classifier_score: weights must be non-empty")
+    witems = []
+    for tok, wv in sorted(weights.items()):
+        if not isinstance(tok, str) or not re.fullmatch(r"[a-z0-9]+", tok):
+            raise ValueError(
+                "quality_classifier_score: weight keys must be lowercase "
+                f"[a-z0-9]+ tokens (the tokenizer's alphabet), got {tok!r}"
+            )
+        witems.append((tok, float(wv)))
+    bias, threshold = float(bias), float(threshold)
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(witems, "__tok string, __w double")
+    tf = (
+        df.select(
+            F.col(id_col).alias("__uid"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("__tok"),
+        )
+        .groupBy("__uid", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    scored = tf.join(F.broadcast(wdf), "__tok", "left").select(
+        "__uid",
+        "__tok",
+        "__tf",
+        "__w",
+        (F.col("__tf").cast("double") * F.coalesce("__w", F.lit(0.0))).alias(
+            "__contrib"
+        ),
+    )
+    agg = scored.groupBy("__uid").agg(
+        F.sum("__tf").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__w").isNotNull(), F.col("__tf")).otherwise(F.lit(0))
+        ).alias("n_matched"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tok", "__contrib"))),
+                lambda x: x["__contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    score = F.round(
+        F.lit(bias)
+        + F.col("__sum") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+        6,
+    ) + F.lit(0.0)
+    return (
+        df.join(agg, F.col(id_col) == F.col("__uid"), "left")
+        .drop("__uid")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("long")))
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0).cast("long")))
+        .withColumn(out, score)
+        .withColumn("keep", F.col(out) >= F.lit(threshold))
         .drop("__sum")
     )
 

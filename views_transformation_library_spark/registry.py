@@ -95,6 +95,7 @@ REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "pagerank": dedup.pagerank,
     "unigram_logprob": text.unigram_logprob,
     "bigram_logprob": text.bigram_logprob,
+    "quality_classifier_score": text.quality_classifier_score,
     "quantize_embeddings": similarity.quantize_embeddings,
     "time_bucket_rollup": relational.time_bucket_rollup,
     "standardize": temporal.standardize,
