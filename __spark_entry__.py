@@ -2367,8 +2367,8 @@ FROM (
   )
 ) agg, (
   SELECT count(*)::BIGINT AS n, (count(*) - count({c}))::BIGINT AS n_null,
-         round(min({c})::DOUBLE, 6) + 0.0 AS min_val,
-         round(max({c})::DOUBLE, 6) + 0.0 AS max_val
+         round(TRY_CAST(min({c}) AS DOUBLE), 6) + 0.0 AS min_val,
+         round(TRY_CAST(max({c}) AS DOUBLE), 6) + 0.0 AS max_val
   FROM lineitem
 ) ex""")
     return " UNION ALL ".join(parts)

@@ -254,3 +254,19 @@ def test_approx_quantiles_hist_drops_nan(spark):
     assert len(rows) == 1
     assert rows[0]["n"] == 2  # NaN and NULL both excluded from N
     assert rows[0]["bucket"] == 2  # value 2.0 -> bucket 2, not skewed by NaN
+
+
+def test_profile_sketch_non_numeric_string_column(spark):
+    """r13: string columns are sanctioned input (hashing is string-cast);
+    non-numeric values must yield NULL min/max via try_cast instead of an
+    ANSI CAST_INVALID_INPUT throw (hit on l_returnflag in the wide sweep)."""
+    from views_transformation_library_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("A", 1), ("B", 2), ("A", 3), (None, 4)], "flag string, k long"
+    )
+    rows = {r["column"]: r for r in profiling.profile_sketch(df, ["flag", "k"], p=6).collect()}
+    assert rows["flag"]["n"] == 4 and rows["flag"]["n_null"] == 1
+    assert rows["flag"]["min_val"] is None and rows["flag"]["max_val"] is None
+    assert rows["flag"]["approx_distinct"] is not None
+    assert rows["k"]["min_val"] == 1.0 and rows["k"]["max_val"] == 4.0

@@ -30,14 +30,20 @@ from pyspark.sql import functions as F
 from views_transformation_library_spark.operators import profiling
 from views_transformation_library_spark.session import get_spark
 
-# 16 lineitem columns, cheap-to-hash types first (ints/decimals/strings/
-# dates) — the 2/4-column prefixes match the committed gate subjects
+# the synthetic lineitem has 11 columns; the 16-wide point adds 5
+# derived integer columns (modular projections — same hash cost class
+# as the real keys). The 2-column prefix matches the committed gate
+# subjects.
 COLS16 = [
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-    "l_returnflag", "l_linestatus", "l_shipdate", "l_commitdate",
-    "l_receiptdate", "l_shipinstruct", "l_shipmode", "l_comment",
+    "l_returnflag", "l_linestatus",
+    "d_mod97", "d_mod101", "d_mod89", "d_mod83", "d_mod79", "d_mod73",
 ]
+DERIVED = {
+    "d_mod97": 97, "d_mod101": 101, "d_mod89": 89, "d_mod83": 83,
+    "d_mod79": 79, "d_mod73": 73,
+}
 WIDTHS = [2, 4, 8, 16]
 P = 12
 
@@ -65,6 +71,8 @@ def main() -> None:
 
     spark = get_spark("exp_profile_sketch_cols")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for name, mod in DERIVED.items():
+        li = li.withColumn(name, F.col("l_orderkey") % mod)
     n_rows = li.count()  # warm-up + the fixed-rows denominator
 
     points: dict[int, dict] = {}

@@ -209,14 +209,17 @@ def profile_sketch(
     bits_w = 60 - p
     kscale = bits_w + 1
 
-    # exact stats: one aggregate row, stacked to one row per column
+    # exact stats: one aggregate row, stacked to one row per column.
+    # try_cast: a non-numeric string column (docstring-sanctioned input)
+    # must yield NULL min/max, not an ANSI CAST_INVALID_INPUT throw
+    # (found by the r13 wide-table sweep on l_returnflag).
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"nn_{i}"),
-            F.min(col).cast("double").alias(f"mn_{i}"),
-            F.max(col).cast("double").alias(f"mx_{i}"),
+            F.min(col).try_cast("double").alias(f"mn_{i}"),
+            F.max(col).try_cast("double").alias(f"mx_{i}"),
         ]
     one = df.agg(*aggs)
     proj = []
