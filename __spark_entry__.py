@@ -66,6 +66,25 @@ def _r6(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5, 'input skew: one
+    huge unsplittable file'): the driver's test parquet is SINGLE-ROW-GROUP,
+    so its scan produces rows in ONE task no matter how many cores — every
+    per-row-heavy stage above it serializes on one core. A round-robin
+    repartition to the session's core count spreads the rows for the cost
+    of one tiny exchange (these files are < 11 MB). Applied ONLY where the
+    per-row work measurably dominates (r13 ABBA, min-of-3 per arm:
+    ngram_repetition 0.44x, profile_lineitem 0.62x, cm_estimate 0.78x);
+    map-side-cheap aggregates LOSE under it (exact_quantiles 1.7x, hll/kmv
+    1.2x, and the docs family blanket-tested 1.32x worse) and keep the
+    plain scan. Width = defaultParallelism, so it adapts to the bench's
+    core count; at cluster scale multi-row-group files already split and
+    this helper would not be reached (it exists because the driver data is
+    read-only — the real fix, writing ~64 row groups per file, is applied
+    in tools/gen_sf.py for every corpus this repo generates itself)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.panel_from_events(spark, sf_dir)
 
@@ -380,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=_KMV_K, group_cols=["l_returnflag"],
     )
     q["cm_estimate"] = lambda s, d: sketches.cm_estimate(
-        _docs(s, d).select(
+        _spread(_docs(s, d)).select(  # token explode + d x w hashing: 0.78x spread
             F.explode(
                 F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
             ).alias("t")
@@ -545,7 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher n-gram repetition signals (local-only row; gopher_filter
     # holds the family's driver slot). Output = doc_id + the 9 fractions.
     q["ngram_repetition"] = lambda s, d: text.ngram_repetition_stats(
-        _docs(s, d)
+        _spread(_docs(s, d))  # per-doc dict counting dominates: 0.44x spread
     ).select(
         "doc_id",
         *[f"top_{n}gram_char_frac" for n in (2, 3, 4)],
@@ -697,9 +716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.md5("payload").alias("frame_md5"),
     )
 
-    # exact column profile over lineitem money columns (DECIMAL-exact sums)
+    # exact column profile over lineitem money columns (DECIMAL-exact sums);
+    # _spread: the countDistinct Expand (4x rows) serializes on the single-
+    # row-group scan task — 0.62x with the rows spread first (r13)
     q["profile_lineitem"] = lambda s, d: profiling.profile(
-        s.read.parquet(f"{d}/lineitem.parquet"),
+        _spread(s.read.parquet(f"{d}/lineitem.parquet")),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
     # sketch-tier profile, split since r12 (VERDICT r11 #4): the KLL

@@ -384,11 +384,15 @@ def minhash_lsh_pairs(
             f"n_hashes ({n_hashes}) must be a positive multiple of bands ({bands})"
         )
     r = n_hashes // bands
-    # shingles feed signature building plus three verification branches;
-    # signatures feed both sides of the band-bucket self-join — materialize
-    # each once
+    # shingles feed signature building plus three verification branches —
+    # materialize once. The signature table, by contrast, has exactly ONE
+    # consumer since pair generation moved from a bucket self-join to
+    # postings-list expansion (r4): its old materialize was a vestigial
+    # blocking checkpoint job + block write/read on every pipeline build
+    # (r13, guide §5 — persist only what is reused), so the aggregation now
+    # inlines into the band job.
     sh = materialize(_shingles(df, id_col, text_col, n))
-    sig = materialize(minhash_signatures(sh, n_hashes, seed))
+    sig = minhash_signatures(sh, n_hashes, seed)
     # band signatures straight off the wide row: no second shuffle
     band_sig = sig.select(
         "doc",
@@ -506,7 +510,13 @@ def connected_components(
     und = materialize(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).distinct()
     )
+    # NOTE (r13): fusing this count+collect pair into one LIMIT cap+1
+    # collect was tried and REVERTED — CollectLimit executes with the
+    # incremental scale-up strategy (1, then 4, then 16 partitions...),
+    # several sequential jobs that measured 1.2-2x SLOWER than the two
+    # plain jobs here (pagerank read 2.09x under the same change).
     if und.count() <= driver_cap:
+        edge_rows = und.collect()
         id_type = dict(pairs.dtypes)[a_col]
         parent: dict = {}
 
@@ -518,7 +528,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in und.collect():
+        for row in edge_rows:
             a, b = row["src"], row["dst"]
             for v in (a, b):
                 if v not in parent:
@@ -964,7 +974,9 @@ def pagerank(
     if e.count() <= driver_cap:
         # Arrow transfer + vectorized node indexing: .collect()'s Row
         # objects cost ~5 s for 600k edges where toPandas is ~0.5 s off
-        # the checkpoint
+        # the checkpoint. (r13: a LIMIT cap+1 fusion of gate+pull was
+        # tried and reverted — CollectLimit's incremental scale-up runs
+        # several sequential jobs and measured 2.09x slower here.)
         pdf = e.toPandas()
         nodes_arr, q = pagerank_longs(
             pdf["src"].to_numpy(), pdf["dst"].to_numpy(), damping, max_iters, tol
