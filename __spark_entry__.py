@@ -420,12 +420,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set overlap between the even/odd doc splits — corpus similarity
     # without a corpus-scale join (the token vocab is too small a subject
     # here, ~31 types; shingles give ~10k/27k per split at sf0.01/sf0.1)
+    # distinct=False: HLL register max-merge is multiplicity-insensitive,
+    # so the per-doc dedup shuffle was provably dead weight (r13 opt —
+    # registers, and therefore the output row, are byte-identical)
     q["hll_overlap"] = lambda s, d: sketches.hll_overlap(
         dedup._shingles(
-            _docs(s, d).filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3
+            _docs(s, d).filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3,
+            distinct=False,
         ).select("shingle"),
         dedup._shingles(
-            _docs(s, d).filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 3
+            _docs(s, d).filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 3,
+            distinct=False,
         ).select("shingle"),
         "shingle",
         p=_HLL_OVERLAP_P,
@@ -437,11 +442,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # exact distributed quantiles (strict tier of the profile family):
     # integer rank selection over a value-count aggregate
+    # pre_aggregate=False: l_extendedprice is near-unique (594k distinct of
+    # 600k rows at sf0.1 — dedup factor 1.01), so the value-count aggregate
+    # reduced nothing and cost two hash passes over every row; the raw-row
+    # window path is 0.72x with byte-identical output (r13 opt). Discrete
+    # columns keep the default aggregate (O(distinct) shuffle at scale).
     q["exact_quantiles"] = lambda s, d: profiling.exact_quantiles(
         s.read.parquet(f"{d}/lineitem.parquet"),
         "l_extendedprice",
         percents=(25, 50, 75, 90),
         group_cols=["l_returnflag"],
+        pre_aggregate=False,
     )
     # strict mergeable quantile sketch (r12): equi-width histogram +
     # integer rank selection — the bounded-error O(buckets)-shuffle tier

@@ -210,6 +210,31 @@ def test_exact_quantiles_grouped_with_ties_and_nulls(spark):
     # exactly one row per (group, percent) — the crossing filter is unique
     assert len(got) == 4
 
+def test_exact_quantiles_raw_row_path_matches_aggregate_path(spark):
+    """pre_aggregate=False (the near-unique-column plan, r13 opt) must
+    return the IDENTICAL row set as the default aggregate path — ties,
+    nulls, groups, and duplicate-collapse included."""
+    from views_transformation_library_spark.operators import profiling
+
+    rows = (
+        [("a", 1.0)] * 10 + [("a", 2.0)] * 10 + [("a", None)] * 5
+        + [("b", 7.0)] * 3 + [("b", 9.0)]
+        + [("c", float(i)) for i in range(50)]  # near-unique group
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    kw = dict(percents=(25, 50, 75, 100), group_cols=["g"])
+    agg = sorted(map(tuple, profiling.exact_quantiles(df, "x", **kw).collect()))
+    raw = sorted(
+        map(
+            tuple,
+            profiling.exact_quantiles(df, "x", pre_aggregate=False, **kw).collect(),
+        )
+    )
+    assert agg == raw
+    # one row per (group, percent) — the distinct collapsed the duplicates
+    assert len(raw) == 12
+
+
 def test_exact_quantiles_rejects_out_of_range_percents(spark):
     import pytest
 

@@ -301,6 +301,19 @@ def test_hll_overlap_estimates(spark):
     assert row2["est_intersection"] < (3000 + 3000 + 6000) * se
 
 
+def test_hll_overlap_multiplicity_insensitive(spark):
+    """The distinct=False shingle feed (r13 opt) rests on this property:
+    duplicated values must leave every register — and therefore the whole
+    hll_overlap row — byte-identical (max-merge of identical hashes)."""
+    a = spark.createDataFrame([(i,) for i in range(700)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(350, 1100)], "v long")
+    a_dup = a.union(a).union(a.limit(100))
+    b_dup = b.union(b.limit(317))
+    base = sketches.hll_overlap(a, b, "v", p=8).collect()[0]
+    dup = sketches.hll_overlap(a_dup, b_dup, "v", p=8).collect()[0]
+    assert tuple(base) == tuple(dup)
+
+
 def test_hll_overlap_union_is_register_max(spark):
     # union sketch of (A, B) must equal the sketch of A ∪ B exactly
     a = spark.createDataFrame([(i,) for i in range(500)], "v long")

@@ -116,6 +116,28 @@ def country_edges(spark):
     return edges_df(spark, [(237, 59), (237, 235), (57, 120), (242, 57)])
 
 
+def test_neighbour_ring1_closed_form_matches_bfs_definition(spark):
+    """The ring-1 closed form (r13 opt: distinct non-self edges, no hop
+    loop) must equal the BFS definition ({self} ∪ 1-hop) \\ {self} on a
+    table with duplicates, an asymmetric edge, and a self-loop."""
+    rows = [
+        (229, 1, 2), (229, 1, 2),          # duplicate edge
+        (229, 2, 1),
+        (229, 9, 10),                      # asymmetric: no 10 -> 9
+        (229, 3, 3),                       # self-loop
+        (230, 1, 5),                       # second month
+    ]
+    edges = spark.createDataFrame(rows, "month_id long, a_id long, b_id long")
+    got = {
+        (r["month_id"], r["c"], r["n_id"])
+        for r in spatial_graph.neighbour_ring(edges, 1, 1).collect()
+    }
+    # BFS definition: c ranges over distinct a_id; one hop adds (c, b) per
+    # edge (c, b); filtering n_id != c drops self rows and the self-loop
+    expected = {(m, a, b) for (m, a, b) in rows if a != b}
+    assert got == expected
+
+
 def test_splag_country_empty_kernel(country_panel, country_edges):
     # inner=0, width=0 -> all zeros (test_splag_country.py:30)
     out = collect_panel(spatial_graph.splag_country(country_panel, country_edges, None, 0, 0))

@@ -163,17 +163,27 @@ def dedup_keep(
     )
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
     """Distinct word n-grams per doc, built entirely with array expressions
     (transform over a sequence of start positions + slice) — no joins, no
     shuffle until the final distinct. Docs with fewer than n tokens yield
-    no shingles."""
+    no shingles.
+
+    ``distinct=False`` skips the corpus-wide (doc, shingle) dedup shuffle
+    and returns the raw multiset — correct for any MULTIPLICITY-INSENSITIVE
+    consumer (HLL register max-merge: duplicates of a string hash
+    identically, so the register table is provably unchanged — r13 opt).
+    Set-semantics consumers (jaccard counts, minhash signatures) must keep
+    the default."""
     toks = df.select(F.col(id_col).alias("doc"), tokens_expr(text_col).alias("__toks"))
     toks = toks.filter(F.size("__toks") >= n)
     grams = F.expr(
         f"transform(sequence(1, size(__toks) - {n - 1}), i -> concat_ws(' ', slice(__toks, i, {n})))"
     )
-    return toks.select("doc", F.explode(grams).alias("shingle")).distinct()
+    out = toks.select("doc", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -1145,8 +1155,13 @@ def decontaminate(
     map-side combine: no corpus-sized shuffle other than the per-doc sum,
     linear at 100 TB."""
     corpus = _shingles(df, id_col, text_col, n)
+    # distinct=False: the outer shingle-level distinct subsumes the per-doc
+    # one — the inner (doc, shingle) dedup was a redundant second shuffle
+    # over the eval set (r13 opt; identical resulting gram set)
     egr = materialize(
-        _shingles(eval_df, eval_id_col, eval_text_col, n).select("shingle").distinct()
+        _shingles(eval_df, eval_id_col, eval_text_col, n, distinct=False)
+        .select("shingle")
+        .distinct()
     )
     eg = egr.withColumn("__hit", F.lit(1))
     if egr.count() <= EVAL_GRAM_BROADCAST_CAP:

@@ -453,10 +453,14 @@ def project_pca(
     the exact fold order DuckDB's list_sum comprehension reproduces
     (CLAUDE.md float-parity rule), 6dp-rounded and -0.0-canonicalized.
     Scan-side, no shuffle, no UDF; k folds of dim each."""
-    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    # F.lit(list) builds the whole array literal in ONE py4j call — the
+    # per-element F.array(*[F.lit(x)...]) form cost dim round-trips per
+    # array and dominated DataFrame-construction time for literal-heavy
+    # plans (r13 opt; values and array<double> type are identical)
+    mean_lit = F.lit([float(v) for v in mean])
     cols = {}
     for j, comp in enumerate(components):
-        comp_lit = F.array(*[F.lit(float(v)) for v in comp])
+        comp_lit = F.lit([float(v) for v in comp])
         centered = F.zip_with(
             F.col(vec_col), mean_lit, lambda a, b: a.cast("double") - b
         )
@@ -491,7 +495,7 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
     acc = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = F.lit([float(x) for x in plane])  # one py4j call (r13)
         d = _dot(F.col(vec_col), lit_plane)
         acc = acc + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
@@ -1781,7 +1785,7 @@ def _d2_mul_expr(vec_col: str, centroid: list[float]):
     multiplication folds — NOT pow(x, 2): Java Math.pow and DuckDB's power
     can differ in the last ulp, and cluster assignment ties must agree
     bit-exactly with the oracle."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    lit_c = F.lit([float(x) for x in centroid])  # one py4j call (r13)
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -2077,7 +2081,7 @@ def nearest_cluster_expr_on(arr, centroids: list[list[float]]):
     subspace slices)."""
     entries = []
     for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        lit_c = F.lit([float(x) for x in c])  # one py4j call (r13)
         d2 = F.aggregate(
             F.zip_with(arr, lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -2352,13 +2356,16 @@ def lsh_topk(
         n_planes = auto_ann_params(vectors.count())["n_planes"]
     dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
+    # build the (p x dim)-literal bucket expression ONCE and reuse the
+    # Column for both sides — construction is the dominant driver-side
+    # cost of this operator's build phase (r13 opt)
+    bucket = lsh_bucket_expr(vec_col, planes)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vv"),
         _norm(F.col(vec_col)).alias("__vn"),
-        lsh_bucket_expr(vec_col, planes).alias("__bucket"),
+        bucket.alias("__bucket"),
     )
-    bucket = lsh_bucket_expr(vec_col, planes)
     probes = [bucket] + (
         [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
         if probe_bits >= 1

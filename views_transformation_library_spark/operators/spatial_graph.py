@@ -67,6 +67,19 @@ def neighbour_ring(edges: DataFrame, kernel_inner: int, kernel_width: int) -> Da
         # without this guard the snapshot is never taken and the final
         # anti-join would dereference None
         return nth_order_reachability(edges, 0).limit(0)
+    if ninner == 0 and nouter == 1:
+        # ring-1 closed form (r13 opt): ({self} ∪ 1-hop) \ {self} is
+        # EXACTLY the distinct non-self edge set — r0's c domain is
+        # distinct(a_id) and one hop from self adds (c, b) per edge
+        # (c, b), so no iteration state is needed at all. Replaces one
+        # blocking materialize + a union-distinct chain (3 shuffles, 2
+        # jobs) with a single distinct; identical rows for ANY edge
+        # table, symmetric or not.
+        return (
+            edges.select("month_id", F.col("a_id").alias("c"), F.col("b_id").alias("n_id"))
+            .filter(F.col("n_id") != F.col("c"))
+            .distinct()
+        )
     r = (
         edges.select("month_id", F.col("a_id").alias("c"))
         .distinct()
@@ -142,9 +155,12 @@ def splag_country(
     feats = feature_cols(df)
     # three plan branches reference the panel (unit restriction, neighbour
     # values, output keys) and the reachability iteration references the
-    # edge table n+1 times for each of the two rings — materialize both once
+    # edge table n+1 times for each of the two rings — materialize both
+    # once. EXCEPT the ring-1 closed form (r13 opt): it reads the edge
+    # table exactly once, so its checkpoint would be a pure blocking job.
     df = materialize(df)
-    edges = materialize(edges)
+    if not (int(kernel_inner) == 1 and int(kernel_width) == 1):
+        edges = materialize(edges)
     ring = neighbour_ring(edges, kernel_inner, kernel_width)
     # restrict neighbours to countries present in the panel (splag_country.py:272)
     panel_units = df.select(F.col(UNIT).alias("n_id")).distinct()
