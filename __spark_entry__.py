@@ -297,9 +297,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d)).select("doc_id", "fingerprint")
 
     # --- beyond-reference: dedup (documents table)
+    # _spread on the 3-gram shingle pipelines (ngram_jaccard, minhash_lsh,
+    # split_leakage): the tokenize+transform+md5 shingle build dominates
+    # their single-row-group scan stage. Kept only where two independent
+    # ABBA rounds agreed (0.92/0.94, 0.90/0.95, 0.88/0.91); the same
+    # change measured a LOSS on simhash_pairs (1.12/1.17), bigram/unigram
+    # logprob (1.29/1.23 — the keyless repartition's local sort of the
+    # text payload outweighs the parallelized tokenize), fuzzy_dedup_keep
+    # (1.09/1.08 — its CC gate jobs re-pay the spread exchange), and was
+    # a wash on duplicate_spans — those keep the plain scan.
     q["exact_dedup"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _docs(s, d), n=3, threshold=0.5, max_doc_freq=1000
+        _spread(_docs(s, d)), n=3, threshold=0.5, max_doc_freq=1000
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     # engaged-guard variant (r10, local-only strict row): cap=5 actually
     # DROPS hot shingles at every SF, gating the anti-join path +
@@ -309,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n=3, threshold=0.2, max_doc_freq=5
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _docs(s, d), n=3, n_hashes=24, bands=6, threshold=0.8
+        _spread(_docs(s, d)), n=3, n_hashes=24, bands=6, threshold=0.8
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["dedup_clusters"] = lambda s, d: dedup.connected_components(
         dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5, max_doc_freq=1000)
@@ -348,7 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the oracle reproduces the labels; output = near-dup pairs that
     # straddle the split boundary
     q["split_leakage"] = lambda s, d: dedup.split_leakage(
-        _docs(s, d).withColumn(
+        _spread(_docs(s, d)).withColumn(
             "split",
             F.when(F.col("doc_id") % 2 == 0, F.lit("train")).otherwise(F.lit("val")),
         ),

@@ -437,7 +437,10 @@ def test_exact_quantiles_null_filter_pushed(spark):
 def test_hll_overlap_scans_each_corpus_once(spark):
     """hll_overlap's register tables each feed two branches (own s_scaled
     + the union); they must be materialized so the corpus parquet scans
-    run once per side — at 100 TB that is 2 scans vs 4."""
+    run once per side — at 100 TB that is 2 scans vs 4. Since r13 the two
+    per-side checkpoints are ONE side-tagged union checkpoint (both scans
+    inside a single blocking job): the final plan reads exactly THREE
+    branches (s_a, s_b, union registers) of the same checkpointed RDD."""
     from views_transformation_library_spark.operators import sketches
 
     a = spark.read.parquet(f"{SF}/orders.parquet")
@@ -446,6 +449,7 @@ def test_hll_overlap_scans_each_corpus_once(spark):
                                "o_custkey", p=8)
     p = plans.physical_plan(out)
     assert "orders.parquet" not in p and "lineitem.parquet" not in p
+    assert p.count("Scan ExistingRDD") == 3
     out.collect()
 
 
