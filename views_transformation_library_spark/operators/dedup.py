@@ -995,12 +995,17 @@ def pagerank(
             return spark.createDataFrame(
                 [], schema=f"node {id_type}, pagerank double"
             )
+        # Arrow frame out, mirroring the Arrow pull in: the tuple-list
+        # path pickled every row (r13 opt). Vectorized q/scale is the
+        # same correctly-rounded IEEE division as the old per-element
+        # float(qv)/scale_f — the strict gate's doubles are unchanged.
+        import pandas as pd
+
+        out_pdf = pd.DataFrame(
+            {"node": nodes_arr, "pagerank": q.astype("float64") / scale_f}
+        )
         return spark.createDataFrame(
-            [
-                (nd.item(), float(qv) / scale_f)
-                for nd, qv in zip(nodes_arr, q.tolist())
-            ],
-            schema=f"node {id_type}, pagerank double",
+            out_pdf, schema=f"node {id_type}, pagerank double"
         )
     # distributed path. Per-iteration job budget matters as much as data
     # volume (measured at sf0.1: the original loop spent 2 driver actions
