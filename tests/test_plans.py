@@ -365,7 +365,11 @@ def test_duplicate_spans_window_and_agg_share_one_exchange(spark):
     out = dedup.duplicate_spans(df, k=3, min_tokens=3, max_gram_freq=100)
     plan = plans.physical_plan(out)
     assert plan.count("Exchange hashpartitioning(a#") == 1, plan
-    assert plan.count("Window") == 2, plan  # lag + running sum, one sort
+    # lag + running sum over (a,b,dg) plus the r13 hot-gram count window
+    # over (h) — which must share the gram-hash exchange with the
+    # postings collect_list aggregate (guard-below-the-buffer shape)
+    assert plan.count("Window") == 3, plan
+    assert plan.count("Exchange hashpartitioning(h#") == 1, plan
 
 
 # ---------------------------------------------------------------------------

@@ -665,7 +665,13 @@ def simhash_pairs(
             "remainder leaves the top bits outside every probed chunk"
         )
     # both sides of the chunk self-join read the signature table —
-    # materialize it once
+    # materialize it once. (r13 opt note: a postings-list-expansion
+    # rewrite — the r4 minhash shape, one groupBy(k, ch) + in-array pair
+    # emission instead of this self-join — was tried and REVERTED on a
+    # measured 1.59× loss (ABBA+BAAB, 4 sessions/arm): simhash buckets
+    # are many and small (2^w per chunk), so the codegen'd streaming join
+    # beats an interpreted flatten/transform pair HOF; the same rewrite
+    # WINS on duplicate_spans where the guard+join shuffles dominated.)
     sig = materialize(simhash(df, id_col, text_col, bits))
     w = bits // chunks
     chunk_rows = sig.select(
@@ -1211,14 +1217,18 @@ def duplicate_spans(
     Output: (a, b, a_start, b_start, span_tokens), a < b, 1-based token
     positions.
 
-    Scale shape: the postings join shuffles on the gram hash, so hot
-    grams are the skew risk — ``max_gram_freq`` drops grams occurring
-    more than that many times corpus-wide (the ngram_jaccard guard-v3
-    shape: a COUNT hash-aggregate computes the tiny hot set, which
-    anti-joins as a broadcast only when non-empty; zero engagement costs
-    one small aggregate job). The islands window partitions by
-    (a, b, diagonal) and the span aggregate groups by a superset of those
-    keys, so window + aggregate share ONE exchange."""
+    Scale shape: matches come from postings-list expansion — ONE
+    groupBy(gram hash) with in-array pair emission (the minhash_lsh_pairs
+    shape; r13, previously a postings self-join). Hot grams are the skew
+    risk — ``max_gram_freq`` drops grams occurring more than that many
+    times corpus-wide via a windowed count + filter BELOW the
+    collect_list (occ(h) == bucket size, so the drop set is exactly the
+    old corpus-wide-count anti-join's): the window, the filter and the
+    aggregate share ONE gram-hash exchange, and an over-cap gram's rows
+    pass through WindowExec's spillable sorter instead of the in-memory
+    buffer. The islands window partitions by (a, b, diagonal) and the
+    span aggregate groups by a superset of those keys, so window +
+    aggregate share ONE exchange."""
     toks = df.select(
         F.col(id_col).alias("doc"), tokens_expr(text_col).alias("__toks")
     ).filter(F.size("__toks") >= k)
@@ -1231,29 +1241,42 @@ def duplicate_spans(
         (F.col("__p") + 1).cast("long").alias("pos"),
         F.md5("__gram").alias("h"),
     )
-    g = materialize(g)  # feeds both join branches (+ the guard aggregate)
+    # matches by postings-list expansion (r13 opt, the r4 minhash shape):
+    # ONE groupBy(h) + in-array pair emission replaces the postings
+    # self-join, and the hot-gram guard becomes a windowed count + filter
+    # BELOW the collect_list — the window, the filter and the aggregate
+    # share ONE exchange (occ(h) == bucket size, so dropping buckets
+    # larger than max_gram_freq is EXACTLY the old corpus-wide-count
+    # anti-join), and an over-cap gram's rows flow through WindowExec's
+    # spillable sorter before the buffer. This removes the postings
+    # checkpoint, the hot-set checkpoint, its count gate and the
+    # anti-join — three blocking jobs and two shuffles per build. The
+    # emitted (a, b, pa, pb) multiset is identical: postings are unique
+    # per (doc, pos), the array is doc-sorted, and the y.doc > x.doc
+    # filter reproduces the join's doc < b condition.
     if max_gram_freq is not None:
-        hot = materialize(
-            g.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(F.col("__occ") > int(max_gram_freq))
-        )
-        n_hot = hot.count()
-        if n_hot and n_hot <= HOT_SHINGLE_BROADCAST_CAP:
-            g = g.join(F.broadcast(hot.select("h")), "h", "left_anti")
-        elif n_hot:
-            g = g.join(hot.select("h"), "h", "left_anti")
-    right = g.select(
-        F.col("doc").alias("b"), F.col("pos").alias("pb"), F.col("h").alias("hb")
+        w_occ = Window.partitionBy("h")
+        g = g.withColumn("__occ", F.count(F.lit(1)).over(w_occ)).filter(
+            F.col("__occ") <= int(max_gram_freq)
+        ).drop("__occ")
+    post = g.groupBy("h").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "pos"))).alias("__dp")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(__dp, (x, i) -> "
+        "transform(filter(slice(__dp, i + 2, size(__dp) - i - 1), "
+        "y -> y.doc > x.doc), "
+        "y -> struct(x.doc as a, y.doc as b, x.pos as pa, y.pos as pb))))"
     )
     m = (
-        g.join(right, (F.col("h") == F.col("hb")) & (F.col("doc") < F.col("b")))
+        post.filter(F.size("__dp") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
         .select(
-            F.col("doc").alias("a"),
-            "b",
-            F.col("pos").alias("pa"),
-            "pb",
-            (F.col("pos") - F.col("pb")).alias("dg"),
+            F.col("__p.a").alias("a"),
+            F.col("__p.b").alias("b"),
+            F.col("__p.pa").alias("pa"),
+            F.col("__p.pb").alias("pb"),
+            (F.col("__p.pa") - F.col("__p.pb")).alias("dg"),
         )
     )
     w = Window.partitionBy("a", "b", "dg").orderBy("pa")
