@@ -26,7 +26,7 @@ import random
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 
-from ..panel import materialize
+from ..panel import materialize, materialize_counted
 
 logger = logging.getLogger(__name__)
 
@@ -517,15 +517,17 @@ def connected_components(
 
     Returns (node, component) for every node appearing in pairs.
     """
-    und = materialize(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).distinct()
-    )
-    # NOTE (r13): fusing this count+collect pair into one LIMIT cap+1
+    # r14: the size-gate count rides the checkpoint job (observation
+    # counter — no dedicated .count() job).
+    # NOTE (r13): fusing the count+collect pair into one LIMIT cap+1
     # collect was tried and REVERTED — CollectLimit executes with the
     # incremental scale-up strategy (1, then 4, then 16 partitions...),
     # several sequential jobs that measured 1.2-2x SLOWER than the two
     # plain jobs here (pagerank read 2.09x under the same change).
-    if und.count() <= driver_cap:
+    und, und_count = materialize_counted(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).distinct()
+    )
+    if und_count() <= driver_cap:
         edge_rows = und.collect()
         id_type = dict(pairs.dtypes)[a_col]
         parent: dict = {}
@@ -979,7 +981,9 @@ def pagerank(
     what upgrades this operator's oracle from rows-only to a strict
     VALUES golden at every SF.
     """
-    e = materialize(
+    # r14: the size-gate count rides the checkpoint job (observation
+    # counter — no dedicated .count() job)
+    e, e_count = materialize_counted(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
@@ -987,7 +991,7 @@ def pagerank(
     spark = edges.sparkSession
     id_type = dict(edges.dtypes)[src_col]
     scale_f = float(PR_SCALE)
-    if e.count() <= driver_cap:
+    if e_count() <= driver_cap:
         # Arrow transfer + vectorized node indexing: .collect()'s Row
         # objects cost ~5 s for 600k edges where toPandas is ~0.5 s off
         # the checkpoint. (r13: a LIMIT cap+1 fusion of gate+pull was
@@ -1020,12 +1024,12 @@ def pagerank(
     # (loop-invariant), the dangling mass stays a LAZY one-row aggregate
     # broadcast into the rank update, and a max|delta| check on the
     # checkpointed LONG frames gives the same early exit as the numpy path.
-    nodes_df = materialize(
+    nodes_df, nodes_count = materialize_counted(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_nodes = nodes_df.count()
+    n_nodes = nodes_count()
     deg = materialize(e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")))
     base = (1.0 - damping) / n_nodes * PR_SCALE  # same float as pagerank_longs
     tol_q = max(1, int(tol * PR_SCALE))
@@ -1169,13 +1173,15 @@ def decontaminate(
     # distinct=False: the outer shingle-level distinct subsumes the per-doc
     # one — the inner (doc, shingle) dedup was a redundant second shuffle
     # over the eval set (r13 opt; identical resulting gram set)
-    egr = materialize(
+    # r14: the broadcast-gate count rides the checkpoint job (observation
+    # counter — no dedicated .count() job)
+    egr, egr_count = materialize_counted(
         _shingles(eval_df, eval_id_col, eval_text_col, n, distinct=False)
         .select("shingle")
         .distinct()
     )
     eg = egr.withColumn("__hit", F.lit(1))
-    if egr.count() <= EVAL_GRAM_BROADCAST_CAP:
+    if egr_count() <= EVAL_GRAM_BROADCAST_CAP:
         eg = F.broadcast(eg)
     per = (
         corpus.join(eg, "shingle", "left")

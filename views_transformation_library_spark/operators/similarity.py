@@ -1967,6 +1967,9 @@ def semantic_dedup(
     )
 
 
+PQ_TRAIN_SAMPLE_CAP = 100_000
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -1976,7 +1979,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_cap: int = 100_000,
+    sample_cap: int = PQ_TRAIN_SAMPLE_CAP,
     normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
@@ -2073,7 +2076,14 @@ def pq_encode(
             res[i] = codes[row].tolist()
         return pd.Series(res)
 
-    return vectors.withColumn(out, _enc(F.col(vec_col)))
+    # asNondeterministic (guide §4.4, r14): pq_topk filters on the
+    # codes column (NULL-code drop), and the optimizer pushes that filter
+    # BELOW the projection while re-substituting the UDF — the plan grew
+    # a second ArrowEvalPython and every vector paid the numpy encode
+    # twice (plans/r14/pq_topk_before.txt nodes (3)+(6)). The function is
+    # semantically deterministic; the mark only forbids Catalyst from
+    # duplicating/reordering it, yielding one evaluation.
+    return vectors.withColumn(out, _enc.asNondeterministic()(F.col(vec_col)))
 
 
 def nearest_cluster_expr_on(arr, centroids: list[list[float]]):
@@ -2207,13 +2217,27 @@ def pq_topk(
     size at plan time (`auto_ann_params` — ADC rank quality dilutes with
     corpus scale, so r grows to the 64 ceiling).
     """
+    n_vec: int | None = None
     if rerank == "auto":
-        rerank = auto_ann_params(vectors.count())["rerank"]
-    if vectors.first() is None:
+        n_vec = vectors.count()
+        rerank = auto_ann_params(n_vec)["rerank"]
+        if n_vec == 0:
+            return _empty_topk(vectors, id_col).withColumnRenamed(
+                "cosine", "approx_cosine"
+            )
+    if n_vec is None and vectors.first() is None:
         return _empty_topk(vectors, id_col).withColumnRenamed("cosine", "approx_cosine")
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            vectors, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+            vectors, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+            # reuse the auto-rerank count for the trainer's sample-mod
+            # derivation (one fewer count job; identical sample_mod)
+            sample_mod=(
+                None
+                if n_vec is None
+                else max(1, -(-n_vec // PQ_TRAIN_SAMPLE_CAP))
+            ),
         )
     m = len(codebooks)
     spark = vectors.sparkSession

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..panel import (
     KEYS, TIME, TIME_AXIS_CAP, UNIT, UNIT_AXIS_CAP, collect_axis,
-    feature_cols, materialize,
+    feature_cols, materialize, materialize_counted,
 )
 from .spatial_grid import PG_STRIDE, embed_coords
 
@@ -225,17 +225,20 @@ def temporal_tree_lag(
     single weight function, `<feat>_<fn>` for several (the reference reuses
     input names for a wider matrix — a collision bug we do not replicate).
 
-    Plan: one cumulative-sum window per unit; node interval sums via
-    cum(end-1) - cum(start-1) against a broadcast node table; weighted
-    roll-up via the broadcast interaction table. Two broadcast joins + two
-    hash aggregates; the only wide exchange is the unit_id window shuffle.
+    Plan: one cumulative-sum window per unit; node interval sums via ONE
+    broadcast join of the signed boundary table (t, s, e, ±1) against the
+    cum frame — sum(sign·cum) per (unit, node) == cum(end-1) - cum(start-1)
+    — then the weighted roll-up via the broadcast interaction table. Two
+    broadcast joins + two hash aggregates; the only wide exchanges are the
+    unit_id window shuffle (whose partitioning the first aggregate reuses)
+    and the (tnow, unit) roll-up.
     """
     if isinstance(weight_functions, str):
         weight_functions = [weight_functions]
     feats = feature_cols(df)
     spark = df.sparkSession
-    # five plan branches reference the panel (times collect, cum_e, cum_s,
-    # units, grid) — materialize it once
+    # three plan branches reference the panel (times collect, cum window,
+    # grid) — materialize it once
     df = materialize(df)
     times = collect_axis(df, TIME, TIME_AXIS_CAP, "time axis")
     inter = _temporal_interactions_cached(
@@ -245,7 +248,23 @@ def temporal_tree_lag(
         inter, schema="tnow long, s long, e long, fn string, w double"
     )
     nodes = sorted({(s, e) for (_, s, e, _, _) in inter})
-    nodes_df = spark.createDataFrame(nodes, schema="s long, e long")
+    # signed boundary table (r14): node interval sum cum(e-1) - cum(s-1)
+    # as ONE broadcast join from the cum frame instead of a units×nodes
+    # cross join with two SortMergeJoin lookups (which also ran the cum
+    # window TWICE — Catalyst does not share the duplicated subplan).
+    # Each node contributes (t = e-1, +1) and (t = s-1, -1); a boundary
+    # before the data start simply matches no cum row, contributing the
+    # exact 0 the old left-join coalesce supplied. Every (tnow, unit)
+    # output group survives via its leaf node (e-1 = tnow is always in
+    # range), so the row set is unchanged; the long arithmetic
+    # sum(sign·cum) == cum(e-1) - cum(s-1) is exact integer math —
+    # byte-identical output.
+    bnd = [(e - 1, s, e, 1) for (s, e) in nodes] + [
+        (s - 1, s, e, -1) for (s, e) in nodes
+    ]
+    bnd_df = spark.createDataFrame(
+        bnd, schema="t long, s long, e long, sgn long"
+    )
 
     filled = df.na.fill(0.0, subset=feats)
     w_cum = Window.partitionBy(UNIT).orderBy(TIME).rowsBetween(Window.unboundedPreceding, 0)
@@ -266,33 +285,22 @@ def temporal_tree_lag(
             for c in feats
         ],
     )
-    # node interval sums: cum(e-1) - cum(s-1); boundaries before the data
-    # start resolve to 0 via the left joins
-    units = df.select(UNIT).distinct()
-    base = units.crossJoin(F.broadcast(nodes_df))
-    cum_e = cum.select(
-        F.col(UNIT).alias("__u"), (F.col(TIME) + 1).alias("__e"),
-        *[F.col(f"__cum_{c}").alias(f"__ce_{c}") for c in feats],
-    )
-    cum_s = cum.select(
-        F.col(UNIT).alias("__u2"), (F.col(TIME) + 1).alias("__s"),
-        *[F.col(f"__cum_{c}").alias(f"__cs_{c}") for c in feats],
-    )
+    # node interval sums: one broadcast probe of the signed boundary table
+    # (sum of ≤2 signed longs per (unit, node) == cum(e-1) - cum(s-1));
+    # the groupBy keys extend the window's unit_id partitioning, so the
+    # aggregate reuses the window exchange (subset partitioning — no new
+    # shuffle)
     node_sums = (
-        base.join(cum_e, (F.col(UNIT) == F.col("__u")) & (F.col("e") == F.col("__e")), "left")
-        .join(cum_s, (F.col(UNIT) == F.col("__u2")) & (F.col("s") == F.col("__s")), "left")
-        .select(
-            UNIT, "s", "e",
+        cum.join(F.broadcast(bnd_df), F.col(TIME) == F.col("t"))
+        .groupBy(UNIT, "s", "e")
+        .agg(
             *[
                 (
-                    (
-                        F.coalesce(F.col(f"__ce_{c}"), F.lit(0).cast("long"))
-                        - F.coalesce(F.col(f"__cs_{c}"), F.lit(0).cast("long"))
-                    )
+                    F.sum(F.col(f"__cum_{c}") * F.col("sgn"))
                     / F.lit(GRID_SUM_SCALE)
                 ).alias(c)
                 for c in feats
-            ],
+            ]
         )
     )
     joined = node_sums.join(F.broadcast(inter_df), ["s", "e"])
@@ -776,8 +784,10 @@ def grid_lag(
         else {None: GRID_DFUNCTIONS[dfunction_option]}
     )
     # four plan branches reference the panel (pgid collect, box aggregates,
-    # targets, output grid) — materialize it once
-    df = materialize(df)
+    # targets, output grid) — materialize it once; the mesh-bound row count
+    # rides the checkpoint job (r14 observation counter — no dedicated
+    # .count() job)
+    df, df_count = materialize_counted(df)
     spark = df.sparkSession
     pgids = collect_axis(df, UNIT, UNIT_AXIS_CAP, "unit (grid) axis")
     geo = _spatial_geometry_cached(pgids, stride)
@@ -818,7 +828,7 @@ def grid_lag(
     # driver job latency, not data). Only an inconclusive bound pays for an
     # exact count, and only the multi-branch keep_grids path pays for a
     # checkpoint.
-    mesh_bound = (4 * df.count()) // 3 + 1
+    mesh_bound = (4 * df_count()) // 3 + 1
     for c in feats:
         mesh = _grid_mesh(nodevals, c, threshold, geo)
         if keep_grids or mesh_bound > GRID_MESH_BROADCAST_CAP:

@@ -98,6 +98,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def materialize_counted(df: DataFrame):
+    """``materialize`` plus a row count riding the SAME checkpoint job.
+
+    Size-gated operators (connected_components' driver cap, pagerank's,
+    grid_lag's mesh bound, decontaminate's broadcast gate) all follow
+    materialize-then-count; the dedicated ``.count()`` job is pure driver
+    job latency — the r11 ngram_jaccard observation-counter pattern makes
+    the eager checkpoint job itself produce the count via an unnamed
+    ``Observation`` (a CollectMetrics node; it lives only in the
+    checkpointed plan, so downstream consumers read the plain RDD scan
+    with no pushdown barrier). Returns ``(materialized_df, count_fn)``;
+    ``count_fn()`` reads the observation non-blockingly and falls back to
+    a plain ``.count()`` when no action has populated it (lazy
+    materialize mode, SPARK_GRAFT_EAGER_MAT=0)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = materialize(df.observe(obs, F.count(F.lit(1)).alias("__n")))
+
+    def count_fn() -> int:
+        jo = getattr(obs, "_jo", None)
+        # probe with getRowOrEmpty — the JVM getOrEmpty map NPEs via py4j
+        # before the metrics row exists (r8)
+        if jo is None or jo.getRowOrEmpty().isEmpty():
+            return out.count()
+        return int(jo.getOrEmpty().apply("__n"))
+
+    return out, count_fn
+
+
 # The PRIO-GRID unit axis is structurally bounded at 720 x 360 = 259,200
 # cells (reference splag4d.py / spatial_tree.py build full-grid arrays at
 # exactly this size); the monthly time axis is a few thousand at most.
