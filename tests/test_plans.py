@@ -370,6 +370,15 @@ def test_duplicate_spans_window_and_agg_share_one_exchange(spark):
     # postings collect_list aggregate (guard-below-the-buffer shape)
     assert plan.count("Window") == 3, plan
     assert plan.count("Exchange hashpartitioning(h#") == 1, plan
+    # guard-OFF shape (max_gram_freq=None, the exact/small-corpus mode —
+    # the docstring's unbounded-collect_list caveat): the count window
+    # disappears but the postings aggregate keeps its single gram-hash
+    # exchange and the islands pair keeps its single (a,b,dg) exchange
+    out_off = dedup.duplicate_spans(df, k=3, min_tokens=3, max_gram_freq=None)
+    p_off = plans.physical_plan(out_off)
+    assert p_off.count("Exchange hashpartitioning(a#") == 1, p_off
+    assert p_off.count("Exchange hashpartitioning(h#") == 1, p_off
+    assert p_off.count("Window") == 2, p_off
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,53 @@ def test_exact_quantiles_raw_row_path_matches_aggregate_path(spark):
     assert len(raw) == 12
 
 
+def test_exact_quantiles_range_path_matches_other_paths(spark):
+    """range_buckets (the r14 100 TB near-unique tier) must return the
+    IDENTICAL row set as both other paths at any bucket count — ties,
+    nulls, NaN (sorts greatest), single-value groups, and ranks landing
+    exactly on bucket boundaries included."""
+    from views_transformation_library_spark.operators import profiling
+
+    rows = (
+        [("a", 1.0)] * 10 + [("a", 2.0)] * 10 + [("a", None)] * 5
+        + [("b", 7.0)] * 3 + [("b", 9.0)]
+        + [("c", float(i)) for i in range(50)]      # near-unique group
+        + [("d", 5.0)] * 4                           # single-value group
+        + [("e", float("nan"))] * 2 + [("e", 1.0), ("e", 3.0)]  # NaN tail
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    kw = dict(percents=(1, 25, 50, 75, 100), group_cols=["g"])
+    agg = sorted(map(tuple, profiling.exact_quantiles(df, "x", **kw).collect()))
+
+    def eq(a, b):
+        # NaN != NaN under ==; compare with repr so NaN rows match
+        assert [tuple(map(repr, r)) for r in a] == [
+            tuple(map(repr, r)) for r in b
+        ]
+
+    for b in (1, 2, 7, 64):
+        rng = sorted(
+            map(
+                tuple,
+                profiling.exact_quantiles(
+                    df, "x", range_buckets=b, **kw
+                ).collect(),
+            )
+        )
+        eq(agg, rng)
+    # ungrouped + integer dtype
+    dfi = spark.createDataFrame([(i % 13,) for i in range(101)], "x long")
+    a2 = sorted(map(tuple, profiling.exact_quantiles(dfi, "x").collect()))
+    r2 = sorted(
+        map(tuple, profiling.exact_quantiles(dfi, "x", range_buckets=5).collect())
+    )
+    assert a2 == r2
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric"):
+        profiling.exact_quantiles(df, "g", range_buckets=4)
+
+
 def test_exact_quantiles_rejects_out_of_range_percents(spark):
     import pytest
 

@@ -138,6 +138,62 @@ def test_neighbour_ring1_closed_form_matches_bfs_definition(spark):
     assert got == expected
 
 
+def test_neighbour_ring_general_k_matches_bfs_definition(spark):
+    """The r14 hop-composition closed form must equal the reference BFS
+    ring definition (R_nouter \\ R_ninner, self included at order 0) for
+    every (kernel_inner, kernel_width) shape — on a graph with duplicate
+    edges, an asymmetric edge, a self-loop, a chain long enough for
+    3-hop rings, and a disconnected month."""
+    rows = [
+        (229, 1, 2), (229, 1, 2),          # duplicate edge
+        (229, 2, 1),
+        (229, 2, 3), (229, 3, 2),
+        (229, 3, 4), (229, 4, 3),
+        (229, 4, 5), (229, 5, 4),
+        (229, 9, 10),                      # asymmetric: no 10 -> 9
+        (229, 6, 6),                       # self-loop
+        (230, 1, 5),                       # second month
+    ]
+    edges = spark.createDataFrame(rows, "month_id long, a_id long, b_id long")
+
+    def bfs_ring(inner: int, width: int):
+        # reference semantics: R_n = n iterated hop-unions from {self}
+        # over the month's adjacency (self included, order 0 = {self});
+        # ring = R_{inner-1+width} \ R_{inner-1}
+        months = {m for (m, _, _) in rows}
+        adj: dict = {}
+        nodes: dict = {}
+        for (m, a, b) in rows:
+            adj.setdefault(m, {}).setdefault(a, set()).add(b)
+            nodes.setdefault(m, set()).add(a)
+        ninner, nouter = inner - 1, inner - 1 + width
+        if nouter < 0 or nouter < ninner:
+            return set()
+        out = set()
+        for m in months:
+            reach = {c: {c} for c in nodes.get(m, set())}
+            snaps = {0: {c: set(v) for c, v in reach.items()}}
+            for i in range(1, nouter + 1):
+                reach = {
+                    c: v | {nb for x in v for nb in adj[m].get(x, set())}
+                    for c, v in reach.items()
+                }
+                snaps[i] = {c: set(v) for c, v in reach.items()}
+            for c in reach:
+                ring = snaps[nouter][c] - (
+                    snaps[ninner][c] if ninner >= 0 else set()
+                )
+                out |= {(m, c, n) for n in ring}
+        return out
+
+    for inner, width in [(1, 2), (2, 1), (2, 2), (0, 2), (1, 3), (3, 1)]:
+        got = {
+            (r["month_id"], r["c"], r["n_id"])
+            for r in spatial_graph.neighbour_ring(edges, inner, width).collect()
+        }
+        assert got == bfs_ring(inner, width), (inner, width)
+
+
 def test_splag_country_empty_kernel(country_panel, country_edges):
     # inner=0, width=0 -> all zeros (test_splag_country.py:30)
     out = collect_panel(spatial_graph.splag_country(country_panel, country_edges, None, 0, 0))

@@ -1232,7 +1232,12 @@ def duplicate_spans(
     old corpus-wide-count anti-join's): the window, the filter and the
     aggregate share ONE gram-hash exchange, and an over-cap gram's rows
     pass through WindowExec's spillable sorter instead of the in-memory
-    buffer. The islands window partitions by (a, b, diagonal) and the
+    buffer. With ``max_gram_freq=None`` the per-gram collect_list is
+    UNBOUNDED: one gram shared by F postings buffers F structs in a
+    single task and emits ~F²/2 pairs — at corpus scale a hot gram
+    (boilerplate) means unbounded task memory, so None is strictly an
+    exact-mode/small-corpus setting; keep the cap for production runs.
+    The islands window partitions by (a, b, diagonal) and the
     span aggregate groups by a superset of those keys, so window +
     aggregate share ONE exchange."""
     toks = df.select(

@@ -381,12 +381,121 @@ def approx_quantiles_hist(
     )
 
 
+def _exact_quantiles_range(
+    df: DataFrame,
+    col: str,
+    percents,
+    group_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Two-pass range rank selection (see exact_quantiles docstring,
+    ``range_buckets``). Pass 1: per-group (min, max, N) + a monotone
+    B-bucket value histogram; the cumulative histogram (a window over ≤ B
+    rows per group) locates each percent's target bucket and its local
+    rank. Pass 2: rows in target buckets only (broadcast join — a
+    scan-side filter), then the raw-row window selection over ~N/B rows
+    per (group, percent)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("range_buckets must be >= 1")
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("string", "binary", "boolean"):
+        raise ValueError(
+            f"range_buckets needs a numeric column, got {col!r}: {dtype}"
+        )
+    is_float = dtype in ("double", "float")
+    base = df.filter(F.col(col).isNotNull()).select(*group_cols, col)
+    v = F.col(col).cast("double")
+    nan = F.isnan(v) if is_float else F.lit(False)
+    # per-group stats over non-NaN values (Spark's max treats NaN as the
+    # greatest double, which would poison the affine map)
+    stats = base.groupBy(*group_cols).agg(
+        F.min(F.when(~nan, v)).alias("__lo"),
+        F.max(F.when(~nan, v)).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    gb = base.join(F.broadcast(stats), group_cols) if group_cols else (
+        base.crossJoin(F.broadcast(stats))
+    )
+    # monotone bucket map: NaN → top bucket (matches sort order: NaN is
+    # greatest); degenerate lo == hi (or all-NaN: lo IS NULL) → bucket 0
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(nan, F.lit(n_buckets - 1))
+        .when(
+            F.col("__lo").isNull() | (F.col("__hi") == F.col("__lo")), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.col("__lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    hist = gb.groupBy(*group_cols, bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__bc"),
+        F.max("__n").alias("__n"),
+    )
+    wo = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__b")
+    cum = hist.withColumn("__cum", F.sum("__bc").over(wo))
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(int(p),) for p in percents], "percent int")
+    rank = F.expr("CAST((percent * __n + 99) DIV 100 AS BIGINT)")
+    targets = (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter((F.col("__cum") >= rank) & (F.col("__cum") - F.col("__bc") < rank))
+        .select(
+            *group_cols,
+            "__b",
+            "percent",
+            # local rank inside the bucket + the global rank/N carried out
+            (rank - (F.col("__cum") - F.col("__bc"))).alias("__lrank"),
+            rank.alias("__rank"),
+            F.col("__n"),
+        )
+    )
+    # pass 2: only rows in target buckets survive (tiny broadcast join —
+    # ≤ |groups|·|percents| bucket keys); a row matches once per percent
+    # that lands in its bucket
+    picked_rows = (
+        gb.select(*group_cols, col, bucket.alias("__b"))
+        .join(F.broadcast(targets), [*group_cols, "__b"])
+    )
+    wsel = Window.partitionBy(*group_cols, "percent").orderBy(col)
+    wval = Window.partitionBy(*group_cols, "percent", col)
+    sel = picked_rows.select(
+        *group_cols,
+        col,
+        "percent",
+        "__lrank",
+        "__rank",
+        "__n",
+        F.count(F.lit(1)).over(wval).alias("__c"),
+        F.count(F.lit(1)).over(wsel.rangeBetween(Window.unboundedPreceding, 0)).alias(
+            "__lcum"
+        ),
+    ).filter(
+        (F.col("__lcum") >= F.col("__lrank"))
+        & (F.col("__lcum") - F.col("__c") < F.col("__lrank"))
+    )
+    return sel.select(
+        *group_cols,
+        "percent",
+        F.col(col).alias("value"),
+        F.col("__rank").alias("rank"),
+        F.col("__n").alias("n"),
+    ).distinct()
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
     percents: list[int] | tuple[int, ...] = (25, 50, 75),
     group_cols: list[str] | None = None,
     pre_aggregate: bool = True,
+    range_buckets: int | None = None,
 ) -> DataFrame:
     """EXACT distributed quantiles by integer rank selection — the strict
     counterpart to profile_approx's percentile_approx (whose KLL sketch
@@ -423,11 +532,32 @@ def exact_quantiles(
     (0.72× at sf0.1 on l_extendedprice, dedup factor 1.01); keep the
     default for genuinely discrete columns, where the aggregate is what
     keeps the shuffle at O(distinct) instead of O(rows) at 100 TB.
+
+    ``range_buckets=B`` (r14, the 100 TB tier for NEAR-UNIQUE columns —
+    VERDICT r13 #3/#5) replaces the full per-group window sort with a
+    two-pass range rank selection: (1) per-group min/max/count + a
+    B-bucket histogram (two map-side-combined aggregates — value buckets
+    are a monotone affine map, NaN pinned to the top bucket like the sort
+    order), the target bucket and the LOCAL rank inside it derived from
+    the tiny cumulative histogram; (2) one more scan keeps ONLY rows in
+    target buckets (a broadcast semi-join of ~|groups|·|percents| bucket
+    keys) and runs the raw-row window selection on those ~n/B rows per
+    group. No stage ever sorts more than ~n/B rows per group — the
+    near-unique tier's straggler wall (a 3-partition sort of ALL rows at
+    100 TB) is gone for two extra cheap scans. Output rows identical by
+    construction at any B ≥ 1 (equal values share a bucket, bucketing is
+    monotone, so global rank == local rank offset by the bucket-prefix
+    count; pinned by tests against both other paths). Numeric columns
+    only (the affine bucket map needs arithmetic).
     """
     from pyspark.sql import Window
 
     percents = _check_percents(percents, "exact_quantiles")
     group_cols = list(group_cols or [])
+    if range_buckets is not None:
+        return _exact_quantiles_range(
+            df, col, percents, group_cols, int(range_buckets)
+        )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(col)
     wg = Window.partitionBy(*[F.col(c) for c in group_cols])
     if pre_aggregate:

@@ -51,15 +51,14 @@ def neighbour_ring(edges: DataFrame, kernel_inner: int, kernel_width: int) -> Da
     ring = R_nouter \\ R_ninner; kernel_inner=0 means the inner set is empty
     so the ring includes self).
 
-    One shared iteration (r5): R_ninner is a PREFIX of R_nouter's
-    iteration, so the ring runs a single hop loop and snapshots the inner
-    set on the way instead of rebuilding both reachabilities from scratch;
-    each hop's frontier is materialized because it feeds two plan branches
-    (the join step and the union) — unpinned, every hop re-executed the
-    whole prior chain twice. The dominant kernel_inner=1 case needs no
-    anti-join at all: R_ninner is {self}, so the ring is just
-    ``n_id != c`` on the outer set (plan audit: ring1 11 -> 8 shuffles in
-    the final plan, and hop chains no longer re-execute per branch)."""
+    Closed-form hop compositions (r14; generalizes r13's ring-1 algebra,
+    which replaced the r5 shared BFS iteration): both reachability sets
+    come from the k-fold edge compositions H_k, so there is no running
+    union-distinct state — the per-hop blocking materialize + shuffle
+    pair is gone, and the dominant nouter = 2 case runs checkpoint-free
+    (one composition join + one union-distinct). The kernel_inner=1 case
+    needs no anti-join at all: R_ninner is {self}, so the ring is just
+    ``n_id != c`` on the outer set."""
     ninner = int(kernel_inner) - 1
     nouter = ninner + int(kernel_width)
     if nouter < 0 or nouter < ninner:
@@ -80,30 +79,59 @@ def neighbour_ring(edges: DataFrame, kernel_inner: int, kernel_width: int) -> Da
             .filter(F.col("n_id") != F.col("c"))
             .distinct()
         )
-    r = (
+    # general-k closed form (r14, generalizing the r13 ring-1 algebra):
+    # R_n \ {self} = distinct(∪_{k=1..n} H_k) \ {self}, where H_k is the
+    # k-fold edge composition (nodes reachable by SOME k-edge path; a node
+    # at graph distance d ≤ n is in H_d, and every H_k member is within k
+    # hops, so the union over k ≤ n is exactly the ≤ n-hop set). This
+    # replaces the old running union-distinct BFS — which paid a blocking
+    # materialize + a union-distinct shuffle PER HOP because the running
+    # set fed two plan branches — with pure hop compositions: H_k feeds
+    # the next composition and the final union, so only the middle hops
+    # (2..n-1) need a checkpoint, and the dominant n = 2 case needs NONE.
+    ep = edges.select(
+        "month_id", F.col("a_id").alias("c"), F.col("b_id").alias("n_id")
+    )
+    step_edges = edges.select(
+        "month_id", F.col("a_id").alias("n_id"), F.col("b_id").alias("next_id")
+    )
+    hops = [ep] if nouter >= 1 else []  # H_1 = the edge set itself
+    for k in range(2, nouter + 1):
+        prev = hops[-1]
+        comp = prev.join(step_edges, ["month_id", "n_id"]).select(
+            "month_id", "c", F.col("next_id").alias("n_id")
+        )
+        if k < nouter:
+            # distinct = path-count blowup guard (sets, not paths) for the
+            # next composition's input; the LAST hop skips it — the final
+            # union.distinct() already dedups, and a dedicated exchange
+            # here would be pure extra shuffle. Then pin: the set feeds
+            # the next composition AND the final union.
+            comp = materialize(comp.distinct())
+        hops.append(comp)
+    nodes = (
         edges.select("month_id", F.col("a_id").alias("c"))
         .distinct()
         .select("month_id", "c", F.col("c").alias("n_id"))
     )
-    inner_snapshot = r if ninner == 0 else None
-    step_edges = edges.select(
-        "month_id", F.col("a_id").alias("n_id"), F.col("b_id").alias("next_id")
-    )
-    for i in range(1, nouter + 1):
-        r = materialize(r)
-        step = r.join(step_edges, ["month_id", "n_id"]).select(
-            "month_id", "c", F.col("next_id").alias("n_id")
-        )
-        r = r.union(step).distinct()
-        if i == ninner:
-            r = materialize(r)
-            inner_snapshot = r
+    if not hops:  # nouter == 0: R_0 = {self}
+        # ninner < 0 keeps self (R_0 \ ∅); ninner == 0 is R_0 \ R_0 = ∅
+        return nodes if ninner < 0 else nodes.limit(0)
+    outer = hops[0]
+    for h in hops[1:]:
+        outer = outer.union(h)
+    outer = outer.distinct()
     if ninner < 0:
-        return r
+        # kernel_inner = 0: the ring INCLUDES self (R_nouter with the
+        # order-0 self set from the node domain)
+        return outer.union(nodes).distinct()
     if ninner == 0:
         # R_0 = {self}: the anti-join degenerates to a row filter
-        return r.filter(F.col("n_id") != F.col("c"))
-    return r.join(inner_snapshot, ["month_id", "c", "n_id"], "left_anti")
+        return outer.filter(F.col("n_id") != F.col("c"))
+    inner = nodes
+    for h in hops[:ninner]:
+        inner = inner.union(h)
+    return outer.join(inner, ["month_id", "c", "n_id"], "left_anti")
 
 
 def centroid_distances(centroids: DataFrame) -> DataFrame:
